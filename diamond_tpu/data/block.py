@@ -1,0 +1,74 @@
+"""In-memory sequence block.
+
+TPU-native equivalent of the reference Block/SequenceSet (reference
+src/data/block/block.h:30-132, src/data/string_set.h).  Sequences live in one
+concatenated int8 numpy array with the same perimeter/delimiter layout as the
+reference (256 delimiter bytes at both ends, one delimiter byte after every
+sequence) so window-based kernels (48-byte fingerprints, 96-wide ungapped
+scans) read identical bytes across sequence boundaries.
+
+The concatenated array ships to the device once per block; per-kernel views
+are gathers into it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from diamond_tpu.constants.alphabet import DELIMITER_LETTER, encode
+
+PERIMETER_PADDING = 256
+
+
+@dataclass
+class Block:
+    letters: np.ndarray          # int8 concatenated, padded
+    starts: np.ndarray           # int64 start offset of each sequence in letters
+    lengths: np.ndarray          # int32
+    ids: list                    # full header strings
+    soft_mask_backup: np.ndarray | None = None   # original letters for soft-masked ranges
+    unmasked: np.ndarray | None = None           # copy of letters before hard masking
+    _mask_ranges: list = field(default_factory=list)
+
+    @classmethod
+    def from_sequences(cls, seqs: list, ids: list, nucleotide: bool = False) -> "Block":
+        n = len(seqs)
+        lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+        total = PERIMETER_PADDING * 2 + int(lengths.sum()) + n
+        letters = np.full(total, DELIMITER_LETTER, dtype=np.int8)
+        starts = np.zeros(n, dtype=np.int64)
+        pos = PERIMETER_PADDING
+        for i, s in enumerate(seqs):
+            starts[i] = pos
+            e = s if isinstance(s, np.ndarray) else encode(s, nucleotide)
+            letters[pos : pos + len(e)] = e
+            pos += len(e) + 1  # delimiter after each sequence
+        return cls(letters=letters, starts=starts, lengths=lengths, ids=list(ids))
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    @property
+    def n_letters(self) -> int:
+        return int(self.lengths.sum())
+
+    def seq(self, i: int) -> np.ndarray:
+        s = self.starts[i]
+        return self.letters[s : s + self.lengths[i]]
+
+    def seq_id(self, i: int) -> str:
+        """First token of the header (qseqid/sseqid output field)."""
+        return self.ids[i].split()[0] if self.ids[i] else ""
+
+    def global_to_local(self, pos: np.ndarray):
+        """Map concatenated offsets -> (seq_index, offset_in_seq).
+
+        Replaces the reference PackedLoc -> local_position binary search
+        (reference src/data/sequence_set.h local_position)."""
+        pos = np.asarray(pos, dtype=np.int64)
+        idx = np.searchsorted(self.starts, pos, side="right") - 1
+        return idx.astype(np.int32), (pos - self.starts[idx]).astype(np.int32)
+
+    def save_unmasked(self):
+        self.unmasked = self.letters.copy()

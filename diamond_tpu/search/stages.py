@@ -1,0 +1,254 @@
+"""Seed search stages 0-2: enumeration, join, fingerprint + ungapped filters.
+
+Vectorized re-design of the reference seeding pipeline:
+  - stage 0: seed enumeration + radix hash join (reference
+    src/search/stage0.cpp:101-217, src/util/algo/hash_join.h) becomes
+    sort + run-length grouping over seed keys,
+  - complexity masking of joined seed groups (reference
+    src/search/seed_complexity.cpp:37-51, mask_seeds),
+  - stage 1: 48-byte fingerprint identity filter (reference
+    src/search/hamming/kernel.h:29-75, finger_print.h) as a batched gather +
+    equality-count over all candidate pairs,
+  - stage 2: windowed ungapped Kadane scan vs an e-value cutoff table
+    (reference src/search/stage2.h:43-154, dp/ungapped_simd.cpp) and the
+    left-most seed dedup filter (reference src/search/left_most.h:31-110).
+
+All stages operate on flat arrays of candidate pairs, the static-shape form
+that maps onto TPU kernels; the numpy path is the reference oracle and the
+hot filters have jax twins in diamond_tpu.ops.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import lgamma
+
+import numpy as np
+
+from diamond_tpu.constants.alphabet import LETTER_MASK, MASK_LETTER, TRUE_AA
+from diamond_tpu.data.block import Block
+from diamond_tpu.seed.reduction import Reduction
+from diamond_tpu.seed.shapes import Shape
+
+WINDOW_LEFT = 16
+WINDOW_RIGHT = 32
+FINGERPRINT_LEN = 48
+
+
+# ---------------------------------------------------------------------------
+# Stage 0: seed enumeration and join
+# ---------------------------------------------------------------------------
+
+def enumerate_seeds(block: Block, shape: Shape, reduction: Reduction,
+                    min_len: int = 0):
+    """All (key, global position) seeds of a block for one shape.
+
+    Positions whose sampled letters include MASK/STOP/soft-masked letters are
+    skipped (reference enum_seeds.h:131-188, shape.h:114-150).
+    """
+    keys_out = []
+    pos_out = []
+    reduced_all = reduction(block.letters)
+    for i in range(len(block)):
+        L = int(block.lengths[i])
+        if L < shape.length or (min_len and L < min_len):
+            continue
+        start = int(block.starts[i])
+        reduced = reduced_all[start : start + L]
+        keys, valid = shape.extract_seeds(reduced, reduction.size)
+        idx = np.nonzero(valid)[0]
+        keys_out.append(keys[idx])
+        pos_out.append(start + idx.astype(np.int64))
+    if not keys_out:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(keys_out), np.concatenate(pos_out)
+
+
+@dataclass
+class SeedJoin:
+    """Join of query and reference seed arrays on seed key."""
+
+    keys: np.ndarray       # (G,) distinct seed keys present on both sides
+    q_start: np.ndarray    # (G+1,) group offsets into q_pos
+    q_pos: np.ndarray      # query global positions, grouped by key
+    s_start: np.ndarray    # (G+1,) group offsets into s_pos
+    s_pos: np.ndarray      # subject global positions, grouped by key
+
+
+def seed_join(q_keys, q_pos, s_keys, s_pos) -> SeedJoin:
+    """Sort-merge join (device-friendly replacement of the radix hash join)."""
+    qo = np.argsort(q_keys, kind="stable")
+    so = np.argsort(s_keys, kind="stable")
+    qk, qp = q_keys[qo], q_pos[qo]
+    sk, sp = s_keys[so], s_pos[so]
+    # unique keys on each side
+    uq, q_first = np.unique(qk, return_index=True)
+    us, s_first = np.unique(sk, return_index=True)
+    common, qi, si = np.intersect1d(uq, us, return_indices=True)
+    q_counts = np.diff(np.append(q_first, len(qk)))[qi]
+    s_counts = np.diff(np.append(s_first, len(sk)))[si]
+
+    def gather(first, counts, arr):
+        total = int(counts.sum())
+        out = np.empty(total, dtype=arr.dtype)
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        for g in range(len(counts)):
+            out[starts[g] : starts[g + 1]] = arr[first[g] : first[g] + counts[g]]
+        return starts, out
+
+    qs, qv = gather(q_first[qi], q_counts, qp)
+    ss, sv = gather(s_first[si], s_counts, sp)
+    return SeedJoin(keys=common, q_start=qs, q_pos=qv, s_start=ss, s_pos=sv)
+
+
+_LNFACT = np.array([lgamma(i + 1) for i in range(64)])
+
+
+def complexity_mask(join: SeedJoin, shape: Shape, reduction: Reduction,
+                    cut: float) -> SeedJoin:
+    """Drop seed groups whose reduced-alphabet entropy is below the cut
+    (reference seed_complexity.cpp:37-51 via mask_seeds, stage0.cpp:173)."""
+    if len(join.keys) == 0:
+        return join
+    # decode seed keys into reduced bucket digits
+    digits = np.zeros((len(join.keys), shape.weight), dtype=np.int64)
+    k = join.keys.astype(np.uint64).copy()
+    base = np.uint64(reduction.size)
+    for i in range(shape.weight - 1, -1, -1):
+        digits[:, i] = (k % base).astype(np.int64)
+        k //= base
+    counts = np.zeros((len(join.keys), reduction.size), dtype=np.int64)
+    for i in range(shape.weight):
+        np.add.at(counts, (np.arange(len(join.keys)), digits[:, i]), 1)
+    entropy = _LNFACT[shape.weight] - _LNFACT[counts].sum(axis=1)
+    keep = entropy >= cut
+    return _filter_groups(join, keep)
+
+
+def _filter_groups(join: SeedJoin, keep: np.ndarray) -> SeedJoin:
+    idx = np.nonzero(keep)[0]
+    q_counts = np.diff(join.q_start)[idx]
+    s_counts = np.diff(join.s_start)[idx]
+    qs = np.zeros(len(idx) + 1, dtype=np.int64)
+    ss = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(q_counts, out=qs[1:])
+    np.cumsum(s_counts, out=ss[1:])
+    q_pos = np.concatenate([join.q_pos[join.q_start[g] : join.q_start[g + 1]]
+                            for g in idx]) if len(idx) else np.zeros(0, np.int64)
+    s_pos = np.concatenate([join.s_pos[join.s_start[g] : join.s_start[g + 1]]
+                            for g in idx]) if len(idx) else np.zeros(0, np.int64)
+    return SeedJoin(join.keys[idx], qs, q_pos, ss, s_pos)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: fingerprint (hamming) filter
+# ---------------------------------------------------------------------------
+
+def expand_pairs(join: SeedJoin):
+    """Cartesian expansion of each seed group into candidate (qpos, spos)."""
+    q_counts = np.diff(join.q_start)
+    s_counts = np.diff(join.s_start)
+    totals = q_counts * s_counts
+    n = int(totals.sum())
+    qp = np.empty(n, dtype=np.int64)
+    sp = np.empty(n, dtype=np.int64)
+    o = 0
+    for g in range(len(join.keys)):
+        q = join.q_pos[join.q_start[g] : join.q_start[g + 1]]
+        s = join.s_pos[join.s_start[g] : join.s_start[g + 1]]
+        m = len(q) * len(s)
+        # reference iterates queries outer, subjects inner (kernel.h:29-50)
+        qp[o : o + m] = np.repeat(q, len(s))
+        sp[o : o + m] = np.tile(s, len(q))
+        o += m
+    return qp, sp
+
+
+def fingerprints(letters: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """48-byte windows [pos-16, pos+32), soft-mask bits stripped
+    (reference finger_print.h:41-49)."""
+    offsets = np.arange(-WINDOW_LEFT, -WINDOW_LEFT + FINGERPRINT_LEN, dtype=np.int64)
+    win = letters[pos[:, None] + offsets[None, :]]
+    return win & LETTER_MASK
+
+
+def stage1_filter(q_letters, s_letters, qp, sp, hamming_filter_id: int):
+    """Keep pairs whose fingerprint identity count >= cutoff."""
+    if len(qp) == 0:
+        return np.zeros(0, dtype=bool)
+    fq = fingerprints(q_letters, qp)
+    fs = fingerprints(s_letters, sp)
+    matches = (fq == fs).sum(axis=1)
+    return matches >= hamming_filter_id
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: ungapped window filter
+# ---------------------------------------------------------------------------
+
+def clip_window(letters: np.ndarray, pos: np.ndarray, window: int):
+    """Per-position delimiter clipping of [pos-window, pos+window)
+    (reference Util::Seq::clip, sequence.h:30-40).
+
+    Returns (left, right) s.t. the window is [pos-left, pos+right) and
+    contains no delimiter."""
+    from diamond_tpu.constants.alphabet import DELIMITER_LETTER
+
+    offs = np.arange(-window, window, dtype=np.int64)
+    win = letters[pos[:, None] + offs[None, :]]
+    delim = win == DELIMITER_LETTER
+    # left clip: distance to nearest delimiter strictly before anchor
+    left_region = delim[:, :window][:, ::-1]  # reversed: index 0 = pos-1
+    has_l = left_region.any(axis=1)
+    first_l = np.argmax(left_region, axis=1)
+    left = np.where(has_l, first_l, window)
+    right_region = delim[:, window:]
+    has_r = right_region.any(axis=1)
+    first_r = np.argmax(right_region, axis=1)
+    right = np.where(has_r, first_r, window)
+    return left.astype(np.int64), right.astype(np.int64)
+
+
+def stage2_scores(q_letters, s_letters, qp, sp, matrix32: np.ndarray,
+                  window: int = 48, clamp: bool = True):
+    """Best ungapped segment score on the seed diagonal within the window.
+
+    Query window is delimiter-clipped around the seed start; subject is read
+    at the same relative offsets (reference stage2.h:95-100,
+    ungapped_align.cpp:244-257).  Kadane with floor 0 and ceiling 255 (the
+    int8 SIMD path semantics, dp/ungapped_simd.cpp:32-67)."""
+    if len(qp) == 0:
+        return np.zeros(0, dtype=np.int32)
+    left, right = clip_window(q_letters, qp, window)
+    offs = np.arange(-window, window, dtype=np.int64)
+    qwin = q_letters[qp[:, None] + offs[None, :]].astype(np.int64) & LETTER_MASK
+    swin = s_letters[sp[:, None] + offs[None, :]].astype(np.int64) & LETTER_MASK
+    scores = matrix32[qwin, swin]
+    inside = (offs[None, :] >= -left[:, None]) & (offs[None, :] < right[:, None])
+    scores = np.where(inside, scores, -(10 ** 6))
+    # Kadane along axis 1, clamp [0, 255] like saturated int8 biased math
+    st = np.zeros(len(qp), dtype=np.int64)
+    best = np.zeros(len(qp), dtype=np.int64)
+    for j in range(scores.shape[1]):
+        st = np.maximum(st + scores[:, j], 0)
+        if clamp:
+            st = np.minimum(st, 255)
+        best = np.maximum(best, st)
+    return best.astype(np.int32)
+
+
+class CutoffTable:
+    """query-length-bucketed ungapped score cutoffs
+    (reference util/scores/cutoff_table.h:26-46)."""
+
+    def __init__(self, score_matrix, evalue: float):
+        self.data = np.zeros(32, dtype=np.int32)
+        for b in range(1, 32):
+            qlen = 1 << (b - 1)
+            bitscore = -np.log(evalue / 1e9 / qlen) / np.log(2.0)
+            self.data[b] = score_matrix.rawscore(bitscore)
+
+    def __call__(self, query_len) -> np.ndarray:
+        # 32 - clz(len) == bit_length(len)
+        bl = np.vectorize(lambda x: int(x).bit_length())(np.asarray(query_len))
+        return self.data[bl]
