@@ -1,0 +1,380 @@
+"""Extension pipeline: adaptive ranking, banded DP, culling, traceback.
+
+Faithful re-design of the reference extension driver:
+  - target grouping and stage-2 score ranking (reference
+    src/align/load_hits.h:43-175, extend.cpp:226-344)
+  - ungapped x-drop + chaining stage (reference align/ungapped.cpp:62-150)
+  - band computation and merging (reference align/gapped_score.cpp:41-160)
+  - first-round score-only banded SW, e-value filter, culling
+    (reference gapped_score.cpp:185-246, culling.cpp)
+  - second-round traceback DP on survivors (reference gapped_final.cpp:80-158)
+
+The banded DP runs through the numpy oracle here; the batched jax/pallas
+path plugs in via the same band lists (see diamond_tpu.ops).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from diamond_tpu.align.chain import chain, xdrop_ungapped
+from diamond_tpu.ops.banded_swipe import banded_swipe_np
+from diamond_tpu.stats import cbs as cbs_mod
+
+MIN_CHUNK_SIZE = 128
+MAX_CHUNK_SIZE = 400
+UNIFIED_TARGET_LEN = 50
+MIN_STEP = 16
+
+
+def make_multiple(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def ranking_chunk_size(target_count: int, ref_letters: int, max_target_seqs: int,
+                       sensitivity_rank: int = 1, toppercent=None) -> int:
+    """reference extend.cpp:79-92."""
+    default_letters = 800e6 if sensitivity_rank >= 10 else 2e9
+    block_mult = max(int(round(ref_letters / default_letters)), 1)
+    if toppercent is not None:
+        return MIN_CHUNK_SIZE * block_mult
+    return max(MIN_CHUNK_SIZE,
+               min(make_multiple(max_target_seqs, 32), MAX_CHUNK_SIZE)) * block_mult
+
+
+def band(query_len: int, mode: str) -> int:
+    """Band width by query length (reference gapped_score.cpp:41-71)."""
+    if mode == "banded-fast":
+        if query_len < 50:
+            return 12
+        if query_len < 100:
+            return 16
+        if query_len < 250:
+            return 30
+        if query_len < 350:
+            return 40
+        return 64
+    else:
+        if query_len < 50:
+            return 15
+        if query_len < 100:
+            return 20
+        if query_len < 150:
+            return 30
+        if query_len < 200:
+            return 50
+        if query_len < 250:
+            return 60
+        if query_len < 350:
+            return 100
+        if query_len < 500:
+            return 120
+        return 150
+
+
+@dataclass
+class Hsp:
+    score: int = 0
+    evalue: float = float("inf")
+    bit_score: float = 0.0
+    d_begin: int = 0
+    d_end: int = 0
+    query_range: tuple = (0, 0)
+    subject_range: tuple = (0, 0)
+    identities: int = 0
+    mismatches: int = 0
+    positives: int = 0
+    gap_openings: int = 0
+    gaps: int = 0
+    length: int = 0
+    transcript: list | None = None
+    backtraced: bool = False
+
+    def sort_key(self):
+        # Hsp::operator< (reference match.h:199-202)
+        return (-self.score, self.d_begin, self.query_range[0])
+
+
+@dataclass
+class Match:
+    target_block_id: int
+    hsp: list = field(default_factory=list)
+    filter_evalue: float = float("inf")
+    filter_score: int = 0
+
+    def set_filter(self):
+        if self.hsp:
+            self.filter_evalue = self.hsp[0].evalue
+            self.filter_score = self.hsp[0].score
+        else:
+            self.filter_evalue = float("inf")
+            self.filter_score = 0
+
+
+@dataclass
+class SeedHit:
+    i: int
+    j: int
+    score: int
+
+    @property
+    def diag(self):
+        return self.i - self.j
+
+
+def load_hits(hits, target_block):
+    """Group per-query hits by target (reference load_hits.h:43-139).
+
+    hits: array of (subject_global_pos, seed_offset, score) for one query.
+    Returns (target_ids, seed_hit_groups, target_scores) with targets in
+    ascending subject-position order."""
+    if len(hits) == 0:
+        return [], [], []
+    arr = sorted(hits, key=lambda h: (h[0], h[1]))  # CmpSubject (same query)
+    tids, groups, scores = [], [], []
+    cur_t = -1
+    for gpos, seed_off, score in arr:
+        t, j = target_block.global_to_local([gpos])
+        t, j = int(t[0]), int(j[0])
+        if t != cur_t:
+            tids.append(t)
+            groups.append([])
+            scores.append(0)
+            cur_t = t
+        groups[-1].append(SeedHit(i=int(seed_off), j=j, score=int(score)))
+        scores[-1] = max(scores[-1], int(score))
+    return tids, groups, scores
+
+
+@dataclass
+class WorkTarget:
+    block_id: int
+    hsps: list  # ApproxHsp list (chained)
+    ungapped_score: int
+
+
+def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hits,
+                   cfg) -> WorkTarget:
+    """x-drop extension + chaining for one target
+    (reference align/ungapped.cpp:62-150)."""
+    hits = sorted(seed_hits, key=lambda h: (h.diag, h.j))
+    segments = []
+    ungapped_score = 0
+    t_start = int(target_block.starts[block_id])
+    m = cfg.matrix.matrix32
+    use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+    for h in hits:
+        ungapped_score = max(ungapped_score, h.score)
+        if segments and segments[-1].diag == h.diag and segments[-1].subject_end >= h.j:
+            continue
+        d = xdrop_ungapped(query_letters[q_start:], use_bias,
+                           target_block.letters[t_start:], h.i, h.j, m, cfg.xdrop_raw)
+        if d.score > 0:
+            segments.append(d)
+    hsps = chain(segments)
+    return WorkTarget(block_id=block_id, hsps=hsps, ungapped_score=ungapped_score)
+
+
+def merged_bands(work: WorkTarget, qlen: int, tlen: int, base_band: int):
+    """Band merging (reference gapped_score.cpp:130-180, min_band_overlap=0:
+    any overlap merges)."""
+    if not work.hsps:
+        return []
+    hsps = sorted(work.hsps, key=lambda h: (h.d_min, h.d_max))
+    out = []
+    d0, d1 = None, None
+    for h in hsps:
+        b0 = max(h.d_min - base_band, -(tlen - 1))
+        b1 = min(h.d_max + 1 + base_band, qlen)
+        if d0 is not None and min(d1, b1) - max(d0, b0) > 0:
+            d0 = min(d0, b0)
+            d1 = max(d1, b1)
+        else:
+            if d0 is not None:
+                out.append((d0, d1))
+            d0, d1 = b0, b1
+    out.append((d0, d1))
+    return out
+
+
+def extend_query(query_id: int, query_hits, ctx) -> list:
+    """Full per-query extension (reference extend.cpp:226-388,
+    gapped_final.cpp:80-158).  ctx: PipelineContext."""
+    cfg = ctx.cfg
+    qblock = ctx.query_block
+    tblock = ctx.target_block
+    q_start = int(qblock.starts[query_id])
+    qlen = int(qblock.lengths[query_id])
+    query_letters = qblock.letters
+    bias = ctx.query_bias(query_id)
+
+    tids, groups, tscores = load_hits(query_hits, tblock)
+    n = len(tids)
+    if n == 0:
+        return []
+
+    chunk_size = ranking_chunk_size(n, tblock.n_letters, cfg.max_target_seqs)
+    order = list(range(n))
+    if chunk_size < n:
+        order.sort(key=lambda t: (-tscores[t], t))  # TargetScore::operator<
+
+    base_band = band(qlen, cfg.ext_mode)
+    mat = cfg.matrix
+
+    matches: list[Match] = []
+    i0 = 0
+    i1 = min(chunk_size, n)
+    new_hits_ev = False
+    tail_score = 0
+    prev_tail = 0
+
+    while True:
+        aligned: list[tuple] = []  # (block_id, first-round Hsp)
+        while True:
+            # --- extend chunk: ungapped + chaining + first-round DP ---
+            chunk = order[i0:i1]
+            v = []
+            for t in chunk:
+                work = ungapped_stage(query_letters, q_start, bias, tblock,
+                                      tids[t], groups[t], cfg)
+                if not work.hsps:
+                    continue
+                tlen = int(tblock.lengths[tids[t]])
+                t_start = int(tblock.starts[tids[t]])
+                tgt = tblock.letters[t_start : t_start + tlen]
+                q = query_letters[q_start : q_start + qlen]
+                best_hsp = None
+                use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+                for d0, d1 in merged_bands(work, qlen, tlen, base_band):
+                    r = banded_swipe_np(q, tgt, d0, d1, mat.matrix32, use_bias,
+                                        mat.gap_open, mat.gap_extend)
+                    ev = float(mat.evalue(r.score, qlen, tlen))
+                    if r.score > 0 and mat.report_cutoff(r.score, ev, cfg.max_evalue,
+                                                         cfg.min_bit_score):
+                        h = Hsp(score=r.score, evalue=ev,
+                                bit_score=float(mat.bitscore(r.score)),
+                                d_begin=d0, d_end=d1,
+                                query_range=(0, r.max_row + 1),
+                                subject_range=(0, r.max_col + 1))
+                        if best_hsp is None or h.sort_key() < best_hsp.sort_key():
+                            best_hsp = h
+                if best_hsp is not None:
+                    v.append((tids[t], best_hsp))
+            new_hits = len(v) > 0
+            new_hits_ev = new_hits_ev or new_hits
+            multi_chunk = (i1 - i0) < n
+            if multi_chunk:
+                new_hits = _append_hits(aligned, v, cfg, mat)
+            else:
+                aligned = v
+            i0 = i1
+            i1 += min(chunk_size, n - i1)
+            prev_tail = tail_score
+            if new_hits and i1 > 0:
+                tail_score = tscores[order[i1 - 1]]
+            if not (i0 < n and not _ranking_terminate(
+                    new_hits, prev_tail, tscores[order[i1 - 1]] if i1 > 0 else 0,
+                    cfg, mat)):
+                break
+
+        # first-round culling
+        aligned.sort(key=lambda th: (th[1].evalue, -th[1].score, th[0]))
+        aligned = aligned[: _output_range(aligned, cfg)]
+
+        # --- second round: traceback DP (reference gapped_final.cpp) ---
+        round_matches = _traceback_round(aligned, query_letters, q_start, qlen,
+                                         bias, tblock, ctx)
+        matches.extend(round_matches)
+
+        if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs
+                and i0 < n and new_hits_ev):
+            break
+
+    _cull_matches(matches, cfg)
+    return matches
+
+
+def _ranking_terminate(new_hits, last_tail, tail, cfg, mat) -> bool:
+    if new_hits:
+        return False
+    return (last_tail == 0
+            or (tail / last_tail) <= cfg.ranking_score_drop_factor
+            or float(mat.bitscore(tail)) < cfg.ranking_cutoff_bitscore)
+
+
+def _output_range(sorted_targets, cfg) -> int:
+    """reference culling.cpp:95-114 (evalue branch)."""
+    nt = len(sorted_targets)
+    if nt == 0:
+        return 0
+    if sorted_targets[0][1].evalue == float("inf"):
+        return 0
+    i = min(cfg.max_target_seqs, nt)
+    while i > 1 and sorted_targets[i - 1][1].evalue == float("inf"):
+        i -= 1
+    return i
+
+
+def _append_hits(targets: list, new: list, cfg, mat) -> bool:
+    """reference culling.cpp:116-139 (toppercent blank branch)."""
+    if not new:
+        return False
+    new_hits = len(targets) < cfg.max_target_seqs
+    append = new_hits
+    targets.sort(key=lambda th: (th[1].evalue, -th[1].score, th[0]))
+    if not append:
+        del targets[_output_range(targets, cfg):]
+    min_evalue = min(h.evalue for _, h in new)
+    rng = _output_range(targets, cfg)
+    if not targets or (rng > 0 and min_evalue <= targets[rng - 1][1].evalue):
+        append = True
+        new_hits = True
+    if append:
+        targets.extend(new)
+    return new_hits
+
+
+def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx):
+    cfg = ctx.cfg
+    mat = cfg.matrix
+    out = []
+    use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+    q = query_letters[q_start : q_start + qlen]
+    for block_id, first_hsp in aligned:
+        tlen = int(tblock.lengths[block_id])
+        t_start = int(tblock.starts[block_id])
+        tgt = tblock.letters[t_start : t_start + tlen]
+        r = banded_swipe_np(q, tgt, first_hsp.d_begin, first_hsp.d_end,
+                            mat.matrix32, use_bias, mat.gap_open, mat.gap_extend,
+                            traceback=True)
+        ev = float(mat.evalue(r.score, qlen, tlen))
+        if not (r.score > 0 and mat.report_cutoff(r.score, ev, cfg.max_evalue,
+                                                  cfg.min_bit_score)):
+            continue
+        h = Hsp(score=r.score, evalue=ev, bit_score=float(mat.bitscore(r.score)),
+                d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
+                query_range=r.query_range, subject_range=r.subject_range,
+                identities=r.identities, mismatches=r.mismatches,
+                positives=r.positives, gap_openings=r.gap_openings,
+                gaps=r.gaps, length=r.length, transcript=r.transcript,
+                backtraced=True)
+        m = Match(target_block_id=block_id, hsp=[h])
+        m.set_filter()
+        out.append(m)
+    _cull_matches(out, cfg)
+    return out
+
+
+def _cull_matches(matches: list, cfg):
+    matches.sort(key=lambda m: (m.filter_evalue, -m.filter_score, m.target_block_id))
+    nt = len(matches)
+    if nt == 0:
+        return
+    if matches[0].filter_evalue == float("inf"):
+        del matches[:]
+        return
+    i = min(cfg.max_target_seqs, nt)
+    while i > 1 and matches[i - 1].filter_evalue == float("inf"):
+        i -= 1
+    del matches[i:]

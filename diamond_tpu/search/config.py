@@ -1,0 +1,120 @@
+"""Search configuration and sensitivity traits.
+
+Reference: src/search/setup.cpp:40-68 (traits table), src/basic/config.cpp
+(option defaults), align/extend.cpp:62-75 (extension modes).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from diamond_tpu.seed import reduction as red
+from diamond_tpu.seed.shapes import SHAPE_CODES, ShapeConfig
+from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+
+@dataclass
+class SensitivityTraits:
+    sensitivity: str
+    motif_masking: bool
+    freq_sd: float
+    min_identities: int
+    ungapped_evalue: float
+    ungapped_evalue_short: float
+    gapped_filter_evalue: float
+    index_chunks: int
+    query_bins: int
+    seed_cut: float
+    reduction: object
+    ext_mode: str  # banded-fast / banded-slow
+
+
+# ordered sensitivity ranks (reference basic/config.h:29)
+SENS_RANK = {
+    "faster": -1, "fast": 0, "default": 1, "linclust-40": 2, "shapes-6x10": 3,
+    "shapes-30x10": 4, "linclust-20": 5, "mid-sensitive": 6, "shape-mask": 7,
+    "sensitive": 8, "more-sensitive": 9, "very-sensitive": 10, "ultra-sensitive": 11,
+}
+
+TRAITS = {
+    "faster": SensitivityTraits("faster", True, 50.0, 11, 0, 0, 0, 4, 16, 0.9, red.MURPHY10, "banded-fast"),
+    "fast": SensitivityTraits("fast", True, 50.0, 11, 0, 0, 0, 4, 16, 0.9, red.MURPHY10, "banded-fast"),
+    "default": SensitivityTraits("default", True, 50.0, 11, 10000, 10000, 0, 4, 16, 0.8, red.MURPHY10, "banded-fast"),
+    "mid-sensitive": SensitivityTraits("mid-sensitive", True, 20.0, 11, 10000, 10000, 0, 4, 16, 1.0, red.MURPHY10, "banded-fast"),
+    "sensitive": SensitivityTraits("sensitive", True, 20.0, 11, 10000, 10000, 1, 4, 16, 1.0, red.MURPHY10, "banded-fast"),
+    "more-sensitive": SensitivityTraits("more-sensitive", False, 200.0, 11, 10000, 10000, 1, 4, 16, 1.0, red.MURPHY10, "banded-slow"),
+    "very-sensitive": SensitivityTraits("very-sensitive", False, 15.0, 9, 100000, 30000, 1, 1, 16, 1.0, red.MURPHY10, "banded-slow"),
+    "ultra-sensitive": SensitivityTraits("ultra-sensitive", False, 20.0, 9, 300000, 30000, 1, 1, 64, 1.0, red.MURPHY10, "banded-slow"),
+}
+
+
+def seedp_bits(reduction_size: int, weight: int, threads: int, index_chunks: int) -> int:
+    """reference search/setup.cpp:306-309."""
+    space = reduction_size ** weight - 1
+    return max(space.bit_length() - 32, (threads * 4 * index_chunks - 1).bit_length(), 8)
+
+
+@dataclass
+class SearchConfig:
+    matrix: ScoreMatrix
+    sensitivity: str = "default"
+    comp_based_stats: int = 1
+    max_evalue: float = 0.001
+    max_target_seqs: int = 25
+    max_hsps: int = 1
+    min_bit_score: float = 0.0
+    toppercent: float | None = None
+    threads: int = 1
+    index_chunks: int | None = None
+    freq_masking: bool = False
+    masking: str = "tantan"
+    motif_masking: bool | None = None
+    ungapped_xdrop_bits: float = 12.3
+    inner_culling_overlap: float = 50.0
+    ranking_score_drop_factor: float = 0.95
+    ranking_cutoff_bitscore: float = 25.0
+    min_id: float = 0.0
+    approx_min_id: float = 0.0
+    query_cover: float = 0.0
+    subject_cover: float = 0.0
+    self_search: bool = False
+    # derived
+    traits: SensitivityTraits = None
+    shapes: ShapeConfig = None
+    reduction: object = None
+    seed_complexity_cut: float = 0.0
+    hamming_filter_id: int = 11
+    seedp_bits_: int = 8
+    xdrop_raw: int = 0
+
+    def __post_init__(self):
+        self.traits = TRAITS[self.sensitivity]
+        self.shapes = ShapeConfig(SHAPE_CODES[self.sensitivity])
+        self.reduction = self.traits.reduction
+        self.seed_complexity_cut = (self.traits.seed_cut * np.log(2.0)
+                                    * self.shapes[0].weight)
+        self.hamming_filter_id = self.traits.min_identities
+        if self.index_chunks is None:
+            self.index_chunks = self.traits.index_chunks
+        self.seedp_bits_ = seedp_bits(self.reduction.size, self.shapes[0].weight,
+                                      self.threads, self.index_chunks)
+        self.xdrop_raw = self.matrix.rawscore(self.ungapped_xdrop_bits)
+        if self.motif_masking is None:
+            self.motif_masking = self.traits.motif_masking
+
+    @property
+    def ext_mode(self) -> str:
+        return self.traits.ext_mode
+
+    @property
+    def seedp_count(self) -> int:
+        return 1 << self.seedp_bits_
+
+    @property
+    def seedp_mask(self) -> int:
+        return self.seedp_count - 1
+
+    @property
+    def gapped_filter_evalue(self) -> float:
+        return self.traits.gapped_filter_evalue

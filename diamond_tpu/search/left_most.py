@@ -72,12 +72,11 @@ def reduced_match(q: np.ndarray, s: np.ndarray, length: int, reduction) -> int:
     return bits
 
 
-def seed_mask_bits(q: np.ndarray, length: int) -> int:
-    """Bit i set iff query letter i carries the seed-mask bit (bit 7)."""
+def seed_mask_bits(mask: np.ndarray, length: int) -> int:
+    """Bit i set iff query position i carries the seed-mask flag."""
     bits = 0
-    for i in range(length):
-        if int(q[i]) < 0:  # int8 sign bit == SEED_MASK
-            bits |= 1 << i
+    for i in np.nonzero(mask[:length])[0]:
+        bits |= 1 << int(i)
     return bits
 
 
@@ -102,6 +101,7 @@ def _clip(letters: np.ndarray, start: int, length: int, anchor: int):
 def left_most_filter(
     q_letters: np.ndarray,
     s_letters: np.ndarray,
+    q_seed_mask: np.ndarray,  # bool per query global position (SEED_MASK bit)
     q_window_start: int,    # global pos of clipped query window start (+overhang)
     s_window_start: int,    # corresponding global subject pos
     q_window_len: int,
@@ -137,7 +137,7 @@ def left_most_filter(
     q = q_letters[qs : qs + window]
     s = s_letters[ss : ss + window]
     match_mask = reduced_match(q, s, window, reduction)
-    query_seed_mask = ~seed_mask_bits(q, window)
+    query_seed_mask = ~seed_mask_bits(q_seed_mask[qs : qs + window], window)
 
     len_left = window_left + seed_len - 1
     bits_left = (1 << len_left) - 1

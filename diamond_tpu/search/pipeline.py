@@ -1,0 +1,250 @@
+"""blastp search pipeline driver.
+
+Orchestrates: block masking -> per-shape/per-index-chunk seeding -> join ->
+complexity masking -> stage 1/2 filters -> left-most dedup -> per-query
+extension -> tabular output rows.
+
+Mirrors the reference control flow (reference src/run/double_indexed.cpp:
+run_query_chunk/run_ref_chunk, src/search/stage0.cpp:101-217,
+stage2.h:74-154) with vectorized stages instead of thread pools: every stage
+consumes flat candidate arrays, the layout that maps to TPU kernels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from diamond_tpu.align.extend import extend_query
+from diamond_tpu.constants.alphabet import MASK_LETTER
+from diamond_tpu.data.block import Block
+from diamond_tpu.masking.motifs import find_motif_ranges
+from diamond_tpu.masking.tantan import Tantan
+from diamond_tpu.search import stages
+from diamond_tpu.search.config import SearchConfig
+from diamond_tpu.search.left_most import PatternMatcher, left_most_filter
+from diamond_tpu.stats import cbs as cbs_mod
+from diamond_tpu.stats.cbs import hauser_correction
+
+
+@dataclass
+class PipelineContext:
+    cfg: SearchConfig
+    query_block: Block
+    target_block: Block
+    _bias_cache: dict = field(default_factory=dict)
+
+    def query_bias(self, query_id: int):
+        if query_id not in self._bias_cache:
+            seq = self.query_block.seq(query_id)
+            _, i8 = hauser_correction(seq, self.cfg.matrix.matrix32,
+                                      self.cfg.matrix.background_scores)
+            self._bias_cache[query_id] = i8
+        return self._bias_cache[query_id]
+
+
+def mask_block(block: Block, masker: Tantan):
+    """Hard tantan masking in place (reference double_indexed.cpp:122-127,737-741)."""
+    for i in range(len(block)):
+        s = int(block.starts[i])
+        L = int(block.lengths[i])
+        seq = block.letters[s : s + L]
+        prob = masker.repeat_prob(seq)
+        block.letters[s : s + L] = np.where(prob >= masker.p_mask, MASK_LETTER, seq)
+
+
+def motif_mask_ranges(block: Block):
+    """Global-position motif mask ranges per sequence."""
+    out = []
+    for i in range(len(block)):
+        s = int(block.starts[i])
+        L = int(block.lengths[i])
+        for b, e in find_motif_ranges(block.letters[s : s + L]):
+            out.append((s + b, s + e))
+    return out
+
+
+def apply_ranges(letters: np.ndarray, ranges, value=MASK_LETTER):
+    saved = []
+    for b, e in ranges:
+        saved.append((b, letters[b:e].copy()))
+        letters[b:e] = value
+    return saved
+
+
+def restore_ranges(letters: np.ndarray, saved):
+    for b, orig in saved:
+        letters[b : b + len(orig)] = orig
+
+
+class Pipeline:
+    def __init__(self, cfg: SearchConfig, query_block: Block, target_block: Block):
+        self.cfg = cfg
+        self.q = query_block
+        self.t = target_block
+        self.ctx = PipelineContext(cfg, query_block, target_block)
+        cfg.matrix.set_db_letters(target_block.n_letters)
+        self.same_block = query_block is target_block
+
+    def search(self):
+        """Run the full search; returns {query_id: [Match, ...]}."""
+        cfg = self.cfg
+        if cfg.masking == "tantan":
+            masker = Tantan(cfg.matrix.matrix32)
+            mask_block(self.t, masker)
+            if not self.same_block:
+                mask_block(self.q, masker)
+
+        # motif soft-mask ranges computed once on the masked block
+        q_motif = motif_mask_ranges(self.q) if cfg.motif_masking else []
+        t_motif = (q_motif if self.same_block else
+                   (motif_mask_ranges(self.t) if cfg.motif_masking else []))
+
+        # persistent per-position query seed mask (SEED_MASK semantics)
+        self.query_seed_mask = np.zeros(len(self.q.letters), dtype=bool)
+
+        hits = []  # (query_id, subject_gpos, seed_offset, score)
+        n_parts = cfg.seedp_count
+        chunk_bounds = _partition(n_parts, cfg.index_chunks)
+
+        for sid in range(len(cfg.shapes)):
+            shape = cfg.shapes[sid]
+            # soft-mask motif regions for enumeration
+            saved_q = apply_ranges(self.q.letters, q_motif)
+            saved_t = None if self.same_block else apply_ranges(self.t.letters, t_motif)
+            q_keys, q_pos = stages.enumerate_seeds(self.q, shape, cfg.reduction)
+            if self.same_block:
+                t_keys, t_pos = q_keys, q_pos
+            else:
+                t_keys, t_pos = stages.enumerate_seeds(self.t, shape, cfg.reduction)
+            restore_ranges(self.q.letters, saved_q)
+            if saved_t is not None:
+                restore_ranges(self.t.letters, saved_t)
+
+            # drop query seeds at SEED_MASKed positions
+            keep = ~self.query_seed_mask[q_pos]
+            q_keys_f, q_pos_f = q_keys[keep], q_pos[keep]
+
+            # extend query seed mask by motif windows (reference
+            # MaskingTable::remove add_bit_mask, masking.cpp:86-97)
+            for b, e in q_motif:
+                self.query_seed_mask[max(b - shape.length + 1, 0) : e] = True
+
+            parts = (q_keys_f & np.uint64(cfg.seedp_mask)).astype(np.int64)
+            t_parts = (t_keys & np.uint64(cfg.seedp_mask)).astype(np.int64)
+
+            for chunk in range(cfg.index_chunks):
+                lo, hi = chunk_bounds[chunk]
+                qi = (parts >= lo) & (parts < hi)
+                ti = (t_parts >= lo) & (t_parts < hi)
+                join = stages.seed_join(q_keys_f[qi], q_pos_f[qi],
+                                        t_keys[ti], t_pos[ti])
+                join, masked_pos = self._complexity_mask(join, shape)
+                if len(masked_pos):
+                    self.query_seed_mask[masked_pos] = True
+                hits.extend(self._stage12(join, shape, sid, chunk, lo, hi))
+
+        return self._extend_all(hits)
+
+    # ------------------------------------------------------------------
+    def _complexity_mask(self, join, shape):
+        cfg = self.cfg
+        kept = stages.complexity_mask(join, shape, cfg.reduction,
+                                      cfg.seed_complexity_cut)
+        if len(kept.keys) == len(join.keys):
+            return kept, np.zeros(0, dtype=np.int64)
+        # positions of erased groups (query side) get seed-masked
+        erased = np.setdiff1d(join.keys, kept.keys, assume_unique=True)
+        idx = np.searchsorted(join.keys, erased)
+        masked = []
+        for g in idx:
+            masked.append(join.q_pos[join.q_start[g] : join.q_start[g + 1]])
+        return kept, (np.concatenate(masked) if masked else np.zeros(0, np.int64))
+
+    def _stage12(self, join, shape, sid, chunk, part_lo, part_hi):
+        cfg = self.cfg
+        qp, sp = stages.expand_pairs(join)
+        if len(qp) == 0:
+            return []
+        keep1 = stages.stage1_filter(self.q.letters, self.t.letters, qp, sp,
+                                     cfg.hamming_filter_id)
+        qp, sp = qp[keep1], sp[keep1]
+        if len(qp) == 0:
+            return []
+
+        qidx, qoff = self.q.global_to_local(qp)
+        qlens = self.q.lengths[qidx]
+        cutoffs = self._cutoff_table(qlens)
+        scores = stages.stage2_scores(self.q.letters, self.t.letters, qp, sp,
+                                      cfg.matrix.matrix32)
+        keep2 = scores > cutoffs
+        if cfg.self_search:
+            sidx, _ = self.t.global_to_local(sp)
+            keep2 &= ~(sidx == qidx)
+        qp, sp, scores = qp[keep2], sp[keep2], scores[keep2]
+        qidx, qoff = qidx[keep2], qoff[keep2]
+
+        # left-most dedup filter
+        chunked = cfg.index_chunks > 1
+        current = PatternMatcher(cfg.shapes.patterns(0, sid + 1))
+        previous = (PatternMatcher(cfg.shapes.patterns(0, sid))
+                    if sid > 0 else PatternMatcher([]))
+        out = []
+        for k in range(len(qp)):
+            if self._left_most(qp[k], sp[k], int(qoff[k]), int(qlens[k]),
+                               int(cutoffs[k]), shape, sid, chunked,
+                               current, previous, part_lo, part_hi):
+                out.append((int(qidx[k]), int(sp[k]), int(qoff[k]), int(scores[k])))
+        return out
+
+    def _left_most(self, qp, sp, seed_offset, qlen, cutoff, shape, sid, chunked,
+                   current, previous, part_lo, part_hi):
+        cfg = self.cfg
+        window = 48
+        left, right = stages.clip_window(self.q.letters, np.array([qp]), window)
+        window_left = int(left[0])
+        interval_mod = seed_offset % 32  # config.left_most_interval
+        overhang = max(window_left - interval_mod, 0)
+        q_win_start = qp - window_left + overhang
+        s_win_start = sp - window_left + overhang
+        q_win_len = window_left + int(right[0]) - overhang
+        seed_off_in_window = window_left - overhang
+        keep = left_most_filter(
+            self.q.letters, self.t.letters, self.query_seed_mask,
+            int(q_win_start), int(s_win_start), int(q_win_len),
+            seed_off_in_window, shape.length,
+            current, previous, sid == 0, shape, cfg.reduction,
+            chunked, part_lo, part_hi, cfg.seedp_mask,
+            cfg.hamming_filter_id,
+        )
+        return keep
+
+    def _cutoff_table(self, qlens):
+        cfg = self.cfg
+        if not hasattr(self, "_cutoffs"):
+            self._cutoffs = stages.CutoffTable(cfg.matrix, cfg.traits.ungapped_evalue) \
+                if cfg.traits.ungapped_evalue > 0 else None
+        if self._cutoffs is None:
+            return np.zeros(len(qlens), dtype=np.int32)
+        return self._cutoffs(qlens)
+
+    # ------------------------------------------------------------------
+    def _extend_all(self, hits):
+        by_query: dict[int, list] = {}
+        for qid, sgpos, soff, score in hits:
+            by_query.setdefault(qid, []).append((sgpos, soff, score))
+        results = {}
+        for qid in sorted(by_query):
+            results[qid] = extend_query(qid, by_query[qid], self.ctx)
+        return results
+
+
+def _partition(total: int, parts: int):
+    """reference util Partition: ceil-divided chunks."""
+    size = (total + parts - 1) // parts
+    out = []
+    for i in range(parts):
+        lo = min(i * size, total)
+        hi = min(lo + size, total)
+        out.append((lo, hi))
+    return out
