@@ -57,9 +57,18 @@ class Block:
         s = self.starts[i]
         return self.letters[s : s + self.lengths[i]]
 
+    _ID_DELIMITERS = " \a\b\f\n\r\t\v\x01"
+
     def seq_id(self, i: int) -> str:
-        """First token of the header (qseqid/sseqid output field)."""
-        return self.ids[i].split()[0] if self.ids[i] else ""
+        """First token of the header, cut at the reference's id delimiter set
+        (reference util/sequence/sequence.cpp:37)."""
+        title = self.ids[i]
+        cut = len(title)
+        for d in self._ID_DELIMITERS:
+            p = title.find(d)
+            if p != -1:
+                cut = min(cut, p)
+        return title[:cut]
 
     def global_to_local(self, pos: np.ndarray):
         """Map concatenated offsets -> (seq_index, offset_in_seq).

@@ -1,0 +1,46 @@
+"""End-to-end golden regression: byte-identical tabular output vs the
+reference's committed test expectations (reference src/test/*.out,
+CMakeLists.txt:535-572)."""
+import os
+
+import pytest
+
+from diamond_tpu.data.block import Block
+from diamond_tpu.data.fasta import read_fasta
+from diamond_tpu.output.tabular import format_results
+from diamond_tpu.search.config import SearchConfig
+from diamond_tpu.search.pipeline import Pipeline
+from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+TD = "/root/reference/src/test"
+
+
+def run_blastp(query_path, db_path, sensitivity="default", **cfg_kw):
+    recs = list(read_fasta(query_path))
+    qb = Block.from_sequences([r[1].upper() for r in recs], [r[0] for r in recs])
+    recs = list(read_fasta(db_path))
+    tb = Block.from_sequences([r[1].upper() for r in recs], [r[0] for r in recs])
+    cfg = SearchConfig(matrix=ScoreMatrix(cfg_kw.pop("matrix", "BLOSUM62")),
+                       sensitivity=sensitivity, **cfg_kw)
+    pipe = Pipeline(cfg, qb, tb)
+    res = pipe.search()
+    return list(format_results(res, qb, tb))
+
+
+def golden(name):
+    with open(os.path.join(TD, name)) as f:
+        return f.read().splitlines()
+
+
+@pytest.mark.slow
+def test_blastp_default_golden():
+    """diamond-test-blastp-default: blastp -q data.faa -d data.faa -p1."""
+    lines = run_blastp(f"{TD}/data.faa", f"{TD}/data.faa")
+    assert lines == golden("diamond-test-blastp-default.out")
+
+
+@pytest.mark.slow
+def test_blastp_1_vs_2():
+    """blastp: blastp -q 1.faa -d 2.faa -p1 (single query vs single target)."""
+    lines = run_blastp(f"{TD}/1.faa", f"{TD}/2.faa")
+    assert lines == golden("blastp.out")
