@@ -1,25 +1,28 @@
 """Batched banded Smith-Waterman for TPU (JAX/XLA).
 
 TPU-native redesign of the reference SWIPE family (reference
-src/dp/swipe/banded_swipe.h, full_swipe.h): instead of 16/32 SIMD channels
-with a sequential in-column row loop, every column update is fully
-vectorized over [batch, band] using a lazy vertical-gap evaluation:
+src/dp/swipe/banded_swipe.h, full_swipe.h).  Two key transformations make
+the banded DP map onto the MXU/VPU instead of the reference's SIMD lanes:
 
-  F(r) = max(0, max_{k<r}(H0(k) - gap_open_total + (k - (r-1)) * gap_extend))
+1. **Uniform band via target shifting.**  Each target k with band
+   [d0_k, d1_k) is prepended with s_k = C - d0_k padding letters
+   (C = max(0, max_k d0_k)), so every cell's query index becomes
+   i = j + r - C, *shared across the batch*.  The per-column substitution
+   scores for all [batch, band] cells then factor as a one-hot matmul
 
-which is an (associative) prefix-max of g(k) = H0(k) + k*ge — XLA lowers it
-to a logarithmic scan on the VPU.  Opening a vertical gap from a cell whose
-value itself came from a vertical gap is always dominated by extending
-(gap_open_total > gap_extend), so H0 (the cell value before the vertical-gap
-max) is sufficient for the scan — scores are exactly the reference's.
+       scores_j = onehot(t_letters[:, j]) @ profile[j-C : j-C+band].T
 
-The column loop is a lax.scan over subject positions with carried
-[batch, band] state; batch = bucketed targets (channels), band padded to the
-lane width.  Scores are exact int32.
+   i.e. [B,32] x [32,band] on the MXU — no gathers in the inner loop.
 
-The same column step powers banded and full-matrix (SWIPE) alignment: full
-matrix is the band [-(tlen-1), qlen) rotated so the "band" axis is the whole
-query (see full_swipe_scores).
+2. **Lazy vertical gap.**  The in-column sequential dependency
+   F(r) = max(F(r-1)-ge, H(r-1)-go, 0) is replaced by the closed form
+   F(r) = max(0, cummax_{k<r}(H0(k) - go + k*ge) - (r-1)*ge), an associative
+   prefix-max (log-depth on the VPU).  Opening from a cell whose value came
+   from a vertical gap is dominated by extending (go > ge), so H0 (the cell
+   value before the vertical max) suffices and scores are exactly the
+   reference's.
+
+Scores are exact int32; the column loop is a lax.scan carrying [B, band].
 """
 from __future__ import annotations
 
@@ -29,87 +32,84 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.int32(-(2 ** 30))
+NEG = -(2 ** 20)  # large negative, safe from int32 overflow in adds
 
 
-@partial(jax.jit, static_argnames=("gap_open_total", "gap_extend", "band", "qlen_pad"))
-def banded_swipe_scores(qlen, targets_idx, tlens, d_begin, band_offset,
-                        profile, gap_open_total, gap_extend, band, qlen_pad):
-    """Score-only banded SW over a batch of targets.
+@partial(jax.jit, static_argnames=("gap_open_total", "gap_extend", "band"))
+def banded_swipe_uniform(targets_1h, band_mask, profile_pad,
+                         gap_open_total: int, gap_extend: int, band: int):
+    """Score-only banded SW with the uniform-band formulation.
 
     Args:
-      qlen: scalar int32 true query length.
-      targets_idx: [B, T] int32 target letters (&31), padded with 31.
-      tlens: [B] int32 target lengths.
-      d_begin: [B] int32 band start diagonal per target (band = d_end-d_begin
-        shared; targets with narrower true bands must be pre-shifted/masked
-        by the caller via d_begin and band padding).
-      profile: [qlen_pad, 32] int32 substitution scores (+bias) per query
-        position, i.e. matrix[q[i]] + bias[i], with padding rows = NEG.
-      gap_open_total / gap_extend: ints.
-      band: static band width.
-      qlen_pad: static padded query length.
+      targets_1h: [T, B, 32] float32 one-hot target letters (shifted, padded
+        with zero rows = all-pad).
+      band_mask: [B, band] bool; False rows (above the target's true band
+        width) are masked to the zero score (reference STRICT_BAND).
+      profile_pad: [T + band, 32] int32 query profile rows such that column j
+        reads rows [j, j+band); out-of-query rows = NEG.
+      gap_open_total/gap_extend/band: static ints.
 
-    Returns:
-      (best [B], max_col [B], max_row [B]) — max_row is the query position
-      of the best cell (last band row at the best column, first best column),
-      matching the reference VectorRowCounter semantics.
+    Returns (best [B], max_col [B], max_rowband [B]) in shifted coordinates.
     """
-    B, T = targets_idx.shape
+    T, B, _ = targets_1h.shape
     go = jnp.int32(gap_open_total)
     ge = jnp.int32(gap_extend)
     r_ar = jnp.arange(band, dtype=jnp.int32)
+    r_ge = r_ar * ge
 
     def col_step(carry, inp):
         H, E, best, max_col, max_row, j = carry
-        t_letter, = inp
-        # query index per band row: i = j + d_begin + r
-        i_idx = j + d_begin[:, None] + r_ar[None, :]            # [B, band]
-        valid = ((i_idx >= 0) & (i_idx < qlen) & (j < tlens)[:, None]
-                 & (r_ar[None, :] >= band_offset[:, None]))  # STRICT_BAND mask
-        i_clip = jnp.clip(i_idx, 0, qlen_pad - 1)
-        scores = profile[i_clip, t_letter[:, None]]             # [B, band]
-        scores = jnp.where(valid, scores, NEG)
+        t1h, prof_slice = inp  # [B, 32], [band, 32]
+        scores = jax.lax.dot_general(
+            t1h, prof_slice.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)  # [B, band]
+        scores = jnp.where(band_mask, scores, NEG)
 
         cur0 = jnp.maximum(jnp.maximum(H + scores, E), 0)
-        cur0 = jnp.where(valid, cur0, 0)
-        # lazy vertical gap: F(r) = max(0, cummax_{k<r}(cur0(k)-go+k*ge) - (r-1)*ge)
-        g = cur0 - go + r_ar[None, :] * ge
+        g = cur0 - go + r_ge[None, :]
         gmax = jax.lax.associative_scan(jnp.maximum, g, axis=1)
-        gmax_excl = jnp.concatenate([jnp.full((B, 1), NEG), gmax[:, :-1]], axis=1)
-        F = jnp.maximum(gmax_excl - (r_ar[None, :] - 1) * ge, 0)
-        F = jnp.where(valid, F, 0)
+        F = jnp.maximum(gmax - r_ge[None, :], 0)          # F at row r+1
+        F = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), F[:, :-1]], axis=1)
         Hn = jnp.maximum(cur0, F)
 
         col_best = jnp.max(Hn, axis=1)
-        # last row equal to the column max (VectorRowCounter)
         eq = Hn == col_best[:, None]
         col_row = (band - 1) - jnp.argmax(eq[:, ::-1], axis=1)
         upd = col_best > best
         best = jnp.where(upd, col_best, best)
         max_col = jnp.where(upd, j, max_col)
-        max_row = jnp.where(upd, j + d_begin + col_row, max_row)
+        max_row = jnp.where(upd, col_row, max_row)
 
         E_out = jnp.maximum(jnp.maximum(E - ge, Hn - go), 0)
-        E_out = jnp.where(valid, E_out, 0)
-        # shift for next column: E enters at row r from old row r+1; H diag stays
         E_next = jnp.concatenate([E_out[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
         return (Hn, E_next, best, max_col, max_row, j + 1), None
+
+    # profile slices per column: [T, band, 32] strided windows
+    idx = jnp.arange(T)[:, None] + jnp.arange(band)[None, :]
+    prof_slices = profile_pad[idx]  # [T, band, 32]
 
     H0 = jnp.zeros((B, band), jnp.int32)
     E0 = jnp.zeros((B, band), jnp.int32)
     init = (H0, E0, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
             jnp.zeros(B, jnp.int32), jnp.int32(0))
     (H, E, best, max_col, max_row, _), _ = jax.lax.scan(
-        col_step, init, (targets_idx.T,))
+        col_step, init, (targets_1h, prof_slices))
     return best, max_col, max_row
+
+
+def _lazy_F_check():
+    """F(r) defined over rows 0..band-1: F(0) = 0;
+    F(r) = max(0, max_{k<r}(cur0(k) - go - (r-1-k) ge)).
+    In the scan above: g(k) = cur0(k) - go + k*ge; gmax(r) = cummax up to r;
+    F_at(r+1) = max(gmax(r) - r*ge, 0) -> shift right by one."""
 
 
 def make_profile(query: np.ndarray, bias, matrix32: np.ndarray, qlen_pad: int):
     """[qlen_pad, 32] substitution profile with bias folded in."""
     q = np.asarray(query).astype(np.int64) & 31
     qlen = len(q)
-    prof = np.full((qlen_pad, 32), int(NEG), dtype=np.int32)
+    prof = np.full((qlen_pad, 32), NEG, dtype=np.int32)
     rows = matrix32[q].astype(np.int32)
     if bias is not None:
         rows = rows + np.asarray(bias, dtype=np.int32)[:, None]
@@ -124,6 +124,44 @@ def pad_pow2(x: int, lo: int = 16) -> int:
     return n
 
 
+def prepare_uniform_batch(query, bias, matrix32, jobs):
+    """Build device inputs for banded_swipe_uniform from per-target bands.
+
+    jobs: list of (target_letters, d_begin, d_end).
+    Returns (targets_1h, band_mask, profile_pad, band, meta) where meta maps
+    shifted coordinates back: true_subject_pos = j - shift_k,
+    true_query_pos = j - C + rowband."""
+    qlen = len(query)
+    band = pad_pow2(max(d1 - d0 for _, d0, d1 in jobs), 16)
+    # query index at (column j', row r) is i = j' - C + r for ALL targets:
+    # i = j_true + d0 + r and j' = j_true + s with s = d0 + C >= 0.
+    C = max(0, -min(d0 for _, d0, _ in jobs))
+    shifts = [d0 + C for _, d0, _ in jobs]
+    T = pad_pow2(max(len(t) + s for (t, _, _), s in zip(jobs, shifts)), 16)
+    B = len(jobs)
+    tgt = np.full((B, T), 31, dtype=np.int8)
+    band_mask = np.zeros((B, band), dtype=bool)
+    for k, ((t, d0, d1), s) in enumerate(zip(jobs, shifts)):
+        tgt[k, s : s + len(t)] = np.asarray(t, dtype=np.int8) & 31
+        band_mask[k, : d1 - d0] = True
+    onehot = np.zeros((T, B, 32), dtype=np.float32)
+    cols = np.arange(T)[:, None].repeat(B, 1)
+    onehot[cols, np.arange(B)[None, :].repeat(T, 0), tgt.T] = 1.0
+    # zero out pure padding columns' contribution? padding letter 31 ->
+    # profile column 31 = NEG, handled by profile.
+    profile_pad = np.full((T + band, 32), NEG, dtype=np.int32)
+    prof = make_profile(query, bias, matrix32, qlen)
+    # column j reads query rows [j - C, j - C + band)
+    lo = -C
+    for j_off in range(T + band):
+        qi = lo + j_off
+        if 0 <= qi < qlen:
+            profile_pad[j_off] = prof[qi]
+    meta = {"C": C, "shifts": shifts, "band": band}
+    return (jnp.asarray(onehot), jnp.asarray(band_mask),
+            jnp.asarray(profile_pad), band, meta)
+
+
 class SwipeBatcher:
     """Buckets (target, band) work items into padded device batches."""
 
@@ -134,31 +172,19 @@ class SwipeBatcher:
 
     def run(self, query, bias, jobs):
         """jobs: list of (target_letters, d_begin, d_end).
-        Returns list of (score, max_col, max_row)."""
+        Returns list of (score, max_col, max_row) in true coordinates."""
         if not jobs:
             return []
-        qlen = len(query)
-        qlen_pad = pad_pow2(qlen)
-        profile = jnp.asarray(make_profile(query, bias, self.matrix32, qlen_pad))
-        band = pad_pow2(max(d1 - d0 for _, d0, d1 in jobs), 16)
-        tmax = pad_pow2(max(len(t) for t, _, _ in jobs))
-        B = len(jobs)
-        tgt = np.full((B, tmax), 31, dtype=np.int32)
-        tlens = np.zeros(B, dtype=np.int32)
-        d_begin = np.zeros(B, dtype=np.int32)
-        band_offset = np.zeros(B, dtype=np.int32)
-        for k, (t, d0, d1) in enumerate(jobs):
-            tgt[k, : len(t)] = np.asarray(t, dtype=np.int32) & 31
-            tlens[k] = len(t)
-            # shared band width; rows below the target's true d_begin are
-            # masked out (reference STRICT_BAND, banded_swipe.h:212-224)
-            d_begin[k] = d1 - band
-            band_offset[k] = d0 - d_begin[k]
-        best, mc, mr = banded_swipe_scores(
-            jnp.int32(qlen), jnp.asarray(tgt), jnp.asarray(tlens),
-            jnp.asarray(d_begin), jnp.asarray(band_offset), profile,
-            self.go, self.ge, band, qlen_pad)
+        targets_1h, band_mask, profile_pad, band, meta = prepare_uniform_batch(
+            query, bias, self.matrix32, jobs)
+        best, mc, mr = banded_swipe_uniform(targets_1h, band_mask, profile_pad,
+                                            self.go, self.ge, band)
         best = np.asarray(best)
         mc = np.asarray(mc)
         mr = np.asarray(mr)
-        return [(int(best[k]), int(mc[k]), int(mr[k])) for k in range(len(jobs))]
+        out = []
+        for k in range(len(jobs)):
+            j_true = int(mc[k]) - meta["shifts"][k]
+            i_true = int(mc[k]) - meta["C"] + int(mr[k])
+            out.append((int(best[k]), j_true, i_true))
+        return out
