@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from diamond_tpu.align.chain import chain, xdrop_ungapped
-from diamond_tpu.ops.banded_swipe import banded_swipe_np
+from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np, banded_swipe_np
 from diamond_tpu.stats import cbs as cbs_mod
 
 MIN_CHUNK_SIZE = 128
@@ -234,7 +234,10 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
         while True:
             # --- extend chunk: ungapped + chaining + first-round DP ---
             chunk = order[i0:i1]
-            v = []
+            use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+            q = query_letters[q_start : q_start + qlen]
+            jobs = []       # (target_letters, d0, d1)
+            job_meta = []   # (tid, tlen)
             for t in chunk:
                 work = ungapped_stage(query_letters, q_start, bias, tblock,
                                       tids[t], groups[t], cfg)
@@ -243,24 +246,38 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
                 tlen = int(tblock.lengths[tids[t]])
                 t_start = int(tblock.starts[tids[t]])
                 tgt = tblock.letters[t_start : t_start + tlen]
-                q = query_letters[q_start : q_start + qlen]
-                best_hsp = None
-                use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
                 for d0, d1 in merged_bands(work, qlen, tlen, base_band):
-                    r = banded_swipe_np(q, tgt, d0, d1, mat.matrix32, use_bias,
-                                        mat.gap_open, mat.gap_extend)
-                    ev = float(mat.evalue(r.score, qlen, tlen))
-                    if r.score > 0 and mat.report_cutoff(r.score, ev, cfg.max_evalue,
-                                                         cfg.min_bit_score):
-                        h = Hsp(score=r.score, evalue=ev,
-                                bit_score=float(mat.bitscore(r.score)),
-                                d_begin=d0, d_end=d1,
-                                query_range=(0, r.max_row + 1),
-                                subject_range=(0, r.max_col + 1))
-                        if best_hsp is None or h.sort_key() < best_hsp.sort_key():
-                            best_hsp = h
-                if best_hsp is not None:
-                    v.append((tids[t], best_hsp))
+                    jobs.append((tgt, d0, d1))
+                    job_meta.append((tids[t], tlen))
+            v = []
+            if jobs:
+                res = banded_swipe_batch_np(q, use_bias, jobs, mat.matrix32,
+                                            mat.gap_open, mat.gap_extend)
+                scores = np.array([r[0] for r in res], dtype=np.int64)
+                tlens_v = np.array([mt[1] for mt in job_meta], dtype=np.int64)
+                evs = np.where(scores > 0,
+                               mat.evalue(np.maximum(scores, 1), qlen, tlens_v),
+                               np.inf)
+                best_by_tid: dict[int, Hsp] = {}
+                for k, ((tid, tlen), (score, max_col, max_row)) in enumerate(
+                        zip(job_meta, res)):
+                    ev = float(evs[k])
+                    if score > 0 and mat.report_cutoff(score, ev, cfg.max_evalue,
+                                                       cfg.min_bit_score):
+                        h = Hsp(score=score, evalue=ev,
+                                bit_score=float(mat.bitscore(score)),
+                                d_begin=jobs[k][1], d_end=jobs[k][2],
+                                query_range=(0, max_row + 1),
+                                subject_range=(0, max_col + 1))
+                        prev = best_by_tid.get(tid)
+                        if prev is None or h.sort_key() < prev.sort_key():
+                            best_by_tid[tid] = h
+                # preserve chunk target order
+                seen = set()
+                for tid, _ in job_meta:
+                    if tid in best_by_tid and tid not in seen:
+                        v.append((tid, best_by_tid[tid]))
+                        seen.add(tid)
             new_hits = len(v) > 0
             new_hits_ev = new_hits_ev or new_hits
             multi_chunk = (i1 - i0) < n
@@ -341,13 +358,26 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx):
     out = []
     use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
     q = query_letters[q_start : q_start + qlen]
+    jobs = []
     for block_id, first_hsp in aligned:
         tlen = int(tblock.lengths[block_id])
         t_start = int(tblock.starts[block_id])
-        tgt = tblock.letters[t_start : t_start + tlen]
-        r = banded_swipe_np(q, tgt, first_hsp.d_begin, first_hsp.d_end,
-                            mat.matrix32, use_bias, mat.gap_open, mat.gap_extend,
-                            traceback=True)
+        jobs.append((tblock.letters[t_start : t_start + tlen],
+                     first_hsp.d_begin, first_hsp.d_end))
+    try:
+        batch_res = banded_swipe_batch_np(q, use_bias, jobs, mat.matrix32,
+                                          mat.gap_open, mat.gap_extend,
+                                          traceback=True)
+    except RuntimeError:
+        batch_res = None  # rare spill-tie in shared-band masks; use oracle
+    for k, (block_id, first_hsp) in enumerate(aligned):
+        tlen = int(tblock.lengths[block_id])
+        if batch_res is not None:
+            r = batch_res[k]
+        else:
+            r = banded_swipe_np(q, jobs[k][0], first_hsp.d_begin, first_hsp.d_end,
+                                mat.matrix32, use_bias, mat.gap_open,
+                                mat.gap_extend, traceback=True)
         ev = float(mat.evalue(r.score, qlen, tlen))
         if not (r.score > 0 and mat.report_cutoff(r.score, ev, cfg.max_evalue,
                                                   cfg.min_bit_score)):

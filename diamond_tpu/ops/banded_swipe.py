@@ -80,62 +80,59 @@ def banded_swipe_np(query: np.ndarray, target: np.ndarray, d_begin: int, d_end: 
     Hnew = np.zeros(band, dtype=np.int64)
     Enew = np.zeros(band, dtype=np.int64)
 
+    r_ar = np.arange(band, dtype=np.int64)
+    r_ge = r_ar * ge
+    NEGB = -(10 ** 9)
+
     for j in range(tlen):
         i_lo = j + d_begin
         r_lo = max(0, -i_lo)
         r_hi = min(band, qlen - i_lo)
-        Hnew[:] = 0
-        Enew[:] = 0
         if r_lo >= r_hi:
             H[:] = 0
-            E[:] = 0
+            E[:band] = 0
             continue
-        F = 0
-        col_best = 0
-        col_row = 0
         tl = t[j]
-        scores = biased[i_lo + r_lo : i_lo + r_hi, tl]
-        for r in range(r_lo, r_hi):
-            diag = H[r]
-            e = E[r]
-            cur = diag + scores[r - r_lo]
-            if e > cur:
-                cur = e
-            if F > cur:
-                cur = F
-            if cur < 0:
-                cur = 0
-            if traceback:
-                gapv[j, r] = cur == F
-                gaph[j, r] = cur == e
-            if cur >= col_best:
-                col_best = cur
-                col_row = r
-            opn = cur - go
-            if opn < 0:
-                opn = 0
-            F -= ge
-            if F < 0:
-                F = 0
-            Hnew[r] = cur
-            # E entering (i, j+1) = max(E(i,j) - ge, H(i,j) - go, 0)
-            e_next = e - ge
-            if e_next < 0:
-                e_next = 0
-            if traceback:
-                openv[j, r] = opn >= F
-                openh[j, r] = opn >= e_next
-            if opn > F:
-                F = opn
-            Enew[r] = e_next if e_next > opn else opn
+        scores = np.full(band, NEGB, dtype=np.int64)
+        scores[r_lo:r_hi] = biased[i_lo + r_lo : i_lo + r_hi, tl]
+
+        Ecur = E[:band]
+        cur0 = np.maximum(np.maximum(H + scores, Ecur), 0)
+        cur0[:r_lo] = 0
+        cur0[r_hi:] = 0
+        # lazy vertical gap: F_used(r) = max(0, cummax_{k<r}(cur0(k)-go+k*ge) - (r-1)*ge)
+        g = cur0 - go + r_ge
+        gm = np.maximum.accumulate(g)
+        F_used = np.empty(band, dtype=np.int64)
+        F_used[0] = 0
+        np.maximum(gm[:-1] - r_ge[:-1], 0, out=F_used[1:])
+        F_used[:r_lo + 1] = 0  # F enters first valid row as 0
+        cur = np.maximum(cur0, F_used)
+        cur[:r_lo] = 0
+        cur[r_hi:] = 0
+
+        # column best: last row attaining the max (VectorRowCounter)
+        col_best = int(cur[r_lo:r_hi].max(initial=0))
         if col_best > best:
             best = col_best
             max_col = j
-            max_row_band = col_row
-        # re-index for next column: row r' at column j+1 has
-        #   diag pred = row r' of column j        -> H stays in place
-        #   horizontal pred = row r'+1 of column j -> shift E down by one
-        H[:] = Hnew
+            max_row_band = r_hi - 1 - int(cur[r_lo:r_hi][::-1].argmax())
+
+        opn = np.maximum(cur - go, 0)
+        F_ext = np.maximum(F_used - ge, 0)
+        e_next = np.maximum(Ecur - ge, 0)
+        if traceback:
+            gapv[j] = cur == F_used
+            gaph[j] = cur == Ecur
+            # openv(r) compares opn(r) with the extended vertical gap leaving r
+            openv[j] = opn >= F_ext
+            openh[j] = opn >= e_next
+        Enew = np.maximum(e_next, opn)
+        Enew[:r_lo] = 0
+        Enew[r_hi:] = 0
+        H[:] = cur
+        # re-index for next column: diag pred keeps its row; horizontal pred
+        # moves down one row
         E[:band - 1] = Enew[1:]
         E[band - 1 :] = 0
 
@@ -223,3 +220,114 @@ def _traceback(res, query, target, d_begin, d_end, matrix32, bias, go, ge,
     res.gap_openings = gap_openings
     res.gaps = gaps
     res.length = length
+
+
+def banded_swipe_batch_np(query, bias, jobs, matrix32, gap_open, gap_extend,
+                          traceback=False):
+    """Banded SW over a batch of (target, d_begin, d_end) jobs, vectorized
+    over the batch via the uniform-band shift (numpy twin of
+    ops/swipe_jax.banded_swipe_uniform; same exact semantics as
+    banded_swipe_np).  Score-only returns a list of (score, max_col,
+    max_row); with traceback=True returns a list of BandedResult with
+    transcripts."""
+    if not jobs:
+        return []
+    qlen = len(query)
+    q = np.asarray(query).astype(np.int64) & 31
+    b = np.zeros(qlen, dtype=np.int64) if bias is None else np.asarray(bias).astype(np.int64)
+    prof = matrix32[q].astype(np.int64) + b[:, None]  # [qlen, 32]
+
+    go = gap_open + gap_extend
+    ge = gap_extend
+    NEGB = -(10 ** 9)
+    band = max(d1 - d0 for _, d0, d1 in jobs)
+    C = max(0, -min(d0 for _, d0, _ in jobs))
+    shifts = [d0 + C for _, d0, _ in jobs]
+    T = max(len(t) + s for (t, _, _), s in zip(jobs, shifts))
+    B = len(jobs)
+    tgt = np.full((B, T), 31, dtype=np.int64)
+    band_len = np.zeros(B, dtype=np.int64)
+    for k, ((t, d0, d1), s) in enumerate(zip(jobs, shifts)):
+        tgt[k, s : s + len(t)] = np.asarray(t, dtype=np.int64) & 31
+        band_len[k] = d1 - d0
+
+    # profile rows per (column, band row): i = j - C + r
+    prof_pad = np.full((T + band, 32), NEGB, dtype=np.int64)
+    lo = -C
+    i0 = max(0, lo)
+    i1 = min(qlen, lo + T + band)
+    if i1 > i0:
+        prof_pad[i0 - lo : i1 - lo] = prof[i0:i1]
+
+    r_ar = np.arange(band, dtype=np.int64)
+    r_ge = r_ar * ge
+    row_valid = r_ar[None, :] < band_len[:, None]  # STRICT_BAND mask
+
+    H = np.zeros((B, band), dtype=np.int64)
+    E = np.zeros((B, band), dtype=np.int64)
+    best = np.zeros(B, dtype=np.int64)
+    max_col = np.zeros(B, dtype=np.int64)
+    max_row = np.zeros(B, dtype=np.int64)
+
+    if traceback:
+        gapv = np.zeros((T, B, band), dtype=bool)
+        gaph = np.zeros((T, B, band), dtype=bool)
+        openv = np.zeros((T, B, band), dtype=bool)
+        openh = np.zeros((T, B, band), dtype=bool)
+
+    for j in range(T):
+        scores = prof_pad[j + r_ar[None, :], tgt[:, j][:, None]]
+        scores = np.where(row_valid, scores, NEGB)
+        valid = scores > NEGB // 2  # in-band, in-query, in-target cells
+        cur0 = np.maximum(np.maximum(H + scores, E), 0)
+        g = cur0 - go + r_ge[None, :]
+        gm = np.maximum.accumulate(g, axis=1)
+        F = np.zeros((B, band), dtype=np.int64)
+        np.maximum(gm[:, :-1] - r_ge[None, :-1], 0, out=F[:, 1:])
+        # zero invalid cells so gap scores can't tunnel through out-of-band /
+        # out-of-query rows and re-enter the valid region (the reference
+        # never computes those cells)
+        Hn = np.where(valid, np.maximum(cur0, F), 0)
+        col_best = Hn.max(axis=1)
+        upd = col_best > best
+        if upd.any():
+            col_row = band - 1 - Hn[:, ::-1].argmax(axis=1)
+            best = np.where(upd, col_best, best)
+            max_col = np.where(upd, j, max_col)
+            max_row = np.where(upd, col_row, max_row)
+        E_out = np.maximum(np.maximum(E - ge, Hn - go), 0)
+        if traceback:
+            gapv[j] = Hn == F
+            gaph[j] = Hn == E
+            opn = np.maximum(Hn - go, 0)
+            openv[j] = opn >= np.maximum(F - ge, 0)
+            openh[j] = opn >= np.maximum(E - ge, 0)
+        H = Hn
+        E[:, : band - 1] = E_out[:, 1:]
+        E[:, band - 1] = 0
+
+    if not traceback:
+        out = []
+        for k in range(B):
+            j_true = int(max_col[k]) - shifts[k]
+            i_true = int(max_col[k]) - C + int(max_row[k])
+            out.append((int(best[k]), j_true, i_true))
+        return out
+
+    results = []
+    bias_arr = b
+    for k, ((t_let, d0, d1), s) in enumerate(zip(jobs, shifts)):
+        tlen = len(t_let)
+        res = BandedResult(score=int(best[k]),
+                           max_col=int(max_col[k]) - s,
+                           max_row=int(max_col[k]) - C + int(max_row[k]))
+        if res.score > 0:
+            # per-job mask views in true coordinates: row index r = i - j - d0
+            # equals the shared-band row index (see swipe_jax docstring)
+            view = slice(s, s + tlen)
+            _traceback(res, query, t_let, d0, d0 + band, matrix32, bias_arr,
+                       go, ge,
+                       gapv[view, k], gaph[view, k],
+                       openv[view, k], openh[view, k])
+        results.append(res)
+    return results

@@ -65,13 +65,16 @@ def banded_swipe_uniform(targets_1h, band_mask, profile_pad,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)  # [B, band]
         scores = jnp.where(band_mask, scores, NEG)
+        valid = scores > NEG // 2  # in-band, in-query, in-target cells
 
         cur0 = jnp.maximum(jnp.maximum(H + scores, E), 0)
         g = cur0 - go + r_ge[None, :]
         gmax = jax.lax.associative_scan(jnp.maximum, g, axis=1)
         F = jnp.maximum(gmax - r_ge[None, :], 0)          # F at row r+1
         F = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), F[:, :-1]], axis=1)
-        Hn = jnp.maximum(cur0, F)
+        # zero invalid cells so gap scores can't tunnel through out-of-band /
+        # out-of-query rows and re-enter the valid region
+        Hn = jnp.where(valid, jnp.maximum(cur0, F), 0)
 
         col_best = jnp.max(Hn, axis=1)
         eq = Hn == col_best[:, None]

@@ -23,6 +23,7 @@ from diamond_tpu.masking.tantan import Tantan
 from diamond_tpu.search import stages
 from diamond_tpu.search.config import SearchConfig
 from diamond_tpu.search.left_most import PatternMatcher, left_most_filter
+from diamond_tpu.search.left_most_batch import BatchPatternMatcher, left_most_filter_batch
 from diamond_tpu.stats import cbs as cbs_mod
 from diamond_tpu.stats.cbs import hauser_correction
 
@@ -184,18 +185,29 @@ class Pipeline:
         qp, sp, scores = qp[keep2], sp[keep2], scores[keep2]
         qidx, qoff = qidx[keep2], qoff[keep2]
 
-        # left-most dedup filter
+        # left-most dedup filter (vectorized)
         chunked = cfg.index_chunks > 1
-        current = PatternMatcher(cfg.shapes.patterns(0, sid + 1))
-        previous = (PatternMatcher(cfg.shapes.patterns(0, sid))
-                    if sid > 0 else PatternMatcher([]))
+        current = self._matcher(sid + 1)
+        previous = self._matcher(sid) if sid > 0 else self._matcher(0)
+        wl, wr = stages.clip_window(self.q.letters, qp, 48)
+        keep3 = left_most_filter_batch(
+            self.q.letters, self.t.letters, self.query_seed_mask,
+            cfg.reduction, qp, sp, qoff.astype(np.int64), wl, wr,
+            shape, sid, chunked, current, previous,
+            part_lo, part_hi, cfg.seedp_mask, cfg.hamming_filter_id)
         out = []
-        for k in range(len(qp)):
-            if self._left_most(qp[k], sp[k], int(qoff[k]), int(qlens[k]),
-                               int(cutoffs[k]), shape, sid, chunked,
-                               current, previous, part_lo, part_hi):
-                out.append((int(qidx[k]), int(sp[k]), int(qoff[k]), int(scores[k])))
+        for k in np.nonzero(keep3)[0]:
+            out.append((int(qidx[k]), int(sp[k]), int(qoff[k]), int(scores[k])))
         return out
+
+    def _matcher(self, end_shape: int):
+        key = ("pm", end_shape)
+        if not hasattr(self, "_pm_cache"):
+            self._pm_cache = {}
+        if key not in self._pm_cache:
+            self._pm_cache[key] = BatchPatternMatcher(
+                self.cfg.shapes.patterns(0, end_shape))
+        return self._pm_cache[key]
 
     def _left_most(self, qp, sp, seed_offset, qlen, cutoff, shape, sid, chunked,
                    current, previous, part_lo, part_hi):
