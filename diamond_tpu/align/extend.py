@@ -214,13 +214,21 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
     if n == 0:
         return []
 
-    chunk_size = ranking_chunk_size(n, tblock.n_letters, cfg.max_target_seqs)
+    chunk_size = ranking_chunk_size(n, tblock.n_letters, cfg.max_target_seqs,
+                                toppercent=cfg.toppercent)
     order = list(range(n))
     if chunk_size < n:
         order.sort(key=lambda t: (-tscores[t], t))  # TargetScore::operator<
 
     base_band = band(qlen, cfg.ext_mode)
     mat = cfg.matrix
+
+    gf = None
+    if cfg.gapped_filter_evalue > 0.0 and (not cfg.translated or qlen >= 85):
+        from diamond_tpu.align.gapped_filter import GappedFilter
+
+        gf_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+        gf = GappedFilter(cfg, query_letters[q_start : q_start + qlen], gf_bias)
 
     matches: list[Match] = []
     i0 = 0
@@ -238,6 +246,9 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
             q = query_letters[q_start : q_start + qlen]
             jobs = []       # (target_letters, d0, d1)
             job_meta = []   # (tid, tlen)
+            if gf is not None:
+                chunk = [t for t in chunk if gf.target_passes(
+                    groups[t], tblock.seq(tids[t]))]
             for t in chunk:
                 work = ungapped_stage(query_letters, q_start, bias, tblock,
                                       tids[t], groups[t], cfg)
@@ -296,7 +307,7 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
                 break
 
         # first-round culling
-        aligned.sort(key=lambda th: (th[1].evalue, -th[1].score, th[0]))
+        aligned.sort(key=_target_sort_key(cfg))
         aligned = aligned[: _output_range(aligned, cfg)]
 
         # --- second round: traceback DP (reference gapped_final.cpp) ---
@@ -320,33 +331,59 @@ def _ranking_terminate(new_hits, last_tail, tail, cfg, mat) -> bool:
             or float(mat.bitscore(tail)) < cfg.ranking_cutoff_bitscore)
 
 
+def _top_cutoff_score(top_score, toppercent):
+    """reference basic/config.h:453-455."""
+    return (1.0 - toppercent / 100.0) * top_score
+
+
 def _output_range(sorted_targets, cfg) -> int:
-    """reference culling.cpp:95-114 (evalue branch)."""
+    """reference culling.cpp:95-114."""
     nt = len(sorted_targets)
     if nt == 0:
         return 0
     if sorted_targets[0][1].evalue == float("inf"):
         return 0
+    if cfg.toppercent is not None:
+        mat = cfg.matrix
+        cutoff = max(_top_cutoff_score(
+            float(mat.bitscore(sorted_targets[0][1].score)), cfg.toppercent), 1.0)
+        i = 0
+        while i < nt and float(mat.bitscore(sorted_targets[i][1].score)) >= cutoff:
+            i += 1
+        return i
     i = min(cfg.max_target_seqs, nt)
     while i > 1 and sorted_targets[i - 1][1].evalue == float("inf"):
         i -= 1
     return i
 
 
+def _target_sort_key(cfg):
+    if cfg.toppercent is not None:
+        return lambda th: (-th[1].score, th[0])
+    return lambda th: (th[1].evalue, -th[1].score, th[0])
+
+
 def _append_hits(targets: list, new: list, cfg, mat) -> bool:
-    """reference culling.cpp:116-139 (toppercent blank branch)."""
+    """reference culling.cpp:116-139."""
     if not new:
         return False
-    new_hits = len(targets) < cfg.max_target_seqs
+    new_hits = cfg.toppercent is None and len(targets) < cfg.max_target_seqs
     append = new_hits
-    targets.sort(key=lambda th: (th[1].evalue, -th[1].score, th[0]))
+    targets.sort(key=_target_sort_key(cfg))
     if not append:
         del targets[_output_range(targets, cfg):]
-    min_evalue = min(h.evalue for _, h in new)
     rng = _output_range(targets, cfg)
-    if not targets or (rng > 0 and min_evalue <= targets[rng - 1][1].evalue):
-        append = True
-        new_hits = True
+    if not targets:
+        append = new_hits = True
+    elif cfg.toppercent is None:
+        min_evalue = min(h.evalue for _, h in new)
+        if rng > 0 and min_evalue <= targets[rng - 1][1].evalue:
+            append = new_hits = True
+    else:
+        max_score = max(h.score for _, h in new)
+        if rng > 0 and max_score >= _top_cutoff_score(
+                targets[rng - 1][1].score, cfg.toppercent):
+            append = new_hits = True
     if append:
         targets.extend(new)
     return new_hits
@@ -397,12 +434,25 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx):
 
 
 def _cull_matches(matches: list, cfg):
-    matches.sort(key=lambda m: (m.filter_evalue, -m.filter_score, m.target_block_id))
+    if cfg.toppercent is not None:
+        matches.sort(key=lambda m: (-m.filter_score, m.target_block_id))
+    else:
+        matches.sort(key=lambda m: (m.filter_evalue, -m.filter_score,
+                                    m.target_block_id))
     nt = len(matches)
     if nt == 0:
         return
     if matches[0].filter_evalue == float("inf"):
         del matches[:]
+        return
+    if cfg.toppercent is not None:
+        mat = cfg.matrix
+        cutoff = max(_top_cutoff_score(
+            float(mat.bitscore(matches[0].filter_score)), cfg.toppercent), 1.0)
+        i = 0
+        while i < nt and float(mat.bitscore(matches[i].filter_score)) >= cutoff:
+            i += 1
+        del matches[i:]
         return
     i = min(cfg.max_target_seqs, nt)
     while i > 1 and matches[i - 1].filter_evalue == float("inf"):

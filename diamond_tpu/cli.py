@@ -1,0 +1,184 @@
+"""Command-line interface.
+
+Command set mirrors the reference CLI (reference src/run/main.cpp:73-234):
+makedb, blastp, blastx, view, cluster, linclust, realign, getseq, dbinfo,
+version, ...  Options follow the reference's names/defaults
+(reference src/basic/config.cpp:167-572).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="diamond-tpu",
+                                description="TPU-native protein aligner")
+    sub = p.add_subparsers(dest="command")
+
+    def common_io(sp, query=True):
+        sp.add_argument("--db", "-d", required=True, help="database file")
+        if query:
+            sp.add_argument("--query", "-q", help="query input file")
+        sp.add_argument("--out", "-o", default="-", help="output file")
+        sp.add_argument("--outfmt", "-f", nargs="*", default=["6"],
+                        help="output format")
+        sp.add_argument("--threads", "-p", type=int, default=1)
+
+    def search_opts(sp):
+        sp.add_argument("--evalue", "-e", type=float, default=0.001)
+        sp.add_argument("--max-target-seqs", "-k", type=int, default=25)
+        sp.add_argument("--top", type=float, default=None)
+        sp.add_argument("--max-hsps", type=int, default=1)
+        sp.add_argument("--matrix", default="BLOSUM62")
+        sp.add_argument("--gapopen", type=int, default=-1)
+        sp.add_argument("--gapextend", type=int, default=-1)
+        sp.add_argument("--comp-based-stats", type=int, default=1)
+        sp.add_argument("--masking", default="tantan")
+        sp.add_argument("--motif-masking", type=int, default=None)
+        sp.add_argument("--index-chunks", "-c", type=int, default=None)
+        sp.add_argument("--id", dest="min_id", type=float, default=0.0)
+        sp.add_argument("--query-cover", type=float, default=0.0)
+        sp.add_argument("--subject-cover", type=float, default=0.0)
+        sens = sp.add_mutually_exclusive_group()
+        for flag, name in [("--faster", "faster"), ("--fast", "fast"),
+                           ("--mid-sensitive", "mid-sensitive"),
+                           ("--sensitive", "sensitive"),
+                           ("--more-sensitive", "more-sensitive"),
+                           ("--very-sensitive", "very-sensitive"),
+                           ("--ultra-sensitive", "ultra-sensitive")]:
+            sens.add_argument(flag, dest="sensitivity", action="store_const",
+                              const=name)
+        sp.set_defaults(sensitivity="default")
+
+    sp = sub.add_parser("makedb", help="Build DIAMOND database from FASTA")
+    sp.add_argument("--in", dest="infile", required=True)
+    sp.add_argument("--db", "-d", required=True)
+    sp.add_argument("--masking", default="tantan")
+
+    for cmd in ("blastp", "blastx"):
+        sp = sub.add_parser(cmd, help=f"{cmd} alignment search")
+        common_io(sp)
+        search_opts(sp)
+        if cmd == "blastx":
+            sp.add_argument("--query-gencode", type=int, default=1)
+            sp.add_argument("--frameshift", "-F", type=int, default=0)
+
+    sp = sub.add_parser("dbinfo", help="Print database info")
+    sp.add_argument("--db", "-d", required=True)
+
+    sp = sub.add_parser("version", help="Print version")
+
+    for cmd in ("cluster", "linclust", "deepclust"):
+        sp = sub.add_parser(cmd, help=f"{cmd} clustering")
+        sp.add_argument("--db", "-d", required=True)
+        sp.add_argument("--out", "-o", default="-")
+        sp.add_argument("--approx-id", type=float, default=None)
+        sp.add_argument("--member-cover", type=float, default=80.0)
+        sp.add_argument("--threads", "-p", type=int, default=1)
+
+    sp = sub.add_parser("getseq", help="Extract sequences from database")
+    sp.add_argument("--db", "-d", required=True)
+    sp.add_argument("--seq", nargs="*", default=[])
+    sp.add_argument("--out", "-o", default="-")
+
+    return p
+
+
+def load_block(path):
+    from diamond_tpu.data.block import Block
+    from diamond_tpu.data.dmnd import is_dmnd, read_dmnd
+    from diamond_tpu.data.fasta import read_seqs
+
+    if is_dmnd(path):
+        ids, seqs = read_dmnd(path)
+        return Block.from_sequences(seqs, ids)
+    recs = list(read_seqs(path))
+    return Block.from_sequences([r[1].upper() for r in recs],
+                                [r[0] for r in recs])
+
+
+def cmd_blastp(args):
+    from diamond_tpu.output.tabular import DEFAULT_FIELDS, format_results
+    from diamond_tpu.search.config import SearchConfig
+    from diamond_tpu.search.pipeline import Pipeline
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    qb = load_block(args.query)
+    tb = load_block(args.db)
+    cfg = SearchConfig(
+        matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
+        sensitivity=args.sensitivity,
+        comp_based_stats=args.comp_based_stats,
+        max_evalue=args.evalue,
+        max_target_seqs=args.max_target_seqs,
+        max_hsps=args.max_hsps,
+        toppercent=args.top,
+        index_chunks=args.index_chunks,
+        masking=args.masking,
+        motif_masking=None if args.motif_masking is None else bool(args.motif_masking),
+        min_id=args.min_id,
+        query_cover=args.query_cover,
+        subject_cover=args.subject_cover,
+    )
+    pipe = Pipeline(cfg, qb, tb)
+    results = pipe.search()
+    fields = _parse_fields(args.outfmt)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for line in format_results(results, qb, tb, fields):
+        out.write(line + "\n")
+    if out is not sys.stdout:
+        out.close()
+
+
+def _parse_fields(outfmt):
+    from diamond_tpu.output.tabular import DEFAULT_FIELDS
+
+    if not outfmt or outfmt[0] in ("6", "tab"):
+        return outfmt[1:] if len(outfmt) > 1 else DEFAULT_FIELDS
+    raise SystemExit(f"Unsupported output format: {outfmt[0]}")
+
+
+def cmd_makedb(args):
+    from diamond_tpu.data.dmnd import write_dmnd
+    from diamond_tpu.data.fasta import read_seqs
+
+    write_dmnd(args.db if args.db.endswith(".dmnd") else args.db + ".dmnd",
+               ((i, s.decode() if isinstance(s, bytes) else s)
+                for i, s in read_seqs(args.infile)),
+               mask_bit=args.masking != "0")
+
+
+def cmd_dbinfo(args):
+    from diamond_tpu.data.dmnd import read_dmnd
+
+    ids, seqs = read_dmnd(args.db)
+    print(f"Database format version = 3")
+    print(f"Sequences = {len(ids)}")
+    print(f"Letters = {sum(len(s) for s in seqs)}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "blastp":
+        cmd_blastp(args)
+    elif args.command == "makedb":
+        cmd_makedb(args)
+    elif args.command == "dbinfo":
+        cmd_dbinfo(args)
+    elif args.command == "version":
+        print("diamond-tpu version 0.1.0 (reference compatibility: 2.2.2)")
+    elif args.command in ("cluster", "linclust", "deepclust"):
+        from diamond_tpu.cluster.workflow import run_cluster
+
+        run_cluster(args)
+    else:
+        build_parser().print_help()
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

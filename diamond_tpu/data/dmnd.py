@@ -1,0 +1,121 @@
+"""DMND database format (byte-compatible with the reference).
+
+Layout (reference src/legacy/dmnd/dmnd.h:28-66, dmnd.cpp:224-345), all
+little-endian:
+
+  ReferenceHeader:  magic u64 (0x24af8a415ee186d), build u32, db_version u32,
+                    sequences u64, letters u64, pos_array_offset u64
+  ReferenceHeader2: size u64 (=48), hash[16], taxon_array_offset u64,
+                    taxon_array_size u64, taxon_nodes_offset u64,
+                    taxon_names_offset u64
+  per sequence:     0xff, letters[len] (int8 codes, tantan soft-mask bit 7),
+                    0xff, id bytes, 0x00
+  pos array:        (pos u64, seq_len u32, pad u32) per sequence + sentinel
+                    (end_offset, 0, 0)
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from diamond_tpu.constants.alphabet import encode
+
+MAGIC = 0x24AF8A415EE186D
+DB_VERSION_PROT = 3
+BUILD = 182
+
+
+@dataclass
+class DmndHeader:
+    magic: int
+    build: int
+    db_version: int
+    sequences: int
+    letters: int
+    pos_array_offset: int
+
+
+def read_dmnd(path: str):
+    """Returns (ids, seqs int8 arrays with soft-mask bit preserved)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, build, dbv, nseq, letters, pos_off = struct.unpack_from("<QIIQQQ", data, 0)
+    if magic != MAGIC:
+        raise ValueError("Database file is not a DIAMOND database.")
+    if dbv > 4:
+        raise ValueError("Database was built with a newer version.")
+    # header2
+    (h2size,) = struct.unpack_from("<Q", data, 40)
+    # sequences via pos array
+    infos = []
+    off = pos_off
+    for _ in range(nseq + 1):
+        pos, slen, _pad = struct.unpack_from("<QII", data, off)
+        infos.append((pos, slen))
+        off += 16
+    ids, seqs = [], []
+    for k in range(nseq):
+        pos, slen = infos[k]
+        seq = np.frombuffer(data, dtype=np.int8, count=slen, offset=pos + 1)
+        id_start = pos + 1 + slen + 1
+        id_end = data.index(b"\x00", id_start)
+        ids.append(data[id_start:id_end].decode())
+        seqs.append(seq)
+    return ids, seqs
+
+
+def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD):
+    """records: iterable of (id, sequence str/bytes/int8 array).
+
+    mask_bit: apply tantan soft masking (bit 7) like the reference makedb
+    (reference dmnd.cpp:282-286 via mask_seqs hard_mask=false)."""
+    from diamond_tpu.masking.tantan import Tantan
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    masker = Tantan(ScoreMatrix("BLOSUM62").matrix32) if mask_bit else None
+    with open(path, "wb") as f:
+        f.write(b"\x00" * (40 + 56))  # headers placeholder
+        offset = 96
+        pos_array = []
+        letters = 0
+        n = 0
+        for sid, seq in records:
+            e = seq if isinstance(seq, np.ndarray) else encode(seq)
+            e = np.array(e, dtype=np.int8, copy=True)
+            if len(e) == 0:
+                raise ValueError("File format error: sequence of length 0")
+            if masker is not None:
+                prob = masker.repeat_prob(e)
+                e[prob >= masker.p_mask] = np.bitwise_or(
+                    e[prob >= masker.p_mask], np.int8(-128))
+            pos_array.append((offset, len(e)))
+            sid_b = sid.encode()
+            f.write(b"\xff")
+            f.write(e.tobytes())
+            f.write(b"\xff")
+            f.write(sid_b + b"\x00")
+            letters += len(e)
+            n += 1
+            offset += len(e) + len(sid_b) + 3
+        pos_off = offset
+        for pos, slen in pos_array:
+            f.write(struct.pack("<QII", pos, slen, 0))
+        f.write(struct.pack("<QII", offset, 0, 0))
+        # headers
+        f.seek(0)
+        f.write(struct.pack("<QIIQQQ", MAGIC, build, DB_VERSION_PROT, n,
+                            letters, pos_off))
+        f.write(struct.pack("<Q", 48))
+        f.write(b"\x00" * 16)  # hash (not yet computed)
+        f.write(struct.pack("<QQQQ", 0, 0, 0, 0))
+
+
+def is_dmnd(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            (magic,) = struct.unpack("<Q", f.read(8))
+        return magic == MAGIC
+    except Exception:
+        return False

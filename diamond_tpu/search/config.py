@@ -79,6 +79,7 @@ class SearchConfig:
     query_cover: float = 0.0
     subject_cover: float = 0.0
     self_search: bool = False
+    translated: bool = False
     # derived
     traits: SensitivityTraits = None
     shapes: ShapeConfig = None
