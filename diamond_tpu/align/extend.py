@@ -131,19 +131,22 @@ def load_hits(hits, target_block):
     ascending subject-position order."""
     if len(hits) == 0:
         return [], [], []
-    arr = sorted(hits, key=lambda h: (h[0], h[1]))  # CmpSubject (same query)
+    a = np.asarray(hits, dtype=np.int64)  # [N, 3]: gpos, seed_off, score
+    order = np.lexsort((a[:, 1], a[:, 0]))  # CmpSubject (same query)
+    a = a[order]
+    t_all, j_all = target_block.global_to_local(a[:, 0])
     tids, groups, scores = [], [], []
     cur_t = -1
-    for gpos, seed_off, score in arr:
-        t, j = target_block.global_to_local([gpos])
-        t, j = int(t[0]), int(j[0])
+    for k in range(len(a)):
+        t = int(t_all[k])
         if t != cur_t:
             tids.append(t)
             groups.append([])
             scores.append(0)
             cur_t = t
-        groups[-1].append(SeedHit(i=int(seed_off), j=j, score=int(score)))
-        scores[-1] = max(scores[-1], int(score))
+        groups[-1].append(SeedHit(i=int(a[k, 1]), j=int(j_all[k]),
+                                  score=int(a[k, 2])))
+        scores[-1] = max(scores[-1], int(a[k, 2]))
     return tids, groups, scores
 
 

@@ -155,12 +155,13 @@ class Pipeline:
         if len(kept.keys) == len(join.keys):
             return kept, np.zeros(0, dtype=np.int64)
         # positions of erased groups (query side) get seed-masked
+        from diamond_tpu.search.stages import _csr_gather
+
         erased = np.setdiff1d(join.keys, kept.keys, assume_unique=True)
         idx = np.searchsorted(join.keys, erased)
-        masked = []
-        for g in idx:
-            masked.append(join.q_pos[join.q_start[g] : join.q_start[g + 1]])
-        return kept, (np.concatenate(masked) if masked else np.zeros(0, np.int64))
+        counts = np.diff(join.q_start)[idx]
+        _, masked = _csr_gather(join.q_start[idx], counts, join.q_pos)
+        return kept, masked
 
     def _stage12(self, join, shape, sid, chunk, part_lo, part_hi):
         cfg = self.cfg

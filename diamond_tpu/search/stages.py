@@ -74,6 +74,19 @@ class SeedJoin:
     s_pos: np.ndarray      # subject global positions, grouped by key
 
 
+def _csr_gather(first, counts, arr):
+    """Gather variable-length runs [first[g], first[g]+counts[g]) into one
+    flat array, fully vectorized (CSR expansion)."""
+    total = int(counts.sum())
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    if total == 0:
+        return starts, np.empty(0, dtype=arr.dtype)
+    grp = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - starts[grp]
+    return starts, arr[first[grp] + within]
+
+
 def seed_join(q_keys, q_pos, s_keys, s_pos) -> SeedJoin:
     """Sort-merge join (device-friendly replacement of the radix hash join)."""
     qo = np.argsort(q_keys, kind="stable")
@@ -87,17 +100,8 @@ def seed_join(q_keys, q_pos, s_keys, s_pos) -> SeedJoin:
     q_counts = np.diff(np.append(q_first, len(qk)))[qi]
     s_counts = np.diff(np.append(s_first, len(sk)))[si]
 
-    def gather(first, counts, arr):
-        total = int(counts.sum())
-        out = np.empty(total, dtype=arr.dtype)
-        starts = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        for g in range(len(counts)):
-            out[starts[g] : starts[g + 1]] = arr[first[g] : first[g] + counts[g]]
-        return starts, out
-
-    qs, qv = gather(q_first[qi], q_counts, qp)
-    ss, sv = gather(s_first[si], s_counts, sp)
+    qs, qv = _csr_gather(q_first[qi], q_counts, qp)
+    ss, sv = _csr_gather(s_first[si], s_counts, sp)
     return SeedJoin(keys=common, q_start=qs, q_pos=qv, s_start=ss, s_pos=sv)
 
 
@@ -129,14 +133,8 @@ def _filter_groups(join: SeedJoin, keep: np.ndarray) -> SeedJoin:
     idx = np.nonzero(keep)[0]
     q_counts = np.diff(join.q_start)[idx]
     s_counts = np.diff(join.s_start)[idx]
-    qs = np.zeros(len(idx) + 1, dtype=np.int64)
-    ss = np.zeros(len(idx) + 1, dtype=np.int64)
-    np.cumsum(q_counts, out=qs[1:])
-    np.cumsum(s_counts, out=ss[1:])
-    q_pos = np.concatenate([join.q_pos[join.q_start[g] : join.q_start[g + 1]]
-                            for g in idx]) if len(idx) else np.zeros(0, np.int64)
-    s_pos = np.concatenate([join.s_pos[join.s_start[g] : join.s_start[g + 1]]
-                            for g in idx]) if len(idx) else np.zeros(0, np.int64)
+    qs, q_pos = _csr_gather(join.q_start[idx], q_counts, join.q_pos)
+    ss, s_pos = _csr_gather(join.s_start[idx], s_counts, join.s_pos)
     return SeedJoin(join.keys[idx], qs, q_pos, ss, s_pos)
 
 
@@ -145,22 +143,22 @@ def _filter_groups(join: SeedJoin, keep: np.ndarray) -> SeedJoin:
 # ---------------------------------------------------------------------------
 
 def expand_pairs(join: SeedJoin):
-    """Cartesian expansion of each seed group into candidate (qpos, spos)."""
+    """Cartesian expansion of each seed group into candidate (qpos, spos),
+    fully vectorized (queries outer, subjects inner like the reference
+    kernel.h:29-50)."""
     q_counts = np.diff(join.q_start)
     s_counts = np.diff(join.s_start)
     totals = q_counts * s_counts
     n = int(totals.sum())
-    qp = np.empty(n, dtype=np.int64)
-    sp = np.empty(n, dtype=np.int64)
-    o = 0
-    for g in range(len(join.keys)):
-        q = join.q_pos[join.q_start[g] : join.q_start[g + 1]]
-        s = join.s_pos[join.s_start[g] : join.s_start[g + 1]]
-        m = len(q) * len(s)
-        # reference iterates queries outer, subjects inner (kernel.h:29-50)
-        qp[o : o + m] = np.repeat(q, len(s))
-        sp[o : o + m] = np.tile(s, len(q))
-        o += m
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    pair_starts = np.zeros(len(totals) + 1, dtype=np.int64)
+    np.cumsum(totals, out=pair_starts[1:])
+    grp = np.repeat(np.arange(len(totals), dtype=np.int64), totals)
+    within = np.arange(n, dtype=np.int64) - pair_starts[grp]
+    sc = s_counts[grp]
+    qp = join.q_pos[join.q_start[grp] + within // sc]
+    sp = join.s_pos[join.s_start[grp] + within % sc]
     return qp, sp
 
 
