@@ -90,6 +90,7 @@ class Hsp:
     length: int = 0
     transcript: list | None = None
     backtraced: bool = False
+    frame: int = 0
 
     def sort_key(self):
         # Hsp::operator< (reference match.h:199-202)

@@ -1,0 +1,92 @@
+"""Full-matrix SWIPE search (--swipe): every query vs every DB sequence.
+
+Reference: src/align/full_db.cpp via extend.cpp:332-333 (full_db_align),
+dp/swipe/full_swipe.h.  No seeding — each (query context, target) pair runs
+a full Smith-Waterman, implemented as banded SW with the full band
+[-(tlen-1), qlen), which computes the identical matrix.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from diamond_tpu.align.extend import Hsp, Match, _cull_matches, _output_range, _target_sort_key
+from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
+from diamond_tpu.stats import cbs as cbs_mod
+
+
+def swipe_all_query(contexts, source_len, biases, tblock, cfg) -> list:
+    """contexts: list of (frame, letters) translated/protein query contexts.
+    Returns culled Matches with traceback Hsps (frame-aware)."""
+    mat = cfg.matrix
+    n_targets = len(tblock)
+
+    # first round: score-only full SW for all (frame, target)
+    per_target: dict[int, list] = {}
+    for frame, q in contexts:
+        qlen = len(q)
+        if qlen == 0 or (q == 23).all():
+            continue
+        bias = biases[frame] if cbs_mod.hauser(cfg.comp_based_stats) else None
+        jobs = []
+        metas = []
+        for t in range(n_targets):
+            tgt = tblock.seq(t)
+            tlen = len(tgt)
+            if tlen == 0:
+                continue
+            jobs.append((tgt, -(tlen - 1), qlen))
+            metas.append(t)
+        res = banded_swipe_batch_np(q, bias, jobs, mat.matrix32,
+                                    mat.gap_open, mat.gap_extend)
+        for (score, mc, mr), t in zip(res, metas):
+            tlen = int(tblock.lengths[t])
+            ev = float(mat.evalue(score, qlen, tlen)) if score > 0 else float("inf")
+            if score > 0 and mat.report_cutoff(score, ev, cfg.max_evalue,
+                                               cfg.min_bit_score):
+                h = Hsp(score=score, evalue=ev,
+                        bit_score=float(mat.bitscore(score)),
+                        d_begin=-(tlen - 1), d_end=qlen)
+                h.frame = frame
+                per_target.setdefault(t, []).append(h)
+
+    # per-target best hsp (max_hsps == 1), culling
+    aligned = []
+    for t, hsps in per_target.items():
+        hsps.sort(key=lambda h: h.sort_key())
+        aligned.append((t, hsps[0]))
+    aligned.sort(key=_target_sort_key(cfg))
+    aligned = aligned[: _output_range(aligned, cfg)]
+
+    # second round: traceback on survivors
+    matches = []
+    by_frame: dict[int, list] = {}
+    for t, h in aligned:
+        by_frame.setdefault(h.frame, []).append((t, h))
+    results: dict[int, tuple] = {}
+    for frame, items in by_frame.items():
+        q = dict(contexts)[frame]
+        qlen = len(q)
+        bias = biases[frame] if cbs_mod.hauser(cfg.comp_based_stats) else None
+        jobs = [(tblock.seq(t), h.d_begin, h.d_end) for t, h in items]
+        res = banded_swipe_batch_np(q, bias, jobs, mat.matrix32,
+                                    mat.gap_open, mat.gap_extend, traceback=True)
+        for (t, h), r in zip(items, res):
+            tlen = int(tblock.lengths[t])
+            ev = float(mat.evalue(r.score, qlen, tlen))
+            if not (r.score > 0 and mat.report_cutoff(r.score, ev, cfg.max_evalue,
+                                                      cfg.min_bit_score)):
+                continue
+            hsp = Hsp(score=r.score, evalue=ev,
+                      bit_score=float(mat.bitscore(r.score)),
+                      d_begin=h.d_begin, d_end=h.d_end,
+                      query_range=r.query_range, subject_range=r.subject_range,
+                      identities=r.identities, mismatches=r.mismatches,
+                      positives=r.positives, gap_openings=r.gap_openings,
+                      gaps=r.gaps, length=r.length, transcript=r.transcript,
+                      backtraced=True)
+            hsp.frame = h.frame
+            m = Match(target_block_id=t, hsp=[hsp])
+            m.set_filter()
+            matches.append(m)
+    _cull_matches(matches, cfg)
+    return matches

@@ -11,8 +11,23 @@ DEFAULT_FIELDS = ["qseqid", "sseqid", "pident", "length", "mismatch", "gapopen",
                   "qstart", "qend", "sstart", "send", "evalue", "bitscore"]
 
 
-def format_match_line(query_name: str, target_name: str, hsp, fields=None) -> str:
+def format_match_line(query_name: str, target_name: str, hsp, fields=None,
+                      dna_len: int = 0) -> str:
+    """dna_len > 0 marks a translated (blastx) query: qstart/qend map through
+    the frame to oriented DNA source coordinates (reference
+    translated_position.h:130-136, match.h:168-174)."""
     fields = fields or DEFAULT_FIELDS
+    if dna_len > 0:
+        from diamond_tpu.data.translate import absolute_interval
+
+        src = absolute_interval(hsp.query_range[0], hsp.query_range[1],
+                                hsp.frame, dna_len)
+        if hsp.frame < 3:
+            qstart, qend = src[0] + 1, src[1]
+        else:
+            qstart, qend = src[1], src[0] + 1
+    else:
+        qstart, qend = hsp.query_range[0] + 1, hsp.query_range[1]
     out = []
     for f in fields:
         if f == "qseqid":
@@ -32,9 +47,9 @@ def format_match_line(query_name: str, target_name: str, hsp, fields=None) -> st
         elif f == "ppos":
             out.append(format_double(hsp.positives * 100.0 / hsp.length))
         elif f == "qstart":
-            out.append(str(hsp.query_range[0] + 1))
+            out.append(str(qstart))
         elif f == "qend":
-            out.append(str(hsp.query_range[1]))
+            out.append(str(qend))
         elif f == "sstart":
             out.append(str(hsp.subject_range[0] + 1))
         elif f == "send":
@@ -50,14 +65,18 @@ def format_match_line(query_name: str, target_name: str, hsp, fields=None) -> st
     return "\t".join(out)
 
 
-def format_results(results: dict, query_block, target_block, fields=None):
+def format_results(results: dict, query_block, target_block, fields=None,
+                   dna_lens=None, query_names=None):
     """Yield output lines in query order (ReorderQueue semantics)."""
-    for qid in range(len(query_block)):
+    n = len(query_names) if query_names is not None else len(query_block)
+    for qid in range(n):
         matches = results.get(qid)
         if not matches:
             continue
-        qname = query_block.seq_id(qid)
+        qname = (query_names[qid] if query_names is not None
+                 else query_block.seq_id(qid))
+        dl = dna_lens[qid] if dna_lens is not None else 0
         for m in matches:
             tname = target_block.seq_id(m.target_block_id)
             for hsp in m.hsp:
-                yield format_match_line(qname, tname, hsp, fields)
+                yield format_match_line(qname, tname, hsp, fields, dl)

@@ -44,3 +44,26 @@ def test_blastp_1_vs_2():
     """blastp: blastp -q 1.faa -d 2.faa -p1 (single query vs single target)."""
     lines = run_blastp(f"{TD}/1.faa", f"{TD}/2.faa")
     assert lines == golden("blastp.out")
+
+
+@pytest.mark.slow
+def test_blastx_swipe_galaxy7():
+    """galaxy_7: blastx --swipe vs prebuilt .dmnd, gencode 1, min-orf 1."""
+    from diamond_tpu.data.block import Block
+    from diamond_tpu.data.dmnd import read_dmnd
+    from diamond_tpu.output.tabular import format_results
+    from diamond_tpu.search.blastx import TranslatedQueries, blastx_swipe_all
+
+    gd = f"{TD}/galaxy"
+    ids, seqs = read_dmnd(f"{gd}/db.dmnd")
+    tblock = Block.from_sequences([s & 31 for s in seqs], ids)
+    recs = list(read_fasta(f"{gd}/nucleotide.fasta"))
+    queries = TranslatedQueries(recs, gencode=1, min_orf=1)
+    cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"), comp_based_stats=1,
+                       masking="tantan", motif_masking=False, max_evalue=0.001,
+                       max_target_seqs=25, translated=True)
+    res = blastx_swipe_all(queries, tblock, cfg)
+    lines = list(format_results(
+        res, queries.block, tblock, dna_lens=queries.dna_lens,
+        query_names=[i.split()[0] for i in queries.source_ids]))
+    assert lines == golden("galaxy_7.out")
