@@ -156,18 +156,35 @@ class WorkTarget:
     block_id: int
     hsps: list  # ApproxHsp list (chained)
     ungapped_score: int
+    matrix: object = None  # adjusted 32x32 [query, target] or None
 
 
 def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hits,
-                   cfg) -> WorkTarget:
+                   cfg, query_comp=None, query_true_aa=0) -> WorkTarget:
     """x-drop extension + chaining for one target
-    (reference align/ungapped.cpp:62-150)."""
+    (reference align/ungapped.cpp:62-150), plus per-target compositional
+    matrix adjustment (reference WorkTarget ctor, ungapped.cpp:44-59)."""
     hits = sorted(seed_hits, key=lambda h: (h.diag, h.j))
     segments = []
     ungapped_score = 0
     t_start = int(target_block.starts[block_id])
     m = cfg.matrix.matrix32
     use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+
+    target_matrix = None
+    if cbs_mod.matrix_adjust(cfg.comp_based_stats) and query_comp is not None:
+        from diamond_tpu.stats import matrix_adjust as ma
+
+        tlen = int(target_block.lengths[block_id])
+        tlet = target_block.letters[t_start : t_start + tlen]
+        rule = cbs_mod.adjust_rule(query_comp, query_true_aa,
+                                   cfg.comp_based_stats, tlet,
+                                   cfg.matrix.background_freqs)
+        if rule != ma.RULE_DONT:
+            r = cbs_mod.target_matrix(cfg.matrix, query_comp, query_true_aa,
+                                      cfg.comp_based_stats, tlet, rule)
+            if r is not None:
+                target_matrix = r[0]
     for h in hits:
         ungapped_score = max(ungapped_score, h.score)
         if segments and segments[-1].diag == h.diag and segments[-1].subject_end >= h.j:
@@ -177,7 +194,8 @@ def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hi
         if d.score > 0:
             segments.append(d)
     hsps = chain(segments)
-    return WorkTarget(block_id=block_id, hsps=hsps, ungapped_score=ungapped_score)
+    return WorkTarget(block_id=block_id, hsps=hsps,
+                      ungapped_score=ungapped_score, matrix=target_matrix)
 
 
 def merged_bands(work: WorkTarget, qlen: int, tlen: int, base_band: int):
@@ -199,6 +217,30 @@ def merged_bands(work: WorkTarget, qlen: int, tlen: int, base_band: int):
                 out.append((d0, d1))
             d0, d1 = b0, b1
     out.append((d0, d1))
+    return out
+
+
+
+def _run_dp_jobs(q, use_bias, jobs, job_meta, tgt_matrices, mat, traceback):
+    """Run banded DP jobs, splitting adjusted-matrix targets into their own
+    single-job batches (the adjusted matrix replaces the profile and the
+    Hauser bias is not applied; reference swipe profile setup,
+    banded_swipe.h:252-266)."""
+    out = [None] * len(jobs)
+    std_idx = [k for k, (tid, _) in enumerate(job_meta) if tid not in tgt_matrices]
+    adj_idx = [k for k, (tid, _) in enumerate(job_meta) if tid in tgt_matrices]
+    if std_idx:
+        res = banded_swipe_batch_np(q, use_bias, [jobs[k] for k in std_idx],
+                                    mat.matrix32, mat.gap_open, mat.gap_extend,
+                                    traceback=traceback)
+        for k, r in zip(std_idx, res):
+            out[k] = r
+    for k in adj_idx:
+        tm = tgt_matrices[job_meta[k][0]]
+        res = banded_swipe_batch_np(q, None, [jobs[k]], tm,
+                                    mat.gap_open, mat.gap_extend,
+                                    traceback=traceback)
+        out[k] = res[0]
     return out
 
 
@@ -234,7 +276,17 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
         gf_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
         gf = GappedFilter(cfg, query_letters[q_start : q_start + qlen], gf_bias)
 
+    query_comp = None
+    query_true_aa = 0
+    if cbs_mod.matrix_adjust(cfg.comp_based_stats):
+        qseq = query_letters[q_start : q_start + qlen]
+        query_comp = cbs_mod.composition(qseq)
+        from diamond_tpu.constants.alphabet import TRUE_AA
+
+        query_true_aa = int(((qseq & 31) < TRUE_AA).sum())
+
     matches: list[Match] = []
+    all_matrices: dict = {}
     i0 = 0
     i1 = min(chunk_size, n)
     new_hits_ev = False
@@ -253,21 +305,26 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
             if gf is not None:
                 chunk = [t for t in chunk if gf.target_passes(
                     groups[t], tblock.seq(tids[t]))]
+            tgt_matrices = {}
             for t in chunk:
                 work = ungapped_stage(query_letters, q_start, bias, tblock,
-                                      tids[t], groups[t], cfg)
+                                      tids[t], groups[t], cfg, query_comp,
+                                      query_true_aa)
                 if not work.hsps:
                     continue
                 tlen = int(tblock.lengths[tids[t]])
                 t_start = int(tblock.starts[tids[t]])
                 tgt = tblock.letters[t_start : t_start + tlen]
+                if work.matrix is not None:
+                    tgt_matrices[tids[t]] = work.matrix
+                    all_matrices[tids[t]] = work.matrix
                 for d0, d1 in merged_bands(work, qlen, tlen, base_band):
                     jobs.append((tgt, d0, d1))
                     job_meta.append((tids[t], tlen))
             v = []
             if jobs:
-                res = banded_swipe_batch_np(q, use_bias, jobs, mat.matrix32,
-                                            mat.gap_open, mat.gap_extend)
+                res = _run_dp_jobs(q, use_bias, jobs, job_meta, tgt_matrices,
+                                   mat, False)
                 scores = np.array([r[0] for r in res], dtype=np.int64)
                 tlens_v = np.array([mt[1] for mt in job_meta], dtype=np.int64)
                 evs = np.where(scores > 0,
@@ -316,7 +373,7 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
 
         # --- second round: traceback DP (reference gapped_final.cpp) ---
         round_matches = _traceback_round(aligned, query_letters, q_start, qlen,
-                                         bias, tblock, ctx)
+                                         bias, tblock, ctx, all_matrices)
         matches.extend(round_matches)
 
         if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs
@@ -393,22 +450,24 @@ def _append_hits(targets: list, new: list, cfg, mat) -> bool:
     return new_hits
 
 
-def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx):
+def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
+                     matrices=None):
     cfg = ctx.cfg
     mat = cfg.matrix
     out = []
+    matrices = matrices or {}
     use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
     q = query_letters[q_start : q_start + qlen]
     jobs = []
+    job_meta = []
     for block_id, first_hsp in aligned:
         tlen = int(tblock.lengths[block_id])
         t_start = int(tblock.starts[block_id])
         jobs.append((tblock.letters[t_start : t_start + tlen],
                      first_hsp.d_begin, first_hsp.d_end))
+        job_meta.append((block_id, tlen))
     try:
-        batch_res = banded_swipe_batch_np(q, use_bias, jobs, mat.matrix32,
-                                          mat.gap_open, mat.gap_extend,
-                                          traceback=True)
+        batch_res = _run_dp_jobs(q, use_bias, jobs, job_meta, matrices, mat, True)
     except RuntimeError:
         batch_res = None  # rare spill-tie in shared-band masks; use oracle
     for k, (block_id, first_hsp) in enumerate(aligned):
@@ -416,9 +475,10 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx):
         if batch_res is not None:
             r = batch_res[k]
         else:
+            tm = matrices.get(block_id, mat.matrix32)
             r = banded_swipe_np(q, jobs[k][0], first_hsp.d_begin, first_hsp.d_end,
-                                mat.matrix32, use_bias, mat.gap_open,
-                                mat.gap_extend, traceback=True)
+                                tm, None if block_id in matrices else use_bias,
+                                mat.gap_open, mat.gap_extend, traceback=True)
         ev = float(mat.evalue(r.score, qlen, tlen))
         if not (r.score > 0 and mat.report_cutoff(r.score, ev, cfg.max_evalue,
                                                   cfg.min_bit_score)):

@@ -16,30 +16,33 @@ from __future__ import annotations
 
 import numpy as np
 
-from diamond_tpu.constants.alphabet import TRUE_AA
+from diamond_tpu.constants.alphabet import MASK_LETTER, TRUE_AA
 
+# mode codes (reference cbs.h:185-194)
 CBS_DISABLED = 0
 CBS_HAUSER = 1
-CBS_HAUSER_AND_AVG_MATRIX_ADJUST = 2
-CBS_MATRIX_ADJUST = 3
-CBS_CONDITIONAL_MATRIX_ADJUST = 4
-CBS_COUNT = 5
+CBS_DEPRECATED1 = 2
+CBS_HAUSER_AND_MATRIX_ADJUST = 3
+CBS_MATRIX_ADJUST = 4
+CBS_COMP_BASED_STATS_AND_MATRIX_ADJUST = 5
+CBS_CONDITIONAL_MATRIX_ADJUST = 6
+CBS_COUNT = 7
 
 DEFAULT_WINDOW = 40
 
 
 def hauser(code: int) -> bool:
     """Does this CBS mode apply the Hauser bias? (reference cbs.h:108-124)"""
-    return code in (1, 2)
+    return code in (1, 2, 3)
 
 
 def matrix_adjust(code: int) -> bool:
-    return code in (2, 3, 4)
+    return code in (2, 3, 4, 5, 6)
 
 
 def conditioned(code: int) -> bool:
     """Matrix adjustment applied conditionally (angle test)?"""
-    return code in (2, 4)
+    return code in (2, 3, 5, 6)
 
 
 def composition(letters: np.ndarray) -> np.ndarray:
@@ -103,3 +106,51 @@ def hauser_correction(letters: np.ndarray, matrix32: np.ndarray,
     out = np.where(r < TRUE_AA, vals, 0.0)
     i8 = np.where(out < 0.0, out - 0.5, out + 0.5).astype(np.int8)
     return out, i8
+
+
+def adjust_rule(query_comp, query_len, code: int, target_letters,
+                background_freqs) -> int:
+    """Which adjustment rule applies for this target (reference
+    cbs.cpp:94-110 adjust_matrix)."""
+    from diamond_tpu.stats import matrix_adjust as ma
+
+    if not matrix_adjust(code) or len(target_letters) == 0 or query_len == 0:
+        return ma.RULE_DONT
+    c = composition(target_letters)
+    if conditioned(code):
+        rule = ma.conditional_rule(query_comp, query_len, c,
+                                   len(target_letters), background_freqs)
+        if code == CBS_COMP_BASED_STATS_AND_MATRIX_ADJUST:
+            return rule
+        return rule if rule == ma.RULE_USER_RE else ma.RULE_DONT
+    return ma.RULE_USER_RE
+
+
+def target_matrix(score_matrix, query_comp, query_len: int, code: int,
+                  target_letters, rule: int, scale: int = 1):
+    """Adjusted [query_letter, target_letter] 32x32 int32 matrix for the DP
+    (reference cbs.cpp:112-173 TargetMatrix; note the reference stores the
+    transpose and indexes matrix[target*32+query])."""
+    from diamond_tpu.stats import matrix_adjust as ma
+
+    c = composition(target_letters)
+    n_true = int((np.asarray(target_letters) < TRUE_AA).sum())
+    s = None
+    if rule == ma.RULE_USER_RE:
+        s = ma.composition_matrix_adjust(
+            query_len, n_true, query_comp, c, scale,
+            score_matrix.ideal_lambda, score_matrix.joint_probs,
+            score_matrix.background_freqs)
+    if s is None:
+        return None
+    # embed into 32x32 [query, target]; non-adjusted letters fall back to the
+    # base matrix (reference cbs.cpp:148-166)
+    out = np.zeros((32, 32), dtype=np.int32)
+    base = np.maximum(score_matrix.matrix32 * scale, -128)
+    out[:, :] = base
+    adj = np.array([i for i in range(26) if i < 20 or i == MASK_LETTER])
+    qq, tt = np.meshgrid(adj, adj, indexing="ij")
+    out[qq, tt] = np.clip(s[qq, tt], -128, 127)
+    score_min = int(s[qq, tt].min())
+    score_max = int(s[qq, tt].max())
+    return out, score_min, score_max
