@@ -1,0 +1,128 @@
+"""Cascaded clustering workflows (cluster / linclust / deepclust).
+
+Single-process re-design of the reference cascaded clustering (reference
+src/cluster/multinode/multinode.cpp:186-289, cluster/cascaded/helpers.cpp):
+rounds of self-search at increasing sensitivity over current representatives,
+greedy vertex cover over accepted alignment edges, assignments composed
+across rounds.  The multi-node file-based coordination becomes device-mesh
+sharding (per-shard search + gathered edge lists); N=1 semantics identical.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from diamond_tpu.cluster.gvc import EdgeGraph, greedy_vertex_cover
+from diamond_tpu.data.block import Block
+
+
+def cluster_steps(approx_id: float, linear: bool):
+    """reference cluster/cascaded/helpers.cpp:32-57."""
+    v = ["faster_lin"]
+    if approx_id < 90:
+        v.append("fast_lin")
+    if approx_id < 40:
+        v.append("linclust-20_lin")
+    elif approx_id < 80:
+        v.append("linclust-40_lin")
+    if linear:
+        return v
+    if approx_id < 80:
+        v.append("default")
+    else:
+        v.append("fast")
+    if approx_id < 50:
+        v.append("more-sensitive")
+    return v
+
+
+def _round_edges(block: Block, rep_ids, sensitivity: str, matrix_name: str,
+                 member_cover: float, approx_id: float, threads: int = 1):
+    """Self-search of the representative subset; returns directed edges
+    (rep_candidate, member, weight=bitscore)."""
+    from diamond_tpu.search.config import SearchConfig
+    from diamond_tpu.search.pipeline import Pipeline
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    sub = Block.from_sequences([block.seq(i).copy() for i in rep_ids],
+                               [block.ids[i] for i in rep_ids])
+    tub = Block.from_sequences([block.seq(i).copy() for i in rep_ids],
+                               [block.ids[i] for i in rep_ids])
+    sens = sensitivity[:-4] if sensitivity.endswith("_lin") else sensitivity
+    if sens in ("linclust-20", "linclust-40"):
+        sens_cfg = "default"  # linearized shape sets pending; use default
+    else:
+        sens_cfg = sens
+    cfg = SearchConfig(matrix=ScoreMatrix(matrix_name), sensitivity=sens_cfg,
+                       max_target_seqs=2 ** 31 - 1, threads=threads)
+    pipe = Pipeline(cfg, sub, tub)
+    results = pipe.search()
+    edges = []
+    for qid, matches in results.items():
+        qlen = int(sub.lengths[qid])
+        for m in matches:
+            t = m.target_block_id
+            if t == qid:
+                continue
+            for h in m.hsp:
+                qcov = (h.query_range[1] - h.query_range[0]) * 100.0 / qlen
+                tlen = int(tub.lengths[t])
+                scov = (h.subject_range[1] - h.subject_range[0]) * 100.0 / tlen
+                if approx_id > 0 and h.length and \
+                        h.identities * 100.0 / h.length < approx_id:
+                    continue
+                # the member must be covered to member_cover
+                if qcov >= member_cover:
+                    edges.append((t, qid, h.bit_score))
+                if scov >= member_cover:
+                    edges.append((qid, t, h.bit_score))
+    return edges
+
+
+def cluster_block(block: Block, steps, matrix_name: str = "BLOSUM62",
+                  member_cover: float = 80.0, approx_id: float = 0.0,
+                  threads: int = 1, verbose: bool = True):
+    """Run the cascade; returns centroid assignment per block sequence."""
+    n = len(block)
+    assignment = np.arange(n, dtype=np.int64)  # global centroid per seq
+    reps = list(range(n))
+    for step in steps:
+        if len(reps) <= 1:
+            break
+        if verbose:
+            print(f"Clustering round: {step} ({len(reps)} sequences)",
+                  file=sys.stderr)
+        edges = _round_edges(block, reps, step, matrix_name, member_cover,
+                             approx_id, threads)
+        g = EdgeGraph(len(reps), edges)
+        local = greedy_vertex_cover(g)
+        # compose: member sequences of this round map to global centroids
+        new_reps = []
+        for li, rep_li in enumerate(local):
+            gi = reps[li]
+            g_rep = reps[rep_li]
+            if rep_li == li:
+                new_reps.append(gi)
+            assignment[assignment == gi] = g_rep
+        reps = new_reps
+    return assignment
+
+
+def run_cluster(args):
+    """CLI entry for cluster/linclust/deepclust."""
+    from diamond_tpu.cli import load_block
+
+    block = load_block(args.db)
+    approx_id = args.approx_id if args.approx_id is not None else 0.0
+    linear = args.command == "linclust"
+    if args.command == "deepclust":
+        approx_id = 0.0
+    steps = cluster_steps(approx_id, linear)
+    assignment = cluster_block(block, steps, member_cover=args.member_cover,
+                               approx_id=approx_id, threads=args.threads)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for i in range(len(block)):
+        out.write(f"{block.seq_id(int(assignment[i]))}\t{block.seq_id(i)}\n")
+    if out is not sys.stdout:
+        out.close()
