@@ -80,3 +80,42 @@ def format_results(results: dict, query_block, target_block, fields=None,
             tname = target_block.seq_id(m.target_block_id)
             for hsp in m.hsp:
                 yield format_match_line(qname, tname, hsp, fields, dl)
+
+
+def render_pairwise(results: dict, query_block, target_block, matrix):
+    """Full -f0 output text (reference blast_pairwise_format.cpp)."""
+    from diamond_tpu.output import pairwise as pw
+
+    pw.set_midline_matrix(matrix.matrix32)
+    chunks = [pw.pairwise_header()]
+    for qid in range(len(query_block)):
+        matches = results.get(qid) or []
+        chunks.append(pw.pairwise_query_intro(query_block.ids[qid],
+                                              int(query_block.lengths[qid]),
+                                              not matches))
+        q = query_block.seq(qid)
+        for m in matches:
+            t = target_block.seq(m.target_block_id)
+            for hsp in m.hsp:
+                chunks.append(pw.pairwise_match(
+                    hsp, q, t, target_block.ids[m.target_block_id], len(t)))
+    return "".join(chunks)
+
+
+def render_paf(results: dict, query_block, target_block, matrix):
+    from diamond_tpu.output import pairwise as pw
+
+    lines = []
+    for qid in range(len(query_block)):
+        matches = results.get(qid)
+        if not matches:
+            continue
+        qname = query_block.seq_id(qid)
+        qlen = int(query_block.lengths[qid])
+        for m in matches:
+            tname = target_block.seq_id(m.target_block_id)
+            tlen = int(target_block.lengths[m.target_block_id])
+            for hsp in m.hsp:
+                lines.append(pw.paf_match(qname, tname, hsp, qlen, tlen,
+                                          matrix.bitscore))
+    return "\n".join(lines) + ("\n" if lines else "")
