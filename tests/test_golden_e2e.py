@@ -67,3 +67,39 @@ def test_blastx_swipe_galaxy7():
         res, queries.block, tblock, dna_lens=queries.dna_lens,
         query_names=[i.split()[0] for i in queries.source_ids]))
     assert lines == golden("galaxy_7.out")
+
+
+@pytest.mark.slow
+def test_blastp_formats_golden():
+    """-f0 pairwise and PAF outputs (diamond-test-blastp-{pairwise,paf}-format)."""
+    from diamond_tpu.data.block import Block
+    from diamond_tpu.output.tabular import render_paf, render_pairwise
+    from diamond_tpu.search.pipeline import Pipeline
+
+    recs = list(read_fasta(f"{TD}/data.faa"))
+    qb = Block.from_sequences([r[1].upper() for r in recs], [r[0] for r in recs])
+    tb = Block.from_sequences([r[1].upper() for r in recs], [r[0] for r in recs])
+    cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"), index_chunks=1)
+    res = Pipeline(cfg, qb, tb).search()
+    pw = render_pairwise(res, qb, tb, cfg.matrix)
+    with open(f"{TD}/diamond-test-blastp-pairwise-format.out") as f:
+        assert pw == f.read()
+    paf = render_paf(res, qb, tb, cfg.matrix)
+    with open(f"{TD}/diamond-test-blastp-paf-format.out") as f:
+        assert paf == f.read()
+
+
+@pytest.mark.slow
+def test_blastp_k3_top10_blosum50_golden():
+    assert run_blastp(f"{TD}/data.faa", f"{TD}/data.faa", max_target_seqs=3) == \
+        golden("diamond-test-blastp-target-seqs.out")
+    assert run_blastp(f"{TD}/data.faa", f"{TD}/data.faa", toppercent=10.0) == \
+        golden("diamond-test-blastp-top.out")
+    assert run_blastp(f"{TD}/data.faa", f"{TD}/data.faa", matrix="BLOSUM50") == \
+        golden("diamond-test-blastp-blosum50.out")
+
+
+@pytest.mark.slow
+def test_blastp_mid_sens_golden():
+    assert run_blastp(f"{TD}/3.faa", f"{TD}/4.faa", sensitivity="mid-sensitive") == \
+        golden("blastp-mid-sens.out")
