@@ -16,28 +16,28 @@ BASELINE_GCUPS = 40.0
 def main():
     import jax
 
-    from diamond_tpu.ops.swipe_jax import banded_swipe_uniform, prepare_uniform_batch
+    from diamond_tpu.ops.swipe_pallas import banded_swipe_pallas, prepare_pallas_batch
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
     rng = np.random.default_rng(0)
     m = ScoreMatrix("BLOSUM62")
-    qlen, band, B, T = 480, 128, 2048, 512
+    qlen, B, T = 480, 2048, 512
     q = rng.integers(0, 20, qlen).astype(np.int8)
     jobs = [(rng.integers(0, 20, T).astype(np.int8), -64, 64) for _ in range(B)]
-    t1h, bmask, ppad, band_, _ = prepare_uniform_batch(q, None, m.matrix32, jobs)
+    tgt, bmask, ppad, band_, _ = prepare_pallas_batch(q, None, m.matrix32, jobs)
     go, ge = m.gap_open + m.gap_extend, m.gap_extend
 
     def run():
-        return banded_swipe_uniform(t1h, bmask, ppad, go, ge, band_)
+        return banded_swipe_pallas(tgt, bmask, ppad, go, ge, band_)
 
     jax.block_until_ready(run())  # compile
-    n_iter = 10
+    n_iter = 50
     t0 = time.perf_counter()
     for _ in range(n_iter):
         jax.block_until_ready(run())
     dt = (time.perf_counter() - t0) / n_iter
 
-    cells = float(B) * t1h.shape[0] * band_
+    cells = float(B) * tgt.shape[0] * band_
     gcups = cells / dt / 1e9
     print(json.dumps({
         "metric": "banded_swipe_gcups",
