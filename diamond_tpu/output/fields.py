@@ -1,0 +1,194 @@
+"""Extended tabular field rendering.
+
+Field set from the reference registry (reference
+src/output/blast_tab_format.cpp:46-106).  Taxonomy fields resolve through an
+optional taxonomy provider.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from diamond_tpu.constants.alphabet import AMINO_ACID_ALPHABET
+from diamond_tpu.output.format import format_double, print_e
+
+
+@dataclass
+class FieldContext:
+    query_name: str
+    target_name: str
+    query_title: str
+    target_title: str
+    qlen: int               # translated query length for % coverage
+    qlen_source: int        # source (DNA) length for blastx
+    slen: int
+    qnum: int
+    snum: int
+    hsp_num: int
+    query: object = None    # letters (context frame)
+    target: object = None
+    matrix: object = None   # ScoreMatrix
+    taxonomy: object = None
+    dna_len: int = 0
+
+
+def _aligned_seqs(hsp, q, t, gapped: bool):
+    qs, ss = [], []
+    i, j = hsp.query_range[0], hsp.subject_range[0]
+    for op, val in hsp.transcript or []:
+        if op in ("M", "S"):
+            qs.append(AMINO_ACID_ALPHABET[int(q[i]) & 31])
+            ss.append(AMINO_ACID_ALPHABET[int(t[j]) & 31])
+            i += 1
+            j += 1
+        elif op == "I":
+            for _ in range(val):
+                qs.append(AMINO_ACID_ALPHABET[int(q[i]) & 31])
+                if gapped:
+                    ss.append("-")
+                i += 1
+        else:
+            if gapped:
+                qs.append("-")
+            ss.append(AMINO_ACID_ALPHABET[val & 31])
+            j += 1
+    return "".join(qs), "".join(ss)
+
+
+def _btop(hsp, q, t) -> str:
+    """BLAST traceback operations string."""
+    out = []
+    run = 0
+    i, j = hsp.query_range[0], hsp.subject_range[0]
+    for op, val in hsp.transcript or []:
+        if op == "M":
+            run += 1
+            i += 1
+            j += 1
+            continue
+        if run:
+            out.append(str(run))
+            run = 0
+        if op == "S":
+            out.append(AMINO_ACID_ALPHABET[int(q[i]) & 31]
+                       + AMINO_ACID_ALPHABET[val & 31])
+            i += 1
+            j += 1
+        elif op == "I":
+            for _ in range(val):
+                out.append(AMINO_ACID_ALPHABET[int(q[i]) & 31] + "-")
+                i += 1
+        else:
+            out.append("-" + AMINO_ACID_ALPHABET[val & 31])
+            j += 1
+    if run:
+        out.append(str(run))
+    return "".join(out)
+
+
+def _cigar(hsp) -> str:
+    out = []
+    cur_op, cur_n = None, 0
+    for op, val in hsp.transcript or []:
+        o = "M" if op in ("M", "S") else ("I" if op == "I" else "D")
+        n = val if op == "I" else 1
+        if o == cur_op:
+            cur_n += n
+        else:
+            if cur_op:
+                out.append(f"{cur_n}{cur_op}")
+            cur_op, cur_n = o, n
+    if cur_op:
+        out.append(f"{cur_n}{cur_op}")
+    return "".join(out)
+
+
+def render_field(f: str, hsp, ctx: FieldContext) -> str:
+    qr, sr = hsp.query_range, hsp.subject_range
+    if f == "qseqid":
+        return ctx.query_name
+    if f == "sseqid":
+        return ctx.target_name
+    if f == "qtitle":
+        return ctx.query_title
+    if f == "stitle":
+        return ctx.target_title
+    if f == "qlen":
+        return str(ctx.qlen_source or ctx.qlen)
+    if f == "slen":
+        return str(ctx.slen)
+    if f == "qnum":
+        return str(ctx.qnum)
+    if f == "snum":
+        return str(ctx.snum)
+    if f == "hspnum":
+        return str(ctx.hsp_num)
+    if f == "pident":
+        return format_double(hsp.identities * 100.0 / hsp.length)
+    if f == "nident":
+        return str(hsp.identities)
+    if f == "normalized_nident":
+        return format_double(hsp.identities * 100.0 / max(ctx.qlen, ctx.slen))
+    if f == "length":
+        return str(hsp.length)
+    if f == "mismatch":
+        return str(hsp.mismatches)
+    if f == "positive":
+        return str(hsp.positives)
+    if f == "ppos":
+        return format_double(hsp.positives * 100.0 / hsp.length)
+    if f == "gapopen":
+        return str(hsp.gap_openings)
+    if f == "gaps":
+        return str(hsp.gaps)
+    if f == "qstart":
+        return str(qr[0] + 1)
+    if f == "qend":
+        return str(qr[1])
+    if f == "sstart":
+        return str(sr[0] + 1)
+    if f == "send":
+        return str(sr[1])
+    if f == "evalue":
+        return print_e(hsp.evalue)
+    if f == "bitscore":
+        return format_double(hsp.bit_score)
+    if f == "corrected_bitscore":
+        return format_double(float(ctx.matrix.bitscore_corrected(
+            hsp.score, ctx.qlen, ctx.slen)))
+    if f == "score":
+        return str(hsp.score)
+    if f == "qcovhsp":
+        return format_double((qr[1] - qr[0]) * 100.0 / ctx.qlen)
+    if f == "scovhsp":
+        return format_double((sr[1] - sr[0]) * 100.0 / ctx.slen)
+    if f == "qframe":
+        return str((hsp.frame + 1) if hsp.frame < 3 else (2 - hsp.frame)) \
+            if ctx.dna_len else "0"
+    if f == "qstrand":
+        return "+" if hsp.frame < 3 else "-"
+    if f == "qseq":
+        return _aligned_seqs(hsp, ctx.query, ctx.target, False)[0]
+    if f == "sseq":
+        return _aligned_seqs(hsp, ctx.query, ctx.target, False)[1]
+    if f == "qseq_gapped":
+        return _aligned_seqs(hsp, ctx.query, ctx.target, True)[0]
+    if f == "sseq_gapped":
+        return _aligned_seqs(hsp, ctx.query, ctx.target, True)[1]
+    if f == "full_qseq":
+        from diamond_tpu.constants.alphabet import decode
+
+        return decode(ctx.query)
+    if f == "full_sseq":
+        from diamond_tpu.constants.alphabet import decode
+
+        return decode(ctx.target)
+    if f == "btop":
+        return _btop(hsp, ctx.query, ctx.target)
+    if f == "cigar":
+        return _cigar(hsp)
+    if f in ("staxids", "sscinames", "skingdoms", "sskingdoms", "sphylums",
+             "slineages"):
+        if ctx.taxonomy is None:
+            return ""
+        return ctx.taxonomy.render(f, ctx.target_name)
+    raise ValueError(f"Unsupported output field: {f}")

@@ -66,8 +66,12 @@ def format_match_line(query_name: str, target_name: str, hsp, fields=None,
 
 
 def format_results(results: dict, query_block, target_block, fields=None,
-                   dna_lens=None, query_names=None):
+                   dna_lens=None, query_names=None, matrix=None, taxonomy=None):
     """Yield output lines in query order (ReorderQueue semantics)."""
+    from diamond_tpu.output.fields import FieldContext, render_field
+
+    fields = fields or DEFAULT_FIELDS
+    simple = set(DEFAULT_FIELDS)
     n = len(query_names) if query_names is not None else len(query_block)
     for qid in range(n):
         matches = results.get(qid)
@@ -76,10 +80,27 @@ def format_results(results: dict, query_block, target_block, fields=None,
         qname = (query_names[qid] if query_names is not None
                  else query_block.seq_id(qid))
         dl = dna_lens[qid] if dna_lens is not None else 0
-        for m in matches:
+        if all(f in simple for f in fields):
+            for m in matches:
+                tname = target_block.seq_id(m.target_block_id)
+                for hsp in m.hsp:
+                    yield format_match_line(qname, tname, hsp, fields, dl)
+            continue
+        for snum, m in enumerate(matches):
             tname = target_block.seq_id(m.target_block_id)
-            for hsp in m.hsp:
-                yield format_match_line(qname, tname, hsp, fields, dl)
+            for hn, hsp in enumerate(m.hsp):
+                cid = qid * 6 + hsp.frame if dl else qid
+                ctx = FieldContext(
+                    query_name=qname, target_name=tname,
+                    query_title=(query_block.ids[cid] if not dl else qname),
+                    target_title=target_block.ids[m.target_block_id],
+                    qlen=int(query_block.lengths[cid]), qlen_source=dl,
+                    slen=int(target_block.lengths[m.target_block_id]),
+                    qnum=qid, snum=m.target_block_id, hsp_num=hn + 1,
+                    query=query_block.seq(cid),
+                    target=target_block.seq(m.target_block_id),
+                    matrix=matrix, taxonomy=taxonomy, dna_len=dl)
+                yield "\t".join(render_field(f, hsp, ctx) for f in fields)
 
 
 def render_pairwise(results: dict, query_block, target_block, matrix):
