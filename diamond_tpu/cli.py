@@ -66,6 +66,13 @@ def build_parser():
             sp.add_argument("--query-gencode", type=int, default=1)
             sp.add_argument("--frameshift", "-F", type=int, default=0)
 
+    sp = sub.add_parser("view", help="View DIAMOND alignment archive (DAA)")
+    sp.add_argument("--daa", "-a", required=True)
+    sp.add_argument("--out", "-o", default="-")
+    sp.add_argument("--outfmt", "-f", nargs="*", default=["6"])
+    sp.add_argument("--threads", "-p", type=int, default=1)
+    sp.add_argument("--max-target-seqs", "-k", type=int, default=25)
+
     sp = sub.add_parser("dbinfo", help="Print database info")
     sp.add_argument("--db", "-d", required=True)
 
@@ -166,6 +173,14 @@ def main(argv=None):
         cmd_blastp(args)
     elif args.command == "makedb":
         cmd_makedb(args)
+    elif args.command == "view":
+        from diamond_tpu.data.daa import view_daa
+
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
+        for line in view_daa(args.daa):
+            out.write(line + "\n")
+        if out is not sys.stdout:
+            out.close()
     elif args.command == "dbinfo":
         cmd_dbinfo(args)
     elif args.command == "version":

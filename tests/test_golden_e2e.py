@@ -103,3 +103,11 @@ def test_blastp_k3_top10_blosum50_golden():
 def test_blastp_mid_sens_golden():
     assert run_blastp(f"{TD}/3.faa", f"{TD}/4.faa", sensitivity="mid-sensitive") == \
         golden("blastp-mid-sens.out")
+
+
+@pytest.mark.slow
+def test_view_daa_golden():
+    """view: render test.daa as tabular (reference view.out)."""
+    from diamond_tpu.data.daa import view_daa
+
+    assert view_daa(f"{TD}/test.daa") == golden("view.out")
