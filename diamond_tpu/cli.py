@@ -39,6 +39,8 @@ def build_parser():
         sp.add_argument("--masking", default="tantan")
         sp.add_argument("--motif-masking", type=int, default=None)
         sp.add_argument("--index-chunks", "-c", type=int, default=None)
+        sp.add_argument("--daa-build-version", type=int, default=0)
+        sp.add_argument("--no-auto-append", action="store_true")
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
@@ -91,6 +93,10 @@ def build_parser():
     sp.add_argument("--seq", nargs="*", default=[])
     sp.add_argument("--out", "-o", default="-")
 
+    sp = sub.add_parser("merge-daa", help="Merge DAA archives")
+    sp.add_argument("--in", dest="infiles", nargs="+", required=True)
+    sp.add_argument("--out", "-o", required=True)
+
     return p
 
 
@@ -132,12 +138,41 @@ def cmd_blastp(args):
     )
     pipe = Pipeline(cfg, qb, tb)
     results = pipe.search()
-    fields = _parse_fields(args.outfmt)
+    if args.outfmt and args.outfmt[0] in ("100", "daa"):
+        from diamond_tpu.data.daa import write_daa
+
+        if args.out == "-":
+            raise SystemExit("DAA output requires an output file (-o)")
+
+        write_daa(args.out, results, qb, tb, cfg.matrix, cfg.max_evalue,
+                  build_version=getattr(args, "daa_build_version", 0))
+        return
     out = sys.stdout if args.out == "-" else open(args.out, "w")
-    for line in format_results(results, qb, tb, fields):
-        out.write(line + "\n")
+    write_results(out, args.outfmt, results, qb, tb, cfg.matrix)
     if out is not sys.stdout:
         out.close()
+
+
+def write_results(out, outfmt, results, qb, tb, matrix, **fmt_kw):
+    """Dispatch on -f format code (reference output/output_format.cpp:148)."""
+    from diamond_tpu.output.tabular import (format_results, render_paf,
+                                            render_pairwise)
+
+    code = outfmt[0] if outfmt else "6"
+    if code in ("100", "daa"):
+        raise SystemExit("DAA output requires -o FILE (binary); "
+                         "handled by the caller")
+    if code in ("6", "tab"):
+        fields = _parse_fields(outfmt)
+        for line in format_results(results, qb, tb, fields, matrix=matrix,
+                                   **fmt_kw):
+            out.write(line + "\n")
+    elif code in ("0", "pairwise"):
+        out.write(render_pairwise(results, qb, tb, matrix))
+    elif code in ("103", "paf"):
+        out.write(render_paf(results, qb, tb, matrix))
+    else:
+        raise SystemExit(f"Unsupported output format: {code}")
 
 
 def _parse_fields(outfmt):
@@ -185,6 +220,10 @@ def main(argv=None):
         cmd_dbinfo(args)
     elif args.command == "version":
         print("diamond-tpu version 0.1.0 (reference compatibility: 2.2.2)")
+    elif args.command == "merge-daa":
+        from diamond_tpu.data.daa import merge_daa
+
+        merge_daa(args.infiles, args.out)
     elif args.command in ("cluster", "linclust", "deepclust"):
         from diamond_tpu.cluster.workflow import run_cluster
 

@@ -132,6 +132,168 @@ def read_transcript(data: bytes, pos: int):
     return ops, pos
 
 
+def _get_length_flag(x: int) -> int:
+    """Width code for write_packed (reference output/output.h:28-38)."""
+    if x <= 0xFF:
+        return 0
+    if x <= 0xFFFF:
+        return 1
+    return 2
+
+
+def _write_packed(out: bytearray, x: int):
+    if x <= 0xFF:
+        out.append(x)
+    elif x <= 0xFFFF:
+        out += struct.pack("<H", x)
+    else:
+        out += struct.pack("<I", x)
+
+
+def write_daa(path: str, results: dict, query_block, target_block, matrix,
+              max_evalue: float, db_seqs: int | None = None,
+              db_letters: int | None = None, build_version: int = 0,
+              mode: int = 2, query_names=None, query_letters=None):
+    """Write a DAA archive byte-compatible with the reference
+    (reference legacy/daa/daa_write.cpp:29-115, daa_file.h:41-92).
+
+    results: {query_id: [Match, ...]} with backtraced HSPs.
+    query_letters: optional callable qid -> unmasked letters (defaults to
+    block.unmasked / block letters)."""
+    if db_seqs is None:
+        db_seqs = len(target_block)
+    if db_letters is None:
+        db_letters = target_block.n_letters
+
+    dict_ids: dict[int, int] = {}   # target block id -> dict id
+    records = bytearray()
+    query_records = 0
+
+    def qletters(qid):
+        if query_letters is not None:
+            return query_letters(qid)
+        src = (query_block.unmasked if query_block.unmasked is not None
+               else query_block.letters)
+        s = int(query_block.starts[qid])
+        return src[s : s + int(query_block.lengths[qid])]
+
+    n = len(query_names) if query_names is not None else len(query_block)
+    for qid in range(n):
+        matches = results.get(qid)
+        if not matches:
+            continue
+        query_records += 1
+        qname = (query_names[qid] if query_names is not None
+                 else query_block.seq_id(qid))
+        qseq = np.asarray(qletters(qid)) & 31
+        rec = bytearray()
+        rec += struct.pack("<I", len(qseq))
+        rec += qname.encode() + b"\x00"
+        rec.append(0)  # flags: no N (protein 5-bit packing)
+        rec += pack_sequence(qseq, 5)
+        for m in matches:
+            tid = m.target_block_id
+            if tid not in dict_ids:
+                dict_ids[tid] = len(dict_ids)
+            for hsp in m.hsp:
+                qbegin = hsp.query_range[0]
+                sbegin = hsp.subject_range[0]
+                rec += struct.pack("<I", dict_ids[tid])
+                flag = (_get_length_flag(hsp.score)
+                        | (_get_length_flag(qbegin) << 2)
+                        | (_get_length_flag(sbegin) << 4)
+                        | ((1 if hsp.frame > 2 else 0) << 6))
+                rec.append(flag)
+                _write_packed(rec, hsp.score)
+                _write_packed(rec, qbegin)
+                _write_packed(rec, sbegin)
+                rec += pack_transcript(merge_match_ops(hsp.transcript or []))
+        records += struct.pack("<I", len(rec))
+        records += rec
+
+    records += struct.pack("<I", 0)  # terminator
+
+    names_block = bytearray()
+    lens_block = bytearray()
+    for tid in dict_ids:  # insertion order == dict id order
+        names_block += target_block.ids[tid].encode() + b"\x00"
+        lens_block += struct.pack("<I", int(target_block.lengths[tid]))
+
+    h2 = struct.pack(
+        H2_STRUCT,
+        build_version if build_version else 182,
+        db_seqs, len(dict_ids), db_letters, 0, query_records,
+        mode, matrix.gap_open, matrix.gap_extend, 0, 0, 0, 0, 0,
+        float(matrix.k), float(matrix.lam), float(max_evalue), 0.0,
+        matrix.name.lower().encode(),
+        *( [len(records), len(names_block), len(lens_block)] + [0] * 253 ),
+        bytes([1, 2, 3] + [0] * 253),
+    )
+    with open(path, "wb") as f:
+        f.write(struct.pack("<QQ", MAGIC, VERSION))
+        f.write(h2)
+        f.write(records)
+        f.write(names_block)
+        f.write(lens_block)
+
+
+def merge_daa(paths: list, out_path: str):
+    """Concatenate DAA archives (the reference merge-daa command,
+    reference legacy/daa/merge.cpp): records appended, dictionaries remapped."""
+    readers = [DaaReader(p) for p in paths]
+    h0 = readers[0].h
+    name_to_id: dict[str, int] = {}
+    names: list[str] = []
+    lens: list[int] = []
+    records = bytearray()
+    query_records = 0
+    for r in readers:
+        remap = []
+        for name, ln in zip(r.ref_names, r.ref_lens):
+            if name not in name_to_id:
+                name_to_id[name] = len(names)
+                names.append(name)
+                lens.append(ln)
+            remap.append(name_to_id[name])
+        query_records += r.h.query_records
+        for qname, qseq, matches in r.queries():
+            rec = bytearray()
+            rec += struct.pack("<I", len(qseq))
+            rec += qname.encode() + b"\x00"
+            rec.append(0)
+            rec += pack_sequence(np.asarray(qseq) & 31, 5)
+            for sid, flag, score, qbegin, sbegin, ops in matches:
+                rec += struct.pack("<I", remap[sid])
+                rec.append(flag)
+                _write_packed(rec, score)
+                _write_packed(rec, qbegin)
+                _write_packed(rec, sbegin)
+                rec += pack_transcript(ops)
+            records += struct.pack("<I", len(rec))
+            records += rec
+    records += struct.pack("<I", 0)
+    names_block = bytearray()
+    lens_block = bytearray()
+    for name, ln in zip(names, lens):
+        names_block += name.encode() + b"\x00"
+        lens_block += struct.pack("<I", ln)
+    rv = readers[0].raw_vals
+    h2 = struct.pack(
+        H2_STRUCT,
+        h0.diamond_build, h0.db_seqs, len(names), h0.db_letters, rv[4],
+        query_records, *rv[6:18],
+        rv[18],
+        *( [len(records), len(names_block), len(lens_block)] + [0] * 253 ),
+        bytes([1, 2, 3] + [0] * 253),
+    )
+    with open(out_path, "wb") as f:
+        f.write(struct.pack("<QQ", MAGIC, VERSION))
+        f.write(h2)
+        f.write(records)
+        f.write(names_block)
+        f.write(lens_block)
+
+
 class DaaReader:
     def __init__(self, path: str):
         with open(path, "rb") as f:
@@ -142,6 +304,7 @@ class DaaReader:
         if version > VERSION:
             raise ValueError("DAA version requires later version of DIAMOND.")
         vals = struct.unpack_from(H2_STRUCT, self.data, 16)
+        self.raw_vals = vals
         h = DaaHeader()
         (h.diamond_build, h.db_seqs, h.db_seqs_used, h.db_letters, h.flags,
          h.query_records) = vals[:6]

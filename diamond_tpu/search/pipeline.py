@@ -46,6 +46,8 @@ class PipelineContext:
 
 def mask_block(block: Block, masker: Tantan):
     """Hard tantan masking in place (reference double_indexed.cpp:122-127,737-741)."""
+    if block.unmasked is None:
+        block.save_unmasked()
     for i in range(len(block)):
         s = int(block.starts[i])
         L = int(block.lengths[i])
