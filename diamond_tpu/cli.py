@@ -59,6 +59,9 @@ def build_parser():
     sp.add_argument("--in", dest="infile", required=True)
     sp.add_argument("--db", "-d", required=True)
     sp.add_argument("--masking", default="tantan")
+    sp.add_argument("--taxonmap", default=None)
+    sp.add_argument("--taxonnodes", default=None)
+    sp.add_argument("--taxonnames", default=None)
 
     for cmd in ("blastp", "blastx"):
         sp = sub.add_parser(cmd, help=f"{cmd} alignment search")
@@ -100,17 +103,21 @@ def build_parser():
     return p
 
 
-def load_block(path):
+def load_block(path, with_taxonomy: bool = False):
     from diamond_tpu.data.block import Block
     from diamond_tpu.data.dmnd import is_dmnd, read_dmnd
     from diamond_tpu.data.fasta import read_seqs
 
     if is_dmnd(path):
+        if with_taxonomy:
+            ids, seqs, tax = read_dmnd(path, with_taxonomy=True)
+            return Block.from_sequences([s & 31 for s in seqs], ids), tax
         ids, seqs = read_dmnd(path)
-        return Block.from_sequences(seqs, ids)
+        return Block.from_sequences([s & 31 for s in seqs], ids)
     recs = list(read_seqs(path))
-    return Block.from_sequences([r[1].upper() for r in recs],
-                                [r[0] for r in recs])
+    b = Block.from_sequences([r[1].upper() for r in recs],
+                             [r[0] for r in recs])
+    return (b, None) if with_taxonomy else b
 
 
 def cmd_blastp(args):
@@ -120,7 +127,7 @@ def cmd_blastp(args):
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
     qb = load_block(args.query)
-    tb = load_block(args.db)
+    tb, taxonomy = load_block(args.db, with_taxonomy=True)
     cfg = SearchConfig(
         matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
         sensitivity=args.sensitivity,
@@ -148,7 +155,8 @@ def cmd_blastp(args):
                   build_version=getattr(args, "daa_build_version", 0))
         return
     out = sys.stdout if args.out == "-" else open(args.out, "w")
-    write_results(out, args.outfmt, results, qb, tb, cfg.matrix)
+    write_results(out, args.outfmt, results, qb, tb, cfg.matrix,
+                  taxonomy=taxonomy)
     if out is not sys.stdout:
         out.close()
 
@@ -190,7 +198,9 @@ def cmd_makedb(args):
     write_dmnd(args.db if args.db.endswith(".dmnd") else args.db + ".dmnd",
                ((i, s.decode() if isinstance(s, bytes) else s)
                 for i, s in read_seqs(args.infile)),
-               mask_bit=args.masking != "0")
+               mask_bit=args.masking != "0",
+               taxonmap=args.taxonmap, taxonnodes=args.taxonnodes,
+               taxonnames=args.taxonnames)
 
 
 def cmd_dbinfo(args):

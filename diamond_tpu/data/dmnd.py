@@ -37,8 +37,9 @@ class DmndHeader:
     pos_array_offset: int
 
 
-def read_dmnd(path: str):
-    """Returns (ids, seqs int8 arrays with soft-mask bit preserved)."""
+def read_dmnd(path: str, with_taxonomy: bool = False):
+    """Returns (ids, seqs int8 arrays with soft-mask bit preserved)
+    or (ids, seqs, Taxonomy) when with_taxonomy."""
     with open(path, "rb") as f:
         data = f.read()
     magic, build, dbv, nseq, letters, pos_off = struct.unpack_from("<QIIQQQ", data, 0)
@@ -48,6 +49,21 @@ def read_dmnd(path: str):
         raise ValueError("Database was built with a newer version.")
     # header2
     (h2size,) = struct.unpack_from("<Q", data, 40)
+    tax = None
+    if with_taxonomy:
+        from diamond_tpu.data.taxonomy import (Taxonomy, TaxonomyNodes,
+                                               deserialize_names,
+                                               deserialize_taxon_list)
+
+        tax = Taxonomy()
+        (tax_off, tax_size, nodes_off, names_off) = struct.unpack_from(
+            "<QQQQ", data, 64)
+        if tax_off:
+            tax.taxon_lists, _ = deserialize_taxon_list(data, tax_off, nseq)
+        if nodes_off:
+            tax.nodes, _ = TaxonomyNodes.deserialize(data, nodes_off, build)
+        if names_off:
+            tax.names, _ = deserialize_names(data, names_off)
     # sequences via pos array
     infos = []
     off = pos_off
@@ -63,18 +79,25 @@ def read_dmnd(path: str):
         id_end = data.index(b"\x00", id_start)
         ids.append(data[id_start:id_end].decode())
         seqs.append(seq)
+    if with_taxonomy:
+        return ids, seqs, tax
     return ids, seqs
 
 
-def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD):
+def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD,
+               taxonmap: str | None = None, taxonnodes: str | None = None,
+               taxonnames: str | None = None):
     """records: iterable of (id, sequence str/bytes/int8 array).
 
     mask_bit: apply tantan soft masking (bit 7) like the reference makedb
-    (reference dmnd.cpp:282-286 via mask_seqs hard_mask=false)."""
+    (reference dmnd.cpp:282-286 via mask_seqs hard_mask=false).
+    taxonmap/taxonnodes/taxonnames: taxonomy inputs appended as DMND blocks
+    (reference dmnd.cpp:300-340, taxon_list.cpp, taxonomy_nodes.cpp)."""
     from diamond_tpu.masking.tantan import Tantan
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
     masker = Tantan(ScoreMatrix("BLOSUM62").matrix32) if mask_bit else None
+    titles = []
     with open(path, "wb") as f:
         f.write(b"\x00" * (40 + 56))  # headers placeholder
         offset = 96
@@ -91,6 +114,7 @@ def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD):
                 e[prob >= masker.p_mask] = np.bitwise_or(
                     e[prob >= masker.p_mask], np.int8(-128))
             pos_array.append((offset, len(e)))
+            titles.append(sid)
             sid_b = sid.encode()
             f.write(b"\xff")
             f.write(e.tobytes())
@@ -103,13 +127,31 @@ def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD):
         for pos, slen in pos_array:
             f.write(struct.pack("<QII", pos, slen, 0))
         f.write(struct.pack("<QII", offset, 0, 0))
+        # taxonomy blocks (after the pos array, reference dmnd.cpp:300-340)
+        tax_off = tax_size = nodes_off = names_off = 0
+        if taxonmap:
+            from diamond_tpu.data import taxonomy as taxmod
+
+            lists = taxmod.build_taxon_list(titles, taxonmap)
+            blob = taxmod.serialize_taxon_list(lists)
+            tax_off = f.tell()
+            tax_size = len(blob)
+            f.write(blob)
+            if taxonnodes:
+                nodes = taxmod.TaxonomyNodes.from_dmp(taxonnodes)
+                nodes_off = f.tell()
+                f.write(nodes.serialize())
+                if taxonnames:
+                    names = taxmod.build_names(taxonnames, len(nodes.parent))
+                    names_off = f.tell()
+                    f.write(taxmod.serialize_names(names))
         # headers
         f.seek(0)
         f.write(struct.pack("<QIIQQQ", MAGIC, build, DB_VERSION_PROT, n,
                             letters, pos_off))
         f.write(struct.pack("<Q", 48))
         f.write(b"\x00" * 16)  # hash (not yet computed)
-        f.write(struct.pack("<QQQQ", 0, 0, 0, 0))
+        f.write(struct.pack("<QQQQ", tax_off, tax_size, nodes_off, names_off))
 
 
 def is_dmnd(path: str) -> bool:

@@ -188,7 +188,41 @@ def render_field(f: str, hsp, ctx: FieldContext) -> str:
         return _cigar(hsp)
     if f in ("staxids", "sscinames", "skingdoms", "sskingdoms", "sphylums",
              "slineages"):
-        if ctx.taxonomy is None:
-            return ""
-        return ctx.taxonomy.render(f, ctx.target_name)
+        return _taxon_field(f, ctx)
     raise ValueError(f"Unsupported output field: {f}")
+
+
+def _taxon_field(f: str, ctx: FieldContext) -> str:
+    """Taxonomy fields (reference blast_tab_format.cpp:404-556,
+    sequence_file.h:317-332)."""
+    from diamond_tpu.data.taxonomy import (RANK_KINGDOM, RANK_PHYLUM,
+                                           RANK_SUPERKINGDOM)
+
+    tax = ctx.taxonomy
+    if tax is None:
+        raise ValueError(f"Field {f} requires taxonomy in the database "
+                         "(--taxonmap/--taxonnodes/--taxonnames at makedb)")
+    taxids = tax.taxids(ctx.snum)
+    if f == "staxids":
+        return ";".join(str(t) for t in taxids)
+    if f == "sscinames":
+        return tax.print_names(taxids)
+    rank = {"sskingdoms": RANK_SUPERKINGDOM, "skingdoms": RANK_KINGDOM,
+            "sphylums": RANK_PHYLUM}.get(f)
+    if rank is not None:
+        if not taxids:
+            return "N/A"
+        return tax.print_names(tax.rank_taxids(taxids, rank))
+    # slineages (reference blast_tab_format.cpp:149-186)
+    if tax.nodes is None:
+        raise RuntimeError(
+            "Options require taxonomy nodes information built into the "
+            "database (--taxonnodes option of makedb)")
+    if not taxids:
+        return "N/A"
+    lineages = sorted({tuple(tax.nodes.lineage(t)) for t in taxids
+                       if tax.nodes.lineage(t)})
+    if not lineages:
+        return "N/A"
+    return "<>".join(";".join(tax.scientific_name(t) for t in lin)
+                     for lin in lineages)
