@@ -96,8 +96,11 @@ def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD,
     from diamond_tpu.masking.tantan import Tantan
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
+    from diamond_tpu.utils.murmur3 import murmur3_x64_128
+
     masker = Tantan(ScoreMatrix("BLOSUM62").matrix32) if mask_bit else None
     titles = []
+    db_hash = b"\x00" * 16
     with open(path, "wb") as f:
         f.write(b"\x00" * (40 + 56))  # headers placeholder
         offset = 96
@@ -116,6 +119,8 @@ def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD,
             pos_array.append((offset, len(e)))
             titles.append(sid)
             sid_b = sid.encode()
+            db_hash = murmur3_x64_128(e.tobytes(), db_hash)
+            db_hash = murmur3_x64_128(sid_b, db_hash)
             f.write(b"\xff")
             f.write(e.tobytes())
             f.write(b"\xff")
@@ -150,7 +155,7 @@ def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD,
         f.write(struct.pack("<QIIQQQ", MAGIC, build, DB_VERSION_PROT, n,
                             letters, pos_off))
         f.write(struct.pack("<Q", 48))
-        f.write(b"\x00" * 16)  # hash (not yet computed)
+        f.write(db_hash)
         f.write(struct.pack("<QQQQ", tax_off, tax_size, nodes_off, names_off))
 
 
