@@ -156,12 +156,16 @@ def cmd_blastp(args):
         return
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     write_results(out, args.outfmt, results, qb, tb, cfg.matrix,
-                  taxonomy=taxonomy)
+                  taxonomy=taxonomy, db_path=args.db,
+                  max_evalue=cfg.max_evalue,
+                  invocation=" ".join(sys.argv))
     if out is not sys.stdout:
         out.close()
 
 
-def write_results(out, outfmt, results, qb, tb, matrix, **fmt_kw):
+def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
+                  db_path="", max_evalue=0.001, invocation="",
+                  program="blastp", **fmt_kw):
     """Dispatch on -f format code (reference output/output_format.cpp:148)."""
     from diamond_tpu.output.tabular import (format_results, render_paf,
                                             render_pairwise)
@@ -173,12 +177,22 @@ def write_results(out, outfmt, results, qb, tb, matrix, **fmt_kw):
     if code in ("6", "tab"):
         fields = _parse_fields(outfmt)
         for line in format_results(results, qb, tb, fields, matrix=matrix,
-                                   **fmt_kw):
+                                   taxonomy=taxonomy, **fmt_kw):
             out.write(line + "\n")
     elif code in ("0", "pairwise"):
         out.write(render_pairwise(results, qb, tb, matrix))
     elif code in ("103", "paf"):
         out.write(render_paf(results, qb, tb, matrix))
+    elif code in ("5", "xml"):
+        from diamond_tpu.output.xml import render_xml
+
+        out.write(render_xml(results, qb, tb, matrix, db_path, max_evalue,
+                             program=program, **fmt_kw))
+    elif code in ("101", "sam"):
+        from diamond_tpu.output.sam import render_sam
+
+        out.write(render_sam(results, qb, tb, matrix, invocation,
+                             program=program, **fmt_kw))
     else:
         raise SystemExit(f"Unsupported output format: {code}")
 
