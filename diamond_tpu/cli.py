@@ -193,6 +193,11 @@ def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
 
         out.write(render_sam(results, qb, tb, matrix, invocation,
                              program=program, **fmt_kw))
+    elif code in ("102",):
+        from diamond_tpu.output.taxon import render_taxon
+
+        for line in render_taxon(results, qb, tb, taxonomy, **fmt_kw):
+            out.write(line + "\n")
     else:
         raise SystemExit(f"Unsupported output format: {code}")
 
