@@ -91,6 +91,10 @@ class Hsp:
     transcript: list | None = None
     backtraced: bool = False
     frame: int = 0
+    # counts from the reversed stats pass (reference BackwardCell), used by
+    # formats that don't request the transcript (default -f6)
+    mismatches_stats: int | None = None
+    gap_openings_stats: int | None = None
 
     def sort_key(self):
         # Hsp::operator< (reference match.h:199-202)
@@ -450,6 +454,30 @@ def _append_hits(targets: list, new: list, cfg, mat) -> bool:
     return new_hits
 
 
+def _reverse_pass_stats(q, use_bias, tgt, d_begin, d_end, fwd, tm,
+                        gap_open, gap_extend):
+    """Reversed-DP mismatch/gap-open counts (reference
+    swipe_wrapper.cpp:364-430 recompute_reversed + stat_cell.h BackwardCell):
+    the reference reports mismatches/gap openings from a stats pass over the
+    reversed query and reversed target prefix, whose stat blending keeps
+    already-held values on ties — a different cooptimal path than the
+    trace-mask walk.  The reversed pass's end cell is the forward
+    alignment's start cell.  Returns (score, mismatch, gapopen) or None."""
+    from diamond_tpu.ops.banded_swipe import backward_stats_np
+
+    qlen = len(q)
+    send = fwd.subject_range[1]
+    q_rev = np.ascontiguousarray(q[::-1])
+    t_rev = np.ascontiguousarray(tgt[:send][::-1])
+    b_rev = None if use_bias is None else np.ascontiguousarray(use_bias[::-1])
+    d0 = qlen - send - (d_end - 1)
+    d1 = qlen - send - d_begin + 1
+    i_end = qlen - 1 - fwd.query_range[0]
+    j_end = send - 1 - fwd.subject_range[0]
+    return backward_stats_np(q_rev, t_rev, d0, d1, tm, b_rev, gap_open,
+                             gap_extend, i_end, j_end)
+
+
 def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                      matrices=None):
     cfg = ctx.cfg
@@ -490,6 +518,13 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                 positives=r.positives, gap_openings=r.gap_openings,
                 gaps=r.gaps, length=r.length, transcript=r.transcript,
                 backtraced=True)
+        # KNOWN DELTA: the reference reports mismatch/gapopen for stats-only
+        # formats from a reversed BackwardCell pass (swipe_wrapper.cpp:
+        # 364-430) whose cooptimal-path tie resolution coincides with this
+        # forward traceback in 2069/2071 golden lines; the remaining two
+        # (one tie-rich 1.9k-residue pair) differ by one gap placement.
+        # _reverse_pass_stats/backward_stats_np implement candidate
+        # semantics but none reproduces all lines yet.
         m = Match(target_block_id=block_id, hsp=[h])
         m.set_filter()
         out.append(m)

@@ -53,8 +53,14 @@ class BandedResult:
 def banded_swipe_np(query: np.ndarray, target: np.ndarray, d_begin: int, d_end: int,
                     matrix32: np.ndarray, bias: np.ndarray | None,
                     gap_open: int, gap_extend: int,
-                    traceback: bool = False) -> BandedResult:
-    """Reference-exact banded SW for one (query, target) pair."""
+                    traceback: bool = False,
+                    tb_cell: tuple | None = None) -> BandedResult:
+    """Reference-exact banded SW for one (query, target) pair.
+
+    tb_cell=(i, j, score): force the traceback to start from the given
+    (query pos, subject pos) cell with the given end score — used by the
+    reversed stats pass, whose end cell is pinned to the forward pass's
+    alignment start (reference swipe_wrapper.cpp:364-430)."""
     qlen, tlen = len(query), len(target)
     band = d_end - d_begin
     go = gap_open + gap_extend
@@ -138,11 +144,126 @@ def banded_swipe_np(query: np.ndarray, target: np.ndarray, d_begin: int, d_end: 
 
     res = BandedResult(score=int(best), max_col=int(max_col),
                        max_row=int(max_col + d_begin + max_row_band))
-    if not traceback or best == 0:
+    if tb_cell is not None:
+        res.max_row, res.max_col, res.score = tb_cell
+    if not traceback or res.score == 0:
         return res
     _traceback(res, query, target, d_begin, d_end, matrix32, b, go, ge,
                gapv, gaph, openv, openh)
     return res
+
+
+def backward_stats_np(query, target, d_begin, d_end, matrix32, bias,
+                      gap_open: int, gap_extend: int, cell_i: int,
+                      cell_j: int):
+    """Mismatch/gap-open stat propagation of the reference's reversed pass
+    (reference dp/swipe/cell_update.h:102-141, stat_cell.h BackwardCell,
+    swipe_wrapper.cpp:364-430): ties keep the already-held stats, so the
+    effective priority is diagonal > horizontal gap > vertical gap, the
+    opposite of the trace-mask walk.  Returns (score, mismatch, gapopen) at
+    the pinned cell (the forward alignment's start, in reversed coords)."""
+    qlen, tlen = len(query), len(target)
+    band = d_end - d_begin
+    go = gap_open + gap_extend
+    ge = gap_extend
+    q = np.asarray(query).astype(np.int64) & 31
+    t = np.asarray(target).astype(np.int64) & 31
+    b = (np.zeros(qlen, dtype=np.int64) if bias is None
+         else np.asarray(bias).astype(np.int64))
+    sub = matrix32[q] + b[:, None]
+
+    NEGB = -(10 ** 9)
+    Hv = np.zeros(band, np.int64)
+    Hm = np.zeros(band, np.int64)
+    Hg = np.zeros(band, np.int64)
+    Ev = np.zeros(band + 1, np.int64)
+    Em = np.zeros(band + 1, np.int64)
+    Eg = np.zeros(band + 1, np.int64)
+    r_ar = np.arange(band, dtype=np.int64)
+    r_ge = r_ar * ge
+    out = None
+
+    for j in range(tlen):
+        i_lo = j + d_begin
+        r_lo = max(0, -i_lo)
+        r_hi = min(band, qlen - i_lo)
+        if r_lo >= r_hi:
+            Hv[:] = 0; Hm[:] = 0; Hg[:] = 0
+            Ev[:band] = 0; Em[:band] = 0; Eg[:band] = 0
+            continue
+        tl = t[j]
+        scores = np.full(band, NEGB, dtype=np.int64)
+        scores[r_lo:r_hi] = sub[i_lo + r_lo : i_lo + r_hi, tl]
+        mism = np.zeros(band, np.int64)
+        mism[r_lo:r_hi] = (q[i_lo + r_lo : i_lo + r_hi] != tl)
+
+        # diagonal candidate
+        dv = Hv + scores
+        dm = Hm + mism
+        dg = Hg.copy()
+        # horizontal gap (strict: E replaces only when strictly greater)
+        ev, em, eg = Ev[:band], Em[:band], Eg[:band]
+        take_e = ev > dv
+        cv0 = np.where(take_e, ev, dv)
+        cm0 = np.where(take_e, em, dm)
+        cg0 = np.where(take_e, eg, dg)
+        # zero floor for the pre-F cell (used for the F open chain)
+        neg = cv0 < 0
+        cv0 = np.where(neg, 0, cv0)
+        cm0 = np.where(cv0 == 0, 0, cm0)
+        cg0 = np.where(cv0 == 0, 0, cg0)
+        cv0[:r_lo] = 0; cm0[:r_lo] = 0; cg0[:r_lo] = 0
+        cv0[r_hi:] = 0; cm0[r_hi:] = 0; cg0[r_hi:] = 0
+        # vertical gap: lazy chain over rows above; strict ties keep the
+        # extension, so the winner is the FIRST row attaining the chain max
+        g = cv0 - go + r_ge
+        g[:r_lo] = NEGB
+        gm = np.maximum.accumulate(g)
+        # winner[r] = first row attaining the running max = the last row
+        # where the running max strictly increased (strict ties keep the
+        # already-held gap, i.e. the earlier open)
+        inc = np.empty(band, dtype=bool)
+        inc[0] = True
+        inc[1:] = g[1:] > gm[:-1]
+        winner = np.maximum.accumulate(np.where(inc, r_ar, -1))
+        Fv = np.zeros(band, np.int64)
+        Fm = np.zeros(band, np.int64)
+        Fg = np.zeros(band, np.int64)
+        Fv[1:] = np.maximum(gm[:-1] - r_ge[:-1], 0)
+        w = winner[:-1]
+        valid = w >= 0
+        wc = np.where(valid, w, 0)
+        Fm[1:] = np.where(valid, cm0[wc], 0)
+        Fg[1:] = np.where(valid, cg0[wc] + 1, 0)
+        Fv[: r_lo + 1] = 0; Fm[: r_lo + 1] = 0; Fg[: r_lo + 1] = 0
+        take_f = Fv > cv0
+        cv = np.where(take_f, Fv, cv0)
+        cm = np.where(take_f, Fm, cm0)
+        cg = np.where(take_f, Fg, cg0)
+        cv[:r_lo] = 0; cv[r_hi:] = 0
+        cm = np.where(cv == 0, 0, cm)
+        cg = np.where(cv == 0, 0, cg)
+
+        if j == cell_j:
+            r = cell_i - i_lo
+            if 0 <= r < band:
+                out = (int(cv[r]), int(cm[r]), int(cg[r]))
+
+        # next column's horizontal gaps (strict: open replaces only when
+        # strictly greater); opens come from the final (F-included) cell
+        ov = cv - go
+        e2 = ev - ge
+        take_o = ov > e2
+        nEv = np.where(take_o, ov, e2)
+        nEm = np.where(take_o, cm, em)
+        nEg = np.where(take_o, cg + 1, eg)
+        nEv = np.maximum(nEv, 0)
+        nEv[:r_lo] = 0
+        nEv[r_hi:] = 0
+        Hv, Hm, Hg = cv, cm, cg
+        Ev[: band - 1] = nEv[1:]; Em[: band - 1] = nEm[1:]; Eg[: band - 1] = nEg[1:]
+        Ev[band - 1 :] = 0; Em[band - 1 :] = 0; Eg[band - 1 :] = 0
+    return out
 
 
 def _traceback(res, query, target, d_begin, d_end, matrix32, bias, go, ge,

@@ -39,9 +39,13 @@ def format_match_line(query_name: str, target_name: str, hsp, fields=None,
         elif f == "length":
             out.append(str(hsp.length))
         elif f == "mismatch":
-            out.append(str(hsp.mismatches))
+            # stats-pass counts (reference BackwardCell) when no transcript
+            # was requested by the field set
+            m = getattr(hsp, "mismatches_stats", None)
+            out.append(str(hsp.mismatches if m is None else m))
         elif f == "gapopen":
-            out.append(str(hsp.gap_openings))
+            g = getattr(hsp, "gap_openings_stats", None)
+            out.append(str(hsp.gap_openings if g is None else g))
         elif f == "gaps":
             out.append(str(hsp.gaps))
         elif f == "ppos":

@@ -124,9 +124,15 @@ class Pipeline:
             if saved_t is not None:
                 restore_ranges(self.t.letters, saved_t)
 
-            # drop query seeds at SEED_MASKed positions
-            keep = ~self.query_seed_mask[q_pos]
-            q_keys_f, q_pos_f = q_keys[keep], q_pos[keep]
+            # SEED_MASK bits never affect enumeration: the reference's
+            # Sequence::operator[] strips mask bits before reduction
+            # (reference basic/sequence.h:79-86 under SEQ_MASK), so seeds at
+            # masked positions are still found by later shapes.  The bits
+            # only exclude positions from the left-most filter's
+            # "an earlier shape would have found this" claims
+            # (reference search/sse_dist.h:157-190 seed_mask,
+            # left_most.h:90-103).
+            q_keys_f, q_pos_f = q_keys, q_pos
 
             # extend query seed mask by motif windows (reference
             # MaskingTable::remove add_bit_mask, masking.cpp:86-97)
