@@ -122,6 +122,7 @@ class SeedHit:
     i: int
     j: int
     score: int
+    frame: int = 0
 
     @property
     def diag(self):
@@ -131,15 +132,16 @@ class SeedHit:
 def load_hits(hits, target_block):
     """Group per-query hits by target (reference load_hits.h:43-139).
 
-    hits: array of (subject_global_pos, seed_offset, score) for one query.
-    Returns (target_ids, seed_hit_groups, target_scores) with targets in
-    ascending subject-position order."""
+    hits: array of (subject_global_pos, seed_offset, score[, frame]) for one
+    source query.  Returns (target_ids, seed_hit_groups, target_scores) with
+    targets in ascending subject-position order."""
     if len(hits) == 0:
         return [], [], []
-    a = np.asarray(hits, dtype=np.int64)  # [N, 3]: gpos, seed_off, score
+    a = np.asarray(hits, dtype=np.int64)  # [N,3/4]: gpos, seed_off, score[, frame]
     order = np.lexsort((a[:, 1], a[:, 0]))  # CmpSubject (same query)
     a = a[order]
     t_all, j_all = target_block.global_to_local(a[:, 0])
+    has_frame = a.shape[1] > 3
     tids, groups, scores = [], [], []
     cur_t = -1
     for k in range(len(a)):
@@ -150,7 +152,8 @@ def load_hits(hits, target_block):
             scores.append(0)
             cur_t = t
         groups[-1].append(SeedHit(i=int(a[k, 1]), j=int(j_all[k]),
-                                  score=int(a[k, 2])))
+                                  score=int(a[k, 2]),
+                                  frame=int(a[k, 3]) if has_frame else 0))
         scores[-1] = max(scores[-1], int(a[k, 2]))
     return tids, groups, scores
 
@@ -378,6 +381,197 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
         # --- second round: traceback DP (reference gapped_final.cpp) ---
         round_matches = _traceback_round(aligned, query_letters, q_start, qlen,
                                          bias, tblock, ctx, all_matrices)
+        matches.extend(round_matches)
+
+        if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs
+                and i0 < n and new_hits_ev):
+            break
+
+    _cull_matches(matches, cfg)
+    return matches
+
+
+def _ungapped_stage_translated(contexts, tblock, block_id, seed_hits, cfg):
+    """Frame-aware x-drop + chaining for one target (reference
+    align/ungapped.cpp:62-118, incl. the translated single-hit shortcut at
+    :76-80).  contexts: {frame: (qseq, bias)}.  Returns ({frame: hsps},
+    ungapped_score)."""
+    from types import SimpleNamespace
+
+    t_start = int(tblock.starts[block_id])
+    m = cfg.matrix.matrix32
+    use_hauser = cbs_mod.hauser(cfg.comp_based_stats)
+    ungapped_score = max(h.score for h in seed_hits)
+    if len(seed_hits) == 1:
+        h = seed_hits[0]
+        hsp = SimpleNamespace(d_min=h.diag, d_max=h.diag, score=h.score)
+        return {h.frame: [hsp]}, ungapped_score
+    hits = sorted(seed_hits, key=lambda h: (h.diag, h.j))
+    segs: dict[int, list] = {}
+    for h in hits:
+        qpad, bias = contexts[h.frame][2], contexts[h.frame][1]
+        fsegs = segs.setdefault(h.frame, [])
+        if fsegs and fsegs[-1].diag == h.diag and fsegs[-1].subject_end >= h.j:
+            continue
+        d = xdrop_ungapped(qpad, bias if use_hauser else None,
+                           tblock.letters[t_start:], h.i, h.j, m,
+                           cfg.xdrop_raw)
+        if d.score > 0:
+            fsegs.append(d)
+    out = {}
+    for frame, fsegs in segs.items():
+        hsps = chain(fsegs)
+        if hsps:
+            out[frame] = hsps
+    return out, ungapped_score
+
+
+def extend_query_translated(source_idx, query_hits, queries, tblock, cfg):
+    """Per-source-query extension over 6 translated contexts (reference
+    extend.cpp with align_mode.query_contexts = 6).
+
+    query_hits: list of (subject_gpos, seed_offset, stage2_score, frame).
+    queries: TranslatedQueries."""
+    from diamond_tpu.stats.cbs import hauser_correction
+
+    mat = cfg.matrix
+    contexts = {}  # frame -> (qseq, bias, qseq_padded_view)
+    for f, q in queries.contexts(source_idx):
+        if len(q) == 0:
+            continue
+        _, i8 = hauser_correction(q, mat.matrix32, mat.background_scores)
+        cid = source_idx * 6 + f
+        start = int(queries.block.starts[cid])
+        contexts[f] = (q, i8, queries.block.letters[start:])
+
+    tids, groups, tscores = load_hits(query_hits, tblock)
+    n = len(tids)
+    if n == 0:
+        return []
+
+    chunk_size = ranking_chunk_size(n, tblock.n_letters, cfg.max_target_seqs,
+                                    toppercent=cfg.toppercent)
+    order = list(range(n))
+    if chunk_size < n:
+        order.sort(key=lambda t: (-tscores[t], t))
+
+    matches: list[Match] = []
+    i0 = 0
+    i1 = min(chunk_size, n)
+    new_hits_ev = False
+    tail_score = 0
+    prev_tail = 0
+
+    while True:
+        aligned: list[tuple] = []  # (block_id, frame, first-round Hsp)
+        while True:
+            chunk = order[i0:i1]
+            jobs = []
+            job_meta = []  # (tid, tlen, frame)
+            for t in chunk:
+                hsps_by_frame, _ = _ungapped_stage_translated(
+                    contexts, tblock, tids[t], groups[t], cfg)
+                if not hsps_by_frame:
+                    continue
+                tlen = int(tblock.lengths[tids[t]])
+                t_start = int(tblock.starts[tids[t]])
+                tgt = tblock.letters[t_start : t_start + tlen]
+                for frame, hsps in hsps_by_frame.items():
+                    qlen_f = len(contexts[frame][0])
+                    base_band = band(qlen_f, cfg.ext_mode)
+                    work = WorkTarget(block_id=tids[t], hsps=hsps,
+                                      ungapped_score=0)
+                    for d0, d1 in merged_bands(work, qlen_f, tlen, base_band):
+                        jobs.append((tgt, d0, d1))
+                        job_meta.append((tids[t], tlen, frame))
+            v = []
+            if jobs:
+                use_h = cbs_mod.hauser(cfg.comp_based_stats)
+                best_by_tid: dict[int, Hsp] = {}
+                # batch DP per frame
+                by_frame: dict[int, list] = {}
+                for k, (tid, tlen, frame) in enumerate(job_meta):
+                    by_frame.setdefault(frame, []).append(k)
+                res = [None] * len(jobs)
+                for frame, ks in by_frame.items():
+                    q, bias, _ = contexts[frame]
+                    r = banded_swipe_batch_np(
+                        q, bias if use_h else None, [jobs[k] for k in ks],
+                        mat.matrix32, mat.gap_open, mat.gap_extend,
+                        traceback=False)
+                    for k, rr in zip(ks, r):
+                        res[k] = rr
+                for k, ((tid, tlen, frame), (score, max_col, max_row)) in \
+                        enumerate(zip(job_meta, res)):
+                    qlen_f = len(contexts[frame][0])
+                    ev = (float(mat.evalue(score, qlen_f, tlen))
+                          if score > 0 else float("inf"))
+                    if score > 0 and mat.report_cutoff(
+                            score, ev, cfg.max_evalue, cfg.min_bit_score):
+                        h = Hsp(score=score, evalue=ev,
+                                bit_score=float(mat.bitscore(score)),
+                                d_begin=jobs[k][1], d_end=jobs[k][2],
+                                query_range=(0, max_row + 1),
+                                subject_range=(0, max_col + 1))
+                        h.frame = frame
+                        prev = best_by_tid.get(tid)
+                        if prev is None or h.sort_key() < prev.sort_key():
+                            best_by_tid[tid] = h
+                seen = set()
+                for tid, _, _ in job_meta:
+                    if tid in best_by_tid and tid not in seen:
+                        v.append((tid, best_by_tid[tid]))
+                        seen.add(tid)
+            new_hits = len(v) > 0
+            new_hits_ev = new_hits_ev or new_hits
+            multi_chunk = (i1 - i0) < n
+            if multi_chunk:
+                new_hits = _append_hits(aligned, v, cfg, mat)
+            else:
+                aligned = v
+            i0 = i1
+            i1 += min(chunk_size, n - i1)
+            prev_tail = tail_score
+            if new_hits and i1 > 0:
+                tail_score = tscores[order[i1 - 1]]
+            if not (i0 < n and not _ranking_terminate(
+                    new_hits, prev_tail, tscores[order[i1 - 1]] if i1 > 0 else 0,
+                    cfg, mat)):
+                break
+
+        aligned.sort(key=_target_sort_key(cfg))
+        aligned = aligned[: _output_range(aligned, cfg)]
+
+        # second round: traceback per frame
+        round_matches = []
+        use_h = cbs_mod.hauser(cfg.comp_based_stats)
+        for block_id, first_hsp in aligned:
+            frame = first_hsp.frame
+            q, bias, _ = contexts[frame]
+            qlen_f = len(q)
+            tlen = int(tblock.lengths[block_id])
+            t_start = int(tblock.starts[block_id])
+            tgt = tblock.letters[t_start : t_start + tlen]
+            r = banded_swipe_np(q, tgt, first_hsp.d_begin, first_hsp.d_end,
+                                mat.matrix32, bias if use_h else None,
+                                mat.gap_open, mat.gap_extend, traceback=True)
+            ev = float(mat.evalue(r.score, qlen_f, tlen))
+            if not (r.score > 0 and mat.report_cutoff(
+                    r.score, ev, cfg.max_evalue, cfg.min_bit_score)):
+                continue
+            h = Hsp(score=r.score, evalue=ev,
+                    bit_score=float(mat.bitscore(r.score)),
+                    d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
+                    query_range=r.query_range, subject_range=r.subject_range,
+                    identities=r.identities, mismatches=r.mismatches,
+                    positives=r.positives, gap_openings=r.gap_openings,
+                    gaps=r.gaps, length=r.length, transcript=r.transcript,
+                    backtraced=True)
+            h.frame = frame
+            m = Match(target_block_id=block_id, hsp=[h])
+            m.set_filter()
+            round_matches.append(m)
+        _cull_matches(round_matches, cfg)
         matches.extend(round_matches)
 
         if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs

@@ -70,6 +70,8 @@ def build_parser():
         if cmd == "blastx":
             sp.add_argument("--query-gencode", type=int, default=1)
             sp.add_argument("--frameshift", "-F", type=int, default=0)
+            sp.add_argument("--min-orf", dest="min_orf", type=int, default=0)
+            sp.add_argument("--strand", default="both")
 
     sp = sub.add_parser("view", help="View DIAMOND alignment archive (DAA)")
     sp.add_argument("--daa", "-a", required=True)
@@ -202,6 +204,43 @@ def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
         raise SystemExit(f"Unsupported output format: {code}")
 
 
+def cmd_blastx(args):
+    from diamond_tpu.search.blastx import TranslatedQueries, blastx_search
+    from diamond_tpu.search.config import SearchConfig
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+    from diamond_tpu.data.fasta import read_seqs
+
+    qrecs = list(read_seqs(args.query))
+    tb, taxonomy = load_block(args.db, with_taxonomy=True)
+    queries = TranslatedQueries(qrecs, gencode=args.query_gencode,
+                                frameshift=args.frameshift,
+                                min_orf=getattr(args, "min_orf", 0) or 0)
+    cfg = SearchConfig(
+        matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
+        sensitivity=args.sensitivity,
+        comp_based_stats=args.comp_based_stats,
+        max_evalue=args.evalue,
+        max_target_seqs=args.max_target_seqs,
+        max_hsps=args.max_hsps,
+        toppercent=args.top,
+        index_chunks=args.index_chunks,
+        masking=args.masking,
+        min_id=args.min_id,
+        query_cover=args.query_cover,
+        subject_cover=args.subject_cover,
+        translated=True,
+    )
+    results = blastx_search(queries, tb, cfg)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    write_results(out, args.outfmt, results, queries.block, tb, cfg.matrix,
+                  taxonomy=taxonomy, db_path=args.db,
+                  max_evalue=cfg.max_evalue, invocation=" ".join(sys.argv),
+                  program="blastx", dna_lens=queries.dna_lens,
+                  query_names=[i.split()[0] for i in queries.source_ids])
+    if out is not sys.stdout:
+        out.close()
+
+
 def _parse_fields(outfmt):
     from diamond_tpu.output.tabular import DEFAULT_FIELDS
 
@@ -235,6 +274,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.command == "blastp":
         cmd_blastp(args)
+    elif args.command == "blastx":
+        cmd_blastx(args)
     elif args.command == "makedb":
         cmd_makedb(args)
     elif args.command == "view":

@@ -51,6 +51,17 @@ class TranslatedQueries:
         return out
 
 
+def blastx_search(queries: TranslatedQueries, tblock, cfg):
+    """Seeded blastx: the default double-indexed pipeline over 6 translated
+    query contexts (reference run/double_indexed.cpp with
+    align_mode.query_contexts = 6)."""
+    from diamond_tpu.search.pipeline import Pipeline
+
+    cfg.translated = True
+    pipe = Pipeline(cfg, queries.block, tblock, queries=queries)
+    return pipe.search()
+
+
 def blastx_swipe_all(queries: TranslatedQueries, tblock, cfg):
     """--swipe full-matrix blastx (reference align/full_db.cpp path)."""
     from diamond_tpu.align.swipe_all import swipe_all_query

@@ -90,6 +90,8 @@ class SearchConfig:
     xdrop_raw: int = 0
 
     def __post_init__(self):
+        if self.max_target_seqs == 0:  # -k0 = unlimited (reference config.cpp)
+            self.max_target_seqs = 1 << 62
         self.traits = TRAITS[self.sensitivity]
         self.shapes = ShapeConfig(SHAPE_CODES[self.sensitivity])
         self.reduction = self.traits.reduction

@@ -81,10 +81,12 @@ def restore_ranges(letters: np.ndarray, saved):
 
 
 class Pipeline:
-    def __init__(self, cfg: SearchConfig, query_block: Block, target_block: Block):
+    def __init__(self, cfg: SearchConfig, query_block: Block, target_block: Block,
+                 queries=None):
         self.cfg = cfg
         self.q = query_block
         self.t = target_block
+        self.queries = queries  # TranslatedQueries when cfg.translated
         self.ctx = PipelineContext(cfg, query_block, target_block)
         cfg.matrix.set_db_letters(target_block.n_letters)
         self.same_block = query_block is target_block
@@ -187,6 +189,23 @@ class Pipeline:
         cutoffs = self._cutoff_table(qlens)
         scores = stages.stage2_scores(self.q.letters, self.t.letters, qp, sp,
                                       cfg.matrix.matrix32)
+        # short-query rules (reference stage2.h:41-61): qlen <= 60 uses a
+        # fixed bitscore cutoff; translated qlens <= 85 use the short-query
+        # e-value table and window = qlen
+        short60 = qlens <= 60
+        if short60.any():
+            cutoffs = np.where(short60, cfg.matrix.rawscore(25.0), cutoffs)
+        if cfg.translated:
+            short85 = (qlens > 60) & (qlens <= 85)
+            if short85.any():
+                cutoffs = np.where(
+                    short85, self._cutoff_table_short(qlens), cutoffs)
+            shortw = qlens <= 85
+            for k in np.nonzero(shortw)[0]:
+                w = int(qlens[k])
+                scores[k] = stages.stage2_scores(
+                    self.q.letters, self.t.letters, qp[k : k + 1],
+                    sp[k : k + 1], cfg.matrix.matrix32, window=w)[0]
         keep2 = scores > cutoffs
         if cfg.self_search:
             sidx, _ = self.t.global_to_local(sp)
@@ -249,8 +268,34 @@ class Pipeline:
             return np.zeros(len(qlens), dtype=np.int32)
         return self._cutoffs(qlens)
 
+    def _cutoff_table_short(self, qlens):
+        """Short-query table (ungapped_evalue_short, reference
+        stage2.h:50-51)."""
+        cfg = self.cfg
+        if not hasattr(self, "_cutoffs_short"):
+            ev = cfg.traits.ungapped_evalue_short
+            self._cutoffs_short = stages.CutoffTable(cfg.matrix, ev) \
+                if ev > 0 else None
+        if self._cutoffs_short is None:
+            return np.zeros(len(qlens), dtype=np.int32)
+        return self._cutoffs_short(qlens)
+
     # ------------------------------------------------------------------
     def _extend_all(self, hits):
+        if self.cfg.translated:
+            from diamond_tpu.align.extend import extend_query_translated
+
+            by_source: dict[int, list] = {}
+            for cid, sgpos, soff, score in hits:
+                by_source.setdefault(cid // 6, []).append(
+                    (sgpos, soff, score, cid % 6))
+            results = {}
+            for sidx in sorted(by_source):
+                m = extend_query_translated(sidx, by_source[sidx],
+                                            self.queries, self.t, self.cfg)
+                if m:
+                    results[sidx] = m
+            return results
         by_query: dict[int, list] = {}
         for qid, sgpos, soff, score in hits:
             by_query.setdefault(qid, []).append((sgpos, soff, score))

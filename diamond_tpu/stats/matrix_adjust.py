@@ -225,24 +225,33 @@ RULE_USER_RE = 4
 
 
 def conditional_rule(query_comp, query_len, target_comp, target_len,
-                     background_freqs, angle_thr=50.0, dist_thr=0.16,
-                     len_ratio_thr=3.0):
+                     background_freqs, angle_thr=50.0, dist_thr=-1.0,
+                     len_ratio_thr=-1.0):
     """reference s_TestToApplyREAdjustmentConditional
-    (matrix_adjust.cpp:385-455)."""
+    (matrix_adjust.cpp:385-455).
+
+    The runtime thresholds come from the global `CBS comp_based_stats(0,
+    -1.0, -1.0, -1.0)` (reference cbs.cpp:30-52): its constructor leaves
+    angle at 50 deg but sets BOTH the query-match-distance and length-ratio
+    thresholds to -1, so those two conditions are always true and the angle
+    alone decides.  (The NCBI values 0.16/3.0 appear only in commented-out
+    code.)  A NaN angle (degenerate compositions) compares false and falls
+    through to the relative-entropy rule, as in the reference."""
     pq = np.asarray(query_comp)[:N]
     pm = np.asarray(target_comp)[:N]
     pmat = np.asarray(background_freqs)[:N]
     D_m_mat = relative_entropy_dist(pm, pmat)
     D_q_mat = relative_entropy_dist(pq, pmat)
     D_m_q = relative_entropy_dist(pm, pq)
-    angle = np.degrees(np.arccos(
-        (D_m_mat * D_m_mat + D_q_mat * D_q_mat - D_m_q * D_m_q)
-        / 2.0 / D_m_mat / D_q_mat))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        angle = np.degrees(np.arccos(
+            (D_m_mat * D_m_mat + D_q_mat * D_q_mat - D_m_q * D_m_q)
+            / 2.0 / D_m_mat / D_q_mat))
     len_large = max(query_len, target_len)
     len_small = min(query_len, target_len)
     if _high_pair_frequencies(pq, query_len) or _high_pair_frequencies(pm, target_len):
         return RULE_USER_RE
-    if (D_m_q > dist_thr and len_large / len_small > len_ratio_thr
+    if (D_m_q > dist_thr and len_large / max(len_small, 1) > len_ratio_thr
             and angle > angle_thr):
         return RULE_COMPO_SCALE_OLD
     return RULE_USER_RE
