@@ -39,6 +39,7 @@ def build_parser():
         sp.add_argument("--masking", default="tantan")
         sp.add_argument("--motif-masking", type=int, default=None)
         sp.add_argument("--index-chunks", "-c", type=int, default=None)
+        sp.add_argument("--block-size", "-b", type=float, default=None)
         sp.add_argument("--daa-build-version", type=int, default=0)
         sp.add_argument("--no-auto-append", action="store_true")
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
@@ -128,6 +129,8 @@ def cmd_blastp(args):
     from diamond_tpu.search.pipeline import Pipeline
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
+    if args.block_size is not None:
+        return cmd_blastp_blocked(args)
     qb = load_block(args.query)
     tb, taxonomy = load_block(args.db, with_taxonomy=True)
     cfg = SearchConfig(
@@ -202,6 +205,46 @@ def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
             out.write(line + "\n")
     else:
         raise SystemExit(f"Unsupported output format: {code}")
+
+
+def cmd_blastp_blocked(args):
+    """Multi-block search (-b): block swap + merged join."""
+    from diamond_tpu.data.dmnd import is_dmnd, read_dmnd
+    from diamond_tpu.data.fasta import read_seqs
+    from diamond_tpu.output.tabular import format_match_line
+    from diamond_tpu.search.blocked import blocked_search
+    from diamond_tpu.search.config import SearchConfig
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    def load_seqs_ids(path):
+        if is_dmnd(path):
+            ids, seqs = read_dmnd(path)
+            return [s & 31 for s in seqs], ids
+        recs = list(read_seqs(path))
+        return [r[1].upper() for r in recs], [r[0] for r in recs]
+
+    qseqs, qids = load_seqs_ids(args.query)
+    tseqs, tids = load_seqs_ids(args.db)
+    cfg = SearchConfig(
+        matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
+        sensitivity=args.sensitivity, comp_based_stats=args.comp_based_stats,
+        max_evalue=args.evalue, max_target_seqs=args.max_target_seqs,
+        toppercent=args.top, index_chunks=args.index_chunks,
+        masking=args.masking)
+    res = blocked_search(cfg, qseqs, qids, tseqs, tids, args.block_size)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    from diamond_tpu.data.taxonomy import seqid
+
+    qnames = [seqid(i) for i in qids]
+    tnames = [seqid(i) for i in tids]
+    fields = _parse_fields(args.outfmt)
+    for gq in sorted(res):
+        for gt, m in res[gq]:
+            for h in m.hsp:
+                out.write(format_match_line(qnames[gq], tnames[gt], h,
+                                            fields) + "\n")
+    if out is not sys.stdout:
+        out.close()
 
 
 def cmd_blastx(args):
