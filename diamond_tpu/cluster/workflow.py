@@ -111,14 +111,35 @@ def cluster_block(block: Block, steps, matrix_name: str = "BLOSUM62",
 
 def run_cluster(args):
     """CLI entry for cluster/linclust/deepclust."""
-    from diamond_tpu.cli import load_block
+    from diamond_tpu.data.dmnd import is_dmnd, read_dmnd
+    from diamond_tpu.data.fasta import read_seqs
 
-    block = load_block(args.db)
+    if is_dmnd(args.db):
+        ids, dseqs = read_dmnd(args.db)
+        seqs = [s & 31 for s in dseqs]
+        titles = ids
+    else:
+        recs = list(read_seqs(args.db))
+        seqs = [r[1].upper() for r in recs]
+        titles = [r[0] for r in recs]
     approx_id = args.approx_id if args.approx_id is not None else 0.0
-    linear = args.command == "linclust"
     if args.command == "deepclust":
         approx_id = 0.0
-    steps = cluster_steps(approx_id, linear)
+    if args.command == "linclust":
+        from diamond_tpu.cluster.linclust import linclust
+
+        pairs = linclust(seqs, titles, approx_id=approx_id,
+                         member_cover=args.member_cover)
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
+        for rep, member in pairs:
+            out.write(f"{rep}\t{member}\n")
+        if out is not sys.stdout:
+            out.close()
+        return
+    from diamond_tpu.data.block import Block
+
+    block = Block.from_sequences(seqs, titles)
+    steps = cluster_steps(approx_id, linear=False)
     assignment = cluster_block(block, steps, member_cover=args.member_cover,
                                approx_id=approx_id, threads=args.threads)
     out = sys.stdout if args.out == "-" else open(args.out, "w")

@@ -28,6 +28,7 @@ class SensitivityTraits:
     seed_cut: float
     reduction: object
     ext_mode: str  # banded-fast / banded-slow
+    sketch: int = 0  # min-hash sketch size (reference traits, FASTER=21)
 
 
 # ordered sensitivity ranks (reference basic/config.h:29)
@@ -38,8 +39,10 @@ SENS_RANK = {
 }
 
 TRAITS = {
-    "faster": SensitivityTraits("faster", True, 50.0, 11, 0, 0, 0, 4, 16, 0.9, red.MURPHY10, "banded-fast"),
+    "faster": SensitivityTraits("faster", True, 50.0, 11, 0, 0, 0, 4, 16, 0.9, red.MURPHY10, "banded-fast", sketch=21),
     "fast": SensitivityTraits("fast", True, 50.0, 11, 0, 0, 0, 4, 16, 0.9, red.MURPHY10, "banded-fast"),
+    "linclust-20": SensitivityTraits("linclust-20", True, 50.0, 11, 0, 0, 0, 4, 16, 0.9, red.MURPHY10, "banded-fast"),
+    "linclust-40": SensitivityTraits("linclust-40", True, 50.0, 11, 0, 0, 0, 4, 16, 0.9, red.MURPHY10, "banded-fast"),
     "default": SensitivityTraits("default", True, 50.0, 11, 10000, 10000, 0, 4, 16, 0.8, red.MURPHY10, "banded-fast"),
     "mid-sensitive": SensitivityTraits("mid-sensitive", True, 20.0, 11, 10000, 10000, 0, 4, 16, 1.0, red.MURPHY10, "banded-fast"),
     "sensitive": SensitivityTraits("sensitive", True, 20.0, 11, 10000, 10000, 1, 4, 16, 1.0, red.MURPHY10, "banded-fast"),
