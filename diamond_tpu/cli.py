@@ -99,6 +99,12 @@ def build_parser():
     sp.add_argument("--seq", nargs="*", default=[])
     sp.add_argument("--out", "-o", default="-")
 
+    sp = sub.add_parser("realign", help="Align cluster members to centroids")
+    sp.add_argument("--db", "-d", required=True)
+    sp.add_argument("--clusters", required=True)
+    sp.add_argument("--out", "-o", default="-")
+    sp.add_argument("--threads", "-p", type=int, default=1)
+
     sp = sub.add_parser("merge-daa", help="Merge DAA archives")
     sp.add_argument("--in", dest="infiles", nargs="+", required=True)
     sp.add_argument("--out", "-o", required=True)
@@ -333,6 +339,18 @@ def main(argv=None):
         cmd_dbinfo(args)
     elif args.command == "version":
         print("diamond-tpu version 0.1.0 (reference compatibility: 2.2.2)")
+    elif args.command == "realign":
+        from diamond_tpu.cluster.realign import realign
+        from diamond_tpu.data.fasta import read_seqs
+
+        recs = list(read_seqs(args.db))
+        lines = realign([r[1].upper() for r in recs], [r[0] for r in recs],
+                        open(args.clusters).read().splitlines())
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
+        for line in lines:
+            out.write(line + "\n")
+        if out is not sys.stdout:
+            out.close()
     elif args.command == "merge-daa":
         from diamond_tpu.data.daa import merge_daa
 
