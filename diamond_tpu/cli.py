@@ -42,6 +42,8 @@ def build_parser():
         sp.add_argument("--block-size", "-b", type=float, default=None)
         sp.add_argument("--daa-build-version", type=int, default=0)
         sp.add_argument("--no-auto-append", action="store_true")
+        sp.add_argument("--global-ranking", "-g", type=int, default=0)
+        sp.add_argument("--shapes", "-s", type=int, default=0)
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
@@ -135,6 +137,7 @@ def cmd_blastp(args):
     from diamond_tpu.search.pipeline import Pipeline
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
+    validate_global_ranking(args)
     if args.block_size is not None:
         return cmd_blastp_blocked(args)
     qb = load_block(args.query)
@@ -153,9 +156,14 @@ def cmd_blastp(args):
         min_id=args.min_id,
         query_cover=args.query_cover,
         subject_cover=args.subject_cover,
+        global_ranking=args.global_ranking,
+        n_shapes=args.shapes,
     )
-    pipe = Pipeline(cfg, qb, tb)
-    results = pipe.search()
+    if cfg.global_ranking:
+        results = _global_ranking_search(cfg, qb, tb)
+    else:
+        pipe = Pipeline(cfg, qb, tb)
+        results = pipe.search()
     if args.outfmt and args.outfmt[0] in ("100", "daa"):
         from diamond_tpu.data.daa import write_daa
 
@@ -172,6 +180,50 @@ def cmd_blastp(args):
                   invocation=" ".join(sys.argv))
     if out is not sys.stdout:
         out.close()
+
+
+def validate_global_ranking(args):
+    """reference basic/config.cpp:688, run/config.cpp:114-119."""
+    if args.global_ranking <= 0:
+        return
+    if args.comp_based_stats >= 2:
+        raise SystemExit("Global ranking is not supported with "
+                         "--comp-based-stats >= 2.")
+    if getattr(args, "frameshift", 0):
+        raise SystemExit("Global ranking mode is not compatible with "
+                         "frameshift alignments.")
+
+
+def _global_ranking_search(cfg, qb, tb, queries=None):
+    """Single-block global ranking (-g): ranking-table search + final
+    full-matrix extension (reference double_indexed.cpp:439-446)."""
+    from diamond_tpu.align.global_ranking import RankingTable, extend_ranked
+    from diamond_tpu.search.pipeline import Pipeline
+    from diamond_tpu.stats.cbs import hauser_correction
+
+    translated = queries is not None
+    n_src = len(queries) if translated else len(qb)
+    table = RankingTable(n_src, cfg.global_ranking)
+    Pipeline(cfg, qb, tb, queries=queries, ranking_table=table).search()
+    oid2block = {o: o for o in table.ranked_oids()}
+
+    if translated:
+        contexts_fn = queries.contexts
+    else:
+        def contexts_fn(src):
+            return [(0, qb.seq(src))]
+
+    def biases_fn(src):
+        out = {}
+        for f, q in contexts_fn(src):
+            if len(q) == 0:
+                continue
+            _, i8 = hauser_correction(q, cfg.matrix.matrix32,
+                                      cfg.matrix.background_scores)
+            out[f] = i8
+        return out
+
+    return extend_ranked(table, contexts_fn, biases_fn, tb, oid2block, cfg)
 
 
 def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
@@ -236,7 +288,8 @@ def cmd_blastp_blocked(args):
         sensitivity=args.sensitivity, comp_based_stats=args.comp_based_stats,
         max_evalue=args.evalue, max_target_seqs=args.max_target_seqs,
         toppercent=args.top, index_chunks=args.index_chunks,
-        masking=args.masking)
+        masking=args.masking, global_ranking=args.global_ranking,
+        n_shapes=args.shapes)
     res = blocked_search(cfg, qseqs, qids, tseqs, tids, args.block_size)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     from diamond_tpu.data.taxonomy import seqid
@@ -259,6 +312,7 @@ def cmd_blastx(args):
     from diamond_tpu.stats.score_matrix import ScoreMatrix
     from diamond_tpu.data.fasta import read_seqs
 
+    validate_global_ranking(args)
     qrecs = list(read_seqs(args.query))
     tb, taxonomy = load_block(args.db, with_taxonomy=True)
     queries = TranslatedQueries(qrecs, gencode=args.query_gencode,
@@ -278,8 +332,15 @@ def cmd_blastx(args):
         query_cover=args.query_cover,
         subject_cover=args.subject_cover,
         translated=True,
+        global_ranking=args.global_ranking,
+        n_shapes=args.shapes,
     )
-    results = blastx_search(queries, tb, cfg)
+    if cfg.global_ranking:
+        cfg.translated = True
+        results = _global_ranking_search(cfg, queries.block, tb,
+                                         queries=queries)
+    else:
+        results = blastx_search(queries, tb, cfg)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     write_results(out, args.outfmt, results, queries.block, tb, cfg.matrix,
                   taxonomy=taxonomy, db_path=args.db,

@@ -51,6 +51,10 @@ def blocked_search(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
     t_blocks, t_bases = split_blocks(target_seqs, target_ids, cap)
     q_blocks, q_bases = split_blocks(query_seqs, query_ids, cap)
 
+    if cfg.global_ranking:
+        return _blocked_global_ranking(cfg, q_blocks, q_bases, t_blocks,
+                                       t_bases, target_seqs, target_ids)
+
     merged: dict[int, list] = {}
     for qb, q_base in zip(q_blocks, q_bases):
         for tb, t_base in zip(t_blocks, t_bases):
@@ -81,3 +85,57 @@ def blocked_search(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
             items = items[: cfg.max_target_seqs]
         out[gqid] = items
     return out
+
+
+def _blocked_global_ranking(cfg, q_blocks, q_bases, t_blocks, t_bases,
+                            target_seqs, target_ids):
+    """Global ranking over the block swap: the ranking table (keyed by
+    global query id / target oid) merges across (query block, ref block)
+    combos, then a single full-matrix extension runs over the ranked
+    targets (reference double_indexed.cpp:439-446
+    GlobalRanking::extend after the block loops)."""
+    from diamond_tpu.align.global_ranking import RankingTable, extend_ranked
+    from diamond_tpu.masking.tantan import Tantan
+    from diamond_tpu.search.pipeline import mask_block
+    from diamond_tpu.stats.cbs import hauser_correction
+
+    total_letters = sum(len(s) for s in target_seqs)
+    n_queries = sum(len(b) for b in q_blocks)
+    table = RankingTable(n_queries, cfg.global_ranking)
+    for qb, q_base in zip(q_blocks, q_bases):
+        for tb, t_base in zip(t_blocks, t_bases):
+            pipe = Pipeline(cfg, qb, tb, ranking_table=table, q_base=q_base,
+                            t_base=t_base)
+            pipe.cfg.matrix.set_db_letters(total_letters)  # keep global stats
+            pipe.search()
+
+    # final extension: block of ranked targets, tantan-masked like the
+    # reference's re-load + mask (global_ranking/extend.cpp:192-197)
+    oids = table.ranked_oids()
+    final_block = Block.from_sequences([target_seqs[o] for o in oids],
+                                       [target_ids[o] for o in oids])
+    if cfg.masking == "tantan":
+        mask_block(final_block, Tantan(cfg.matrix.matrix32))
+    oid2block = {o: i for i, o in enumerate(oids)}
+
+    # global query id -> (block, local id); blocks are already masked
+    def locate(src):
+        for qb, q_base in zip(q_blocks, q_bases):
+            if q_base <= src < q_base + len(qb):
+                return qb, src - q_base
+        raise IndexError(src)
+
+    def contexts_fn(src):
+        qb, lid = locate(src)
+        return [(0, qb.seq(lid))]
+
+    def biases_fn(src):
+        qb, lid = locate(src)
+        _, i8 = hauser_correction(qb.seq(lid), cfg.matrix.matrix32,
+                                  cfg.matrix.background_scores)
+        return {0: i8}
+
+    results = extend_ranked(table, contexts_fn, biases_fn, final_block,
+                            oid2block, cfg)
+    return {src: [(oids[m.target_block_id], m) for m in matches]
+            for src, matches in results.items()}

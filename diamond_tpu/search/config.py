@@ -83,6 +83,8 @@ class SearchConfig:
     subject_cover: float = 0.0
     self_search: bool = False
     translated: bool = False
+    global_ranking: int = 0  # -g N (reference config.cpp:304)
+    n_shapes: int = 0        # -s N: use first N seed shapes (config.cpp:285)
     # derived
     traits: SensitivityTraits = None
     shapes: ShapeConfig = None
@@ -96,7 +98,7 @@ class SearchConfig:
         if self.max_target_seqs == 0:  # -k0 = unlimited (reference config.cpp)
             self.max_target_seqs = 1 << 62
         self.traits = TRAITS[self.sensitivity]
-        self.shapes = ShapeConfig(SHAPE_CODES[self.sensitivity])
+        self.shapes = ShapeConfig(SHAPE_CODES[self.sensitivity], self.n_shapes)
         self.reduction = self.traits.reduction
         self.seed_complexity_cut = (self.traits.seed_cut * np.log(2.0)
                                     * self.shapes[0].weight)

@@ -82,7 +82,8 @@ def restore_ranges(letters: np.ndarray, saved):
 
 class Pipeline:
     def __init__(self, cfg: SearchConfig, query_block: Block, target_block: Block,
-                 queries=None):
+                 queries=None, ranking_table=None, q_base: int = 0,
+                 t_base: int = 0):
         self.cfg = cfg
         self.q = query_block
         self.t = target_block
@@ -90,6 +91,11 @@ class Pipeline:
         self.ctx = PipelineContext(cfg, query_block, target_block)
         cfg.matrix.set_db_letters(target_block.n_letters)
         self.same_block = query_block is target_block
+        # global ranking (-g): per-shape table updates replace extension
+        # (reference double_indexed.cpp:185-193)
+        self.ranking_table = ranking_table
+        self.q_base = q_base
+        self.t_base = t_base
 
     def search(self):
         """Run the full search; returns {query_id: [Match, ...]}."""
@@ -144,6 +150,7 @@ class Pipeline:
             parts = (q_keys_f & np.uint64(cfg.seedp_mask)).astype(np.int64)
             t_parts = (t_keys & np.uint64(cfg.seedp_mask)).astype(np.int64)
 
+            shape_hits = []
             for chunk in range(cfg.index_chunks):
                 lo, hi = chunk_bounds[chunk]
                 qi = (parts >= lo) & (parts < hi)
@@ -153,8 +160,17 @@ class Pipeline:
                 join, masked_pos = self._complexity_mask(join, shape)
                 if len(masked_pos):
                     self.query_seed_mask[masked_pos] = True
-                hits.extend(self._stage12(join, shape, sid, chunk, lo, hi))
+                shape_hits.extend(self._stage12(join, shape, sid, chunk, lo, hi))
+            if self.ranking_table is not None:
+                from diamond_tpu.align.global_ranking import update_table
 
+                update_table(self.ranking_table, shape_hits, self.q, self.t,
+                             cfg, self.q_base, self.t_base)
+            else:
+                hits.extend(shape_hits)
+
+        if self.ranking_table is not None:
+            return None
         return self._extend_all(hits)
 
     # ------------------------------------------------------------------
