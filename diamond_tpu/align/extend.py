@@ -167,10 +167,14 @@ class WorkTarget:
 
 
 def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hits,
-                   cfg, query_comp=None, query_true_aa=0) -> WorkTarget:
+                   cfg, query_comp=None, query_true_aa=0,
+                   full: bool = False) -> WorkTarget:
     """x-drop extension + chaining for one target
     (reference align/ungapped.cpp:62-150), plus per-target compositional
-    matrix adjustment (reference WorkTarget ctor, ungapped.cpp:44-59)."""
+    matrix adjustment (reference WorkTarget ctor, ungapped.cpp:44-59).
+
+    full=True: Mode::FULL (reference ungapped.cpp:71-76) — no xdrop or
+    chaining, just the max hit score; the DP covers the whole matrix."""
     hits = sorted(seed_hits, key=lambda h: (h.diag, h.j))
     segments = []
     ungapped_score = 0
@@ -192,6 +196,10 @@ def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hi
                                       cfg.comp_based_stats, tlet, rule)
             if r is not None:
                 target_matrix = r[0]
+    if full:
+        ungapped_score = max(h.score for h in hits)
+        return WorkTarget(block_id=block_id, hsps=None,
+                          ungapped_score=ungapped_score, matrix=target_matrix)
     for h in hits:
         ungapped_score = max(ungapped_score, h.score)
         if segments and segments[-1].diag == h.diag and segments[-1].subject_end >= h.j:
@@ -313,11 +321,12 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
                 chunk = [t for t in chunk if gf.target_passes(
                     groups[t], tblock.seq(tids[t]))]
             tgt_matrices = {}
+            full = cfg.ext_mode == "full"
             for t in chunk:
                 work = ungapped_stage(query_letters, q_start, bias, tblock,
                                       tids[t], groups[t], cfg, query_comp,
-                                      query_true_aa)
-                if not work.hsps:
+                                      query_true_aa, full=full)
+                if (work.ungapped_score == 0) if full else (not work.hsps):
                     continue
                 tlen = int(tblock.lengths[tids[t]])
                 t_start = int(tblock.starts[tids[t]])
@@ -325,6 +334,10 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
                 if work.matrix is not None:
                     tgt_matrices[tids[t]] = work.matrix
                     all_matrices[tids[t]] = work.matrix
+                if full:
+                    jobs.append((tgt, -(tlen - 1), qlen))
+                    job_meta.append((tids[t], tlen))
+                    continue
                 for d0, d1 in merged_bands(work, qlen, tlen, base_band):
                     jobs.append((tgt, d0, d1))
                     job_meta.append((tids[t], tlen))

@@ -1,0 +1,68 @@
+"""Kernel microbenchmarks (reference tools/benchmark.cpp:555-608
+`diamond benchmark`): per-kernel cell-update timings in ps/cell plus
+GCUPS, run on the active JAX device.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _time(fn, n_iter=20):
+    import jax
+
+    jax.block_until_ready(fn())  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        jax.block_until_ready(fn())
+    return (time.perf_counter() - t0) / n_iter
+
+
+def run_benchmark():
+    import jax
+
+    from diamond_tpu.ops.swipe_jax import banded_swipe_uniform, prepare_uniform_batch
+    from diamond_tpu.ops.swipe_pallas import banded_swipe_pallas, prepare_pallas_batch
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    dev = jax.devices()[0]
+    print(f"Device: {dev.platform} ({dev.device_kind})")
+    rng = np.random.default_rng(0)
+    m = ScoreMatrix("BLOSUM62")
+    go, ge = m.gap_open + m.gap_extend, m.gap_extend
+
+    rows = []
+
+    # banded SWIPE, pallas kernel (the production extension kernel)
+    qlen, B, T, band = 480, 2048, 512, 128
+    q = rng.integers(0, 20, qlen).astype(np.int8)
+    jobs = [(rng.integers(0, 20, T).astype(np.int8), -band // 2, band // 2)
+            for _ in range(B)]
+    tgt, bmask, ppad, band_p, _ = prepare_pallas_batch(q, None, m.matrix32, jobs)
+    dt = _time(lambda: banded_swipe_pallas(tgt, bmask, ppad, go, ge, band_p))
+    cells = float(B) * tgt.shape[0] * band_p
+    rows.append(("banded SWIPE (pallas)", cells, dt))
+
+    # banded SWIPE, XLA one-hot path
+    tgt2, bmask2, ppad2, band_u, _ = prepare_uniform_batch(
+        q, None, m.matrix32, jobs[:256])
+    dt = _time(lambda: banded_swipe_uniform(tgt2, bmask2, ppad2, go, ge, band_u))
+    cells = 256.0 * tgt2.shape[0] * band_u
+    rows.append(("banded SWIPE (XLA one-hot)", cells, dt))
+
+    # full-matrix SWIPE via full-band
+    T2 = 256
+    jobs_f = [(rng.integers(0, 20, T2).astype(np.int8), -(T2 - 1), qlen)
+              for _ in range(64)]
+    tgt3, bmask3, ppad3, band_f, _ = prepare_pallas_batch(
+        q, None, m.matrix32, jobs_f)
+    dt = _time(lambda: banded_swipe_pallas(tgt3, bmask3, ppad3, go, ge, band_f))
+    cells = 64.0 * tgt3.shape[0] * band_f
+    rows.append(("full-matrix SWIPE (pallas)", cells, dt))
+
+    print(f"{'kernel':<30} {'ps/cell':>10} {'GCUPS':>10}")
+    for name, cells, dt in rows:
+        ps = dt / cells * 1e12
+        gcups = cells / dt / 1e9
+        print(f"{name:<30} {ps:>10.2f} {gcups:>10.1f}")

@@ -44,6 +44,7 @@ def build_parser():
         sp.add_argument("--no-auto-append", action="store_true")
         sp.add_argument("--global-ranking", "-g", type=int, default=0)
         sp.add_argument("--shapes", "-s", type=int, default=0)
+        sp.add_argument("--iterate", nargs="*", default=None)
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
@@ -111,14 +112,61 @@ def build_parser():
     sp.add_argument("--in", dest="infiles", nargs="+", required=True)
     sp.add_argument("--out", "-o", required=True)
 
+    # tool commands (reference run/main.cpp:145-234)
+    sp = sub.add_parser("random-seqs", help="Sample random sequences from db")
+    sp.add_argument("--db", "-d", required=True)
+    sp.add_argument("--seqs", "-n", type=int, required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = sub.add_parser("mask", help="tantan-mask a FASTA file")
+    sp.add_argument("--query", "-q", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = sub.add_parser("fastq2fasta", help="Convert FASTQ to FASTA")
+    sp.add_argument("--query", "-q", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = sub.add_parser("info", help="Print platform/backend info")
+
+    sp = sub.add_parser("reverse", help="Reverse sequences")
+    sp.add_argument("--query", "-q", required=True)
+    sp.add_argument("--out", "-o", default="-")
+
+    sp = sub.add_parser("hashseqs", help="Print murmur3 hashes of sequences")
+    sp.add_argument("--query", "-q", required=True)
+
+    sp = sub.add_parser("split", help="Split input into FASTA volumes")
+    sp.add_argument("--query", "-q", required=True)
+    sp.add_argument("--chunk-size", type=float, default=1.0)
+    sp.add_argument("--prefix", default="")
+
+    sp = sub.add_parser("listseeds", help="Most frequent seeds in db")
+    sp.add_argument("--db", "-d", required=True)
+    sp.add_argument("--count", "-n", type=int, default=20)
+
+    sp = sub.add_parser("benchmark", help="Kernel microbenchmarks (ps/cell)")
+
+    sp = sub.add_parser("smith-waterman", help="Pairwise DNA Smith-Waterman")
+    sp.add_argument("--query", "-q", required=True)
+    sp.add_argument("--reward", type=int, default=2)
+    sp.add_argument("--penalty", type=int, default=-3)
+    sp.add_argument("--gapopen", type=int, default=5)
+    sp.add_argument("--gapextend", type=int, default=2)
+
     return p
 
 
 def load_block(path, with_taxonomy: bool = False):
     from diamond_tpu.data.block import Block
+    from diamond_tpu.data.blastdb import BlastDB, is_blastdb
     from diamond_tpu.data.dmnd import is_dmnd, read_dmnd
     from diamond_tpu.data.fasta import read_seqs
 
+    if not path.endswith((".faa", ".fa", ".fasta", ".dmnd")) \
+            and is_blastdb(path):
+        ids, seqs = BlastDB(path).load()
+        b = Block.from_sequences(seqs, ids)
+        return (b, None) if with_taxonomy else b
     if is_dmnd(path):
         if with_taxonomy:
             ids, seqs, tax = read_dmnd(path, with_taxonomy=True)
@@ -161,6 +209,11 @@ def cmd_blastp(args):
     )
     if cfg.global_ranking:
         results = _global_ranking_search(cfg, qb, tb)
+    elif args.iterate is not None:
+        from diamond_tpu.search.iterate import iterated_search, rounds_for
+
+        rounds = rounds_for(cfg.sensitivity, args.iterate)
+        results = iterated_search(cfg, qb, tb, rounds)
     else:
         pipe = Pipeline(cfg, qb, tb)
         results = pipe.search()
@@ -339,6 +392,12 @@ def cmd_blastx(args):
         cfg.translated = True
         results = _global_ranking_search(cfg, queries.block, tb,
                                          queries=queries)
+    elif args.iterate is not None:
+        from diamond_tpu.search.iterate import iterated_search, rounds_for
+
+        rounds = rounds_for(cfg.sensitivity, args.iterate)
+        results = iterated_search(cfg, queries.block, tb, rounds,
+                                  queries=queries)
     else:
         results = blastx_search(queries, tb, cfg)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
@@ -420,6 +479,17 @@ def main(argv=None):
         from diamond_tpu.cluster.workflow import run_cluster
 
         run_cluster(args)
+    elif args.command == "benchmark":
+        from diamond_tpu.benchmark import run_benchmark
+
+        run_benchmark()
+    elif args.command in ("getseq", "random-seqs", "mask", "fastq2fasta",
+                          "info", "reverse", "hashseqs", "split", "listseeds",
+                          "smith-waterman"):
+        from diamond_tpu import tools_cmds
+
+        fn = getattr(tools_cmds, "cmd_" + args.command.replace("-", "_"))
+        fn(args)
     else:
         build_parser().print_help()
         return 1

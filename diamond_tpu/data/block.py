@@ -81,3 +81,16 @@ class Block:
 
     def save_unmasked(self):
         self.unmasked = self.letters.copy()
+
+    def length_sorted(self):
+        """Copy with sequences ordered by (length desc, block id desc) —
+        used by linearized stage-1 rounds so the kept seed occurrence
+        belongs to the longest sequence (reference block.cpp:229-254
+        Block::length_sorted, greater<pair<Loc, BlockId>>).
+
+        Returns (sorted_block, order) with order[i_sorted] = original id."""
+        order = sorted(range(len(self)),
+                       key=lambda i: (-int(self.lengths[i]), -i))
+        b = Block.from_sequences([self.seq(i).copy() for i in order],
+                                 [self.ids[i] for i in order])
+        return b, order

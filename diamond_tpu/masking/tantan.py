@@ -101,7 +101,18 @@ class Tantan:
         The repeat-offset state e-values: at position i, state off (0-based)
         refers to a repeat of period (off+1); its emission ratio is
         ratio(seq[i], seq[i-off-1]) (0 when out of range).
-        """
+
+        Runs the native C++ scan when available (bit-identical float32
+        order; diamond_tpu/native/src/tantan.cc); this Python body is the
+        fallback and test oracle."""
+        from diamond_tpu import native
+
+        r = native.tantan_repeat_prob(
+            np.asarray(letters, dtype=np.int8), self.ratios,
+            float(self.p_repeat), float(self.p_repeat_end),
+            float(self.repeat_growth))
+        if r is not None:
+            return r
         seq = (np.asarray(letters).astype(np.uint8) & LETTER_MASK).astype(np.int64)
         L = len(seq)
         if L == 0:

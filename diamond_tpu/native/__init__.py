@@ -1,0 +1,90 @@
+"""Native (C++) host-side runtime components.
+
+The reference implements its host runtime (masking scans, IO, seed
+bookkeeping) in C++ (reference src/masking/, src/util/io/); this package
+provides the TPU framework's equivalents as a small C++ library compiled
+on first use with g++ and loaded via ctypes.  Every entry point has a
+bit-identical Python twin used as fallback (and as the test oracle), so
+the framework degrades gracefully on systems without a toolchain.
+
+Float32 code is compiled with -ffp-contract=off so results match the
+numpy twins exactly.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_lib = None
+_tried = False
+
+
+def _sources():
+    return sorted(
+        os.path.join(_SRC_DIR, f) for f in os.listdir(_SRC_DIR)
+        if f.endswith(".cc"))
+
+
+def _build(sources, out_path):
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-ffp-contract=off",
+           "-o", out_path] + sources
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def lib():
+    """The compiled native library (ctypes.CDLL) or None."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("DIAMOND_TPU_NO_NATIVE"):
+        return None
+    try:
+        sources = _sources()
+        h = hashlib.sha256()
+        for s in sources:
+            with open(s, "rb") as f:
+                h.update(f.read())
+        cache_dir = os.path.join(tempfile.gettempdir(),
+                                 f"diamond_tpu_native_{os.getuid()}")
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"libdtpu_{h.hexdigest()[:16]}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + f".tmp{os.getpid()}"
+            _build(sources, tmp)
+            os.replace(tmp, so_path)
+        cdll = ctypes.CDLL(so_path)
+        cdll.tantan_repeat_prob.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
+        cdll.tantan_repeat_prob.restype = None
+        _lib = cdll
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def tantan_repeat_prob(letters, ratios, p_repeat, p_repeat_end,
+                       repeat_growth):
+    """Native tantan scan; returns float32 probs or None if unavailable."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    letters = np.ascontiguousarray(letters, dtype=np.int8)
+    ratios = np.ascontiguousarray(ratios, dtype=np.float32)
+    out = np.empty(len(letters), dtype=np.float32)
+    l.tantan_repeat_prob(
+        letters.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int64(len(letters)),
+        ratios.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(p_repeat), ctypes.c_float(p_repeat_end),
+        ctypes.c_float(repeat_growth),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

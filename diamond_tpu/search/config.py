@@ -85,6 +85,10 @@ class SearchConfig:
     translated: bool = False
     global_ranking: int = 0  # -g N (reference config.cpp:304)
     n_shapes: int = 0        # -s N: use first N seed shapes (config.cpp:285)
+    ext: str | None = None   # --ext override; linearized rounds force "full"
+                             # (reference setup.cpp:377-382)
+    lin_stage1_target: bool = False  # linearized stage 1: one target
+                             # occurrence per seed (reference kernel_lin.h:132)
     # derived
     traits: SensitivityTraits = None
     shapes: ShapeConfig = None
@@ -95,6 +99,10 @@ class SearchConfig:
     xdrop_raw: int = 0
 
     def __post_init__(self):
+        # remember CLI-given (pre-resolution) values so per-round configs in
+        # iterated search can re-resolve against their own traits
+        self._user_index_chunks = self.index_chunks
+        self._user_motif_masking = self.motif_masking
         if self.max_target_seqs == 0:  # -k0 = unlimited (reference config.cpp)
             self.max_target_seqs = 1 << 62
         self.traits = TRAITS[self.sensitivity]
@@ -113,6 +121,10 @@ class SearchConfig:
 
     @property
     def ext_mode(self) -> str:
+        if self.ext is not None:
+            return self.ext
+        if self.global_ranking or self.lin_stage1_target:
+            return "full"
         return self.traits.ext_mode
 
     @property

@@ -45,7 +45,14 @@ class PipelineContext:
 
 
 def mask_block(block: Block, masker: Tantan):
-    """Hard tantan masking in place (reference double_indexed.cpp:122-127,737-741)."""
+    """Hard tantan masking in place (reference double_indexed.cpp:122-127,737-741).
+
+    Idempotent across iterated-search rounds: the reference masks fresh
+    letters once per block load; re-masking already-masked letters would
+    diverge."""
+    if getattr(block, "_tantan_masked", False):
+        return
+    block._tantan_masked = True
     if block.unmasked is None:
         block.save_unmasked()
     for i in range(len(block)):
@@ -83,7 +90,7 @@ def restore_ranges(letters: np.ndarray, saved):
 class Pipeline:
     def __init__(self, cfg: SearchConfig, query_block: Block, target_block: Block,
                  queries=None, ranking_table=None, q_base: int = 0,
-                 t_base: int = 0):
+                 t_base: int = 0, query_skip=None):
         self.cfg = cfg
         self.q = query_block
         self.t = target_block
@@ -96,6 +103,10 @@ class Pipeline:
         self.ranking_table = ranking_table
         self.q_base = q_base
         self.t_base = t_base
+        # iterated search: per-context bool array; aligned queries are
+        # excluded from enumeration (reference double_indexed.cpp:264-265,
+        # EnumCfg::skip)
+        self.query_skip = query_skip
 
     def search(self):
         """Run the full search; returns {query_id: [Match, ...]}."""
@@ -123,11 +134,15 @@ class Pipeline:
             # soft-mask motif regions for enumeration
             saved_q = apply_ranges(self.q.letters, q_motif)
             saved_t = None if self.same_block else apply_ranges(self.t.letters, t_motif)
-            q_keys, q_pos = stages.enumerate_seeds(self.q, shape, cfg.reduction)
+            q_keys, q_pos = self._enumerate(self.q, shape)
+            if self.query_skip is not None and len(q_pos):
+                qidx, _ = self.q.global_to_local(q_pos)
+                keep = ~self.query_skip[qidx]
+                q_keys, q_pos = q_keys[keep], q_pos[keep]
             if self.same_block:
                 t_keys, t_pos = q_keys, q_pos
             else:
-                t_keys, t_pos = stages.enumerate_seeds(self.t, shape, cfg.reduction)
+                t_keys, t_pos = self._enumerate(self.t, shape)
             restore_ranges(self.q.letters, saved_q)
             if saved_t is not None:
                 restore_ranges(self.t.letters, saved_t)
@@ -174,6 +189,36 @@ class Pipeline:
         return self._extend_all(hits)
 
     # ------------------------------------------------------------------
+    def _enumerate(self, block, shape):
+        """Seed enumeration; with a sketch size set (FASTER), per-sequence
+        min-hash sketch selection (reference seed_iterator.h:161-200
+        SketchIterator).  Sketch selection hashes the reference's exact
+        even/odd key packing; the returned join keys stay in the pipeline's
+        plain packing."""
+        cfg = self.cfg
+        if not cfg.traits.sketch:
+            return stages.enumerate_seeds(block, shape, cfg.reduction)
+        from diamond_tpu.cluster.linclust import exact_seed_keys, sketch_select
+
+        keys_out, pos_out = [], []
+        reduced_all = cfg.reduction(block.letters)
+        for i in range(len(block)):
+            L = int(block.lengths[i])
+            if L < shape.length:
+                continue
+            start = int(block.starts[i])
+            red = reduced_all[start : start + L]
+            ekeys, valid = exact_seed_keys(red, shape, cfg.reduction.size)
+            sel = sketch_select(ekeys, valid, cfg.traits.sketch)
+            if len(sel) == 0:
+                continue
+            pkeys, _ = shape.extract_seeds(red, cfg.reduction.size)
+            keys_out.append(pkeys[sel])
+            pos_out.append(start + sel.astype(np.int64))
+        if not keys_out:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+        return np.concatenate(keys_out), np.concatenate(pos_out)
+
     def _complexity_mask(self, join, shape):
         cfg = self.cfg
         kept = stages.complexity_mask(join, shape, cfg.reduction,
@@ -191,6 +236,16 @@ class Pipeline:
 
     def _stage12(self, join, shape, sid, chunk, part_lo, part_hi):
         cfg = self.cfg
+        if cfg.lin_stage1_target and len(join.keys):
+            # linearized stage 1: one target occurrence per seed — the first
+            # (lowest-position) entry of the group (reference
+            # kernel_lin.h:131-152 stage1_target_lin uses s[0])
+            from diamond_tpu.search.stages import SeedJoin
+
+            join = SeedJoin(
+                keys=join.keys, q_start=join.q_start, q_pos=join.q_pos,
+                s_start=np.arange(len(join.keys) + 1, dtype=np.int64),
+                s_pos=join.s_pos[join.s_start[:-1]])
         qp, sp = stages.expand_pairs(join)
         if len(qp) == 0:
             return []
@@ -229,7 +284,15 @@ class Pipeline:
         qp, sp, scores = qp[keep2], sp[keep2], scores[keep2]
         qidx, qoff = qidx[keep2], qoff[keep2]
 
-        # left-most dedup filter (vectorized)
+        # left-most dedup filter (vectorized); skipped for sketch/minimizer
+        # seeding and all linearized modes (reference stage2.h:101
+        # skip_left_most)
+        if cfg.traits.sketch or cfg.lin_stage1_target:
+            out = []
+            for k in range(len(qp)):
+                out.append((int(qidx[k]), int(sp[k]), int(qoff[k]),
+                            int(scores[k])))
+            return out
         chunked = cfg.index_chunks > 1
         current = self._matcher(sid + 1)
         previous = self._matcher(sid) if sid > 0 else self._matcher(0)

@@ -1,0 +1,46 @@
+"""Native C++ components vs their Python twin oracles."""
+import numpy as np
+import pytest
+
+from diamond_tpu import native
+from diamond_tpu.constants.alphabet import encode
+from diamond_tpu.data.fasta import read_fasta
+from diamond_tpu.masking.tantan import Tantan
+from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+TD = "/root/reference/src/test"
+
+
+@pytest.fixture(scope="module")
+def masker():
+    return Tantan(ScoreMatrix("BLOSUM62").matrix32)
+
+
+def test_native_builds():
+    assert native.lib() is not None
+
+
+def test_tantan_bit_identical(masker):
+    """Native scan must match the Python/numpy float32 oracle bitwise
+    (pairwise summation, -ffp-contract=off)."""
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    seqs = [encode(s.decode().upper())
+            for _, s in list(read_fasta(f"{TD}/data.faa"))[:40]]
+    seqs += [rng.integers(0, 20, n).astype(np.int8) for n in
+             (1, 5, 15, 16, 17, 49, 50, 51, 200)]
+    # repeat-rich sequence
+    seqs.append(np.tile(np.arange(7, dtype=np.int8), 60))
+    for seq in seqs:
+        a = native.tantan_repeat_prob(
+            np.asarray(seq, dtype=np.int8), masker.ratios,
+            float(masker.p_repeat), float(masker.p_repeat_end),
+            float(masker.repeat_growth))
+        saved = native._lib
+        native._lib = None
+        try:
+            b = masker.repeat_prob(seq)
+        finally:
+            native._lib = saved
+        assert a.tobytes() == b.tobytes()
