@@ -76,6 +76,9 @@ def build_parser():
             sp.add_argument("--frameshift", "-F", type=int, default=0)
             sp.add_argument("--min-orf", dest="min_orf", type=int, default=0)
             sp.add_argument("--strand", default="both")
+            sp.add_argument("--range-culling", action="store_true")
+            sp.add_argument("--range-cover", type=float, default=50.0)
+            sp.add_argument("--long-reads", action="store_true")
 
     sp = sub.add_parser("view", help="View DIAMOND alignment archive (DAA)")
     sp.add_argument("--daa", "-a", required=True)
@@ -365,6 +368,16 @@ def cmd_blastx(args):
     from diamond_tpu.stats.score_matrix import ScoreMatrix
     from diamond_tpu.data.fasta import read_seqs
 
+    # --long-reads = --range-culling --top 10 -F 15 (reference config.cpp:680)
+    if args.long_reads:
+        args.range_culling = True
+        if args.top is None:
+            args.top = 10.0
+        if args.frameshift == 0:
+            args.frameshift = 15
+    if args.range_culling and args.frameshift == 0:
+        raise SystemExit("Query range culling is only supported in frameshift "
+                         "alignment mode (option -F).")
     validate_global_ranking(args)
     qrecs = list(read_seqs(args.query))
     tb, taxonomy = load_block(args.db, with_taxonomy=True)
@@ -372,7 +385,8 @@ def cmd_blastx(args):
                                 frameshift=args.frameshift,
                                 min_orf=getattr(args, "min_orf", 0) or 0)
     cfg = SearchConfig(
-        matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
+        matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend,
+                           frame_shift=args.frameshift),
         sensitivity=args.sensitivity,
         comp_based_stats=args.comp_based_stats,
         max_evalue=args.evalue,
@@ -387,6 +401,9 @@ def cmd_blastx(args):
         translated=True,
         global_ranking=args.global_ranking,
         n_shapes=args.shapes,
+        frame_shift=args.frameshift,
+        query_range_culling=args.range_culling,
+        query_range_cover=args.range_cover,
     )
     if cfg.global_ranking:
         cfg.translated = True

@@ -18,10 +18,12 @@ def format_match_line(query_name: str, target_name: str, hsp, fields=None,
     translated_position.h:130-136, match.h:168-174)."""
     fields = fields or DEFAULT_FIELDS
     if dna_len > 0:
-        from diamond_tpu.data.translate import absolute_interval
+        src = getattr(hsp, "query_source_range", None)
+        if src is None:
+            from diamond_tpu.data.translate import absolute_interval
 
-        src = absolute_interval(hsp.query_range[0], hsp.query_range[1],
-                                hsp.frame, dna_len)
+            src = absolute_interval(hsp.query_range[0], hsp.query_range[1],
+                                    hsp.frame, dna_len)
         if hsp.frame < 3:
             qstart, qend = src[0] + 1, src[1]
         else:

@@ -87,6 +87,9 @@ class SearchConfig:
     n_shapes: int = 0        # -s N: use first N seed shapes (config.cpp:285)
     ext: str | None = None   # --ext override; linearized rounds force "full"
                              # (reference setup.cpp:377-382)
+    frame_shift: int = 0     # -F penalty; >0 selects the 3-frame pipeline
+    query_range_culling: bool = False  # --range-culling (requires -F)
+    query_range_cover: float = 50.0    # --range-cover default (config.cpp:441)
     lin_stage1_target: bool = False  # linearized stage 1: one target
                              # occurrence per seed (reference kernel_lin.h:132)
     # derived

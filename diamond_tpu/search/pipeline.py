@@ -369,6 +369,17 @@ class Pipeline:
                 by_source.setdefault(cid // 6, []).append(
                     (sgpos, soff, score, cid % 6))
             results = {}
+            if self.cfg.frame_shift > 0:
+                # frameshift mode runs the legacy 3-frame pipeline
+                # (reference align.cpp:168-171)
+                from diamond_tpu.align.frameshift import extend_query_frameshift
+
+                for sidx in sorted(by_source):
+                    m = extend_query_frameshift(sidx, by_source[sidx],
+                                                self.queries, self.t, self.cfg)
+                    if m:
+                        results[sidx] = m
+                return results
             for sidx in sorted(by_source):
                 m = extend_query_translated(sidx, by_source[sidx],
                                             self.queries, self.t, self.cfg)
