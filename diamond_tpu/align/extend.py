@@ -236,18 +236,53 @@ def merged_bands(work: WorkTarget, qlen: int, tlen: int, base_band: int):
 
 
 
+def _device_dp_min_batch() -> int:
+    import os
+
+    v = os.environ.get("DIAMOND_TPU_DEVICE_DP")
+    if not v or v == "0":
+        return 1 << 62
+    return 64 if v == "1" else int(v)
+
+
+def _device_dp_scores(q, use_bias, jobs, mat):
+    """Score-only banded DP on the accelerator (pallas kernel; exact int32
+    parity with the numpy oracle — see tests/test_swipe_pallas.py).
+    max_col/max_row are mapped best-effort; only the score feeds culling."""
+    from diamond_tpu.ops.swipe_pallas import (banded_swipe_pallas,
+                                              prepare_pallas_batch)
+
+    tgt, bmask, ppad, band, meta = prepare_pallas_batch(
+        q, use_bias, mat.matrix32, jobs)
+    go, ge = mat.gap_open + mat.gap_extend, mat.gap_extend
+    best, mc, mr = banded_swipe_pallas(tgt, bmask, ppad, go, ge, band)
+    best = np.asarray(best).reshape(-1)
+    mc = np.asarray(mc).reshape(-1)
+    mr = np.asarray(mr).reshape(-1)
+    return [(int(best[k]), max(int(mc[k]) - meta["shifts"][k], 0), int(mr[k]))
+            for k in range(len(jobs))]
+
+
 def _run_dp_jobs(q, use_bias, jobs, job_meta, tgt_matrices, mat, traceback):
     """Run banded DP jobs, splitting adjusted-matrix targets into their own
     single-job batches (the adjusted matrix replaces the profile and the
     Hauser bias is not applied; reference swipe profile setup,
-    banded_swipe.h:252-266)."""
+    banded_swipe.h:252-266).
+
+    Score-only batches above the DIAMOND_TPU_DEVICE_DP threshold run on the
+    accelerator; traceback stays on host (the survivor set is tiny —
+    SURVEY §7 architecture mapping)."""
     out = [None] * len(jobs)
     std_idx = [k for k, (tid, _) in enumerate(job_meta) if tid not in tgt_matrices]
     adj_idx = [k for k, (tid, _) in enumerate(job_meta) if tid in tgt_matrices]
     if std_idx:
-        res = banded_swipe_batch_np(q, use_bias, [jobs[k] for k in std_idx],
-                                    mat.matrix32, mat.gap_open, mat.gap_extend,
-                                    traceback=traceback)
+        std_jobs = [jobs[k] for k in std_idx]
+        if not traceback and len(std_jobs) >= _device_dp_min_batch():
+            res = _device_dp_scores(q, use_bias, std_jobs, mat)
+        else:
+            res = banded_swipe_batch_np(q, use_bias, std_jobs,
+                                        mat.matrix32, mat.gap_open,
+                                        mat.gap_extend, traceback=traceback)
         for k, r in zip(std_idx, res):
             out[k] = r
     for k in adj_idx:

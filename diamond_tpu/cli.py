@@ -45,6 +45,9 @@ def build_parser():
         sp.add_argument("--global-ranking", "-g", type=int, default=0)
         sp.add_argument("--shapes", "-s", type=int, default=0)
         sp.add_argument("--iterate", nargs="*", default=None)
+        sp.add_argument("--taxonlist", default=None)
+        sp.add_argument("--taxon-exclude", default=None)
+        sp.add_argument("--taxon-k", type=int, default=0)
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
@@ -99,6 +102,9 @@ def build_parser():
         sp.add_argument("--approx-id", type=float, default=None)
         sp.add_argument("--member-cover", type=float, default=80.0)
         sp.add_argument("--threads", "-p", type=int, default=1)
+        sp.add_argument("--reps", default=None,
+                        help="representative sequences FASTA output")
+        sp.add_argument("--cluster-steps", nargs="+", default=None)
 
     sp = sub.add_parser("getseq", help="Extract sequences from database")
     sp.add_argument("--db", "-d", required=True)
@@ -193,6 +199,9 @@ def cmd_blastp(args):
         return cmd_blastp_blocked(args)
     qb = load_block(args.query)
     tb, taxonomy = load_block(args.db, with_taxonomy=True)
+    tb, taxonomy, db_letters = apply_taxon_filter(tb, taxonomy,
+                                                   args.taxonlist,
+                                                   args.taxon_exclude)
     cfg = SearchConfig(
         matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
         sensitivity=args.sensitivity,
@@ -209,6 +218,7 @@ def cmd_blastp(args):
         subject_cover=args.subject_cover,
         global_ranking=args.global_ranking,
         n_shapes=args.shapes,
+        db_letters=db_letters,
     )
     if cfg.global_ranking:
         results = _global_ranking_search(cfg, qb, tb)
@@ -248,6 +258,57 @@ def validate_global_ranking(args):
     if getattr(args, "frameshift", 0):
         raise SystemExit("Global ranking mode is not compatible with "
                          "frameshift alignments.")
+
+
+def apply_taxon_filter(tb, taxonomy, taxonlist: str | None,
+                       taxon_exclude: str | None):
+    """Database taxonomy subtree filter (reference
+    double_indexed.cpp:863-870, sequence_file.cpp:772-792
+    filter_by_taxonomy, :996-1034 contained).  Returns (filtered block,
+    filtered taxonomy, oid map) or the inputs unchanged."""
+    if not taxonlist and not taxon_exclude:
+        return tb, taxonomy, 0
+    if taxonlist and taxon_exclude:
+        raise SystemExit("Options --taxonlist and --taxon-exclude are "
+                         "mutually exclusive.")
+    if taxonomy is None or taxonomy.nodes is None:
+        raise SystemExit("Option requires taxonomy mapping built into the "
+                         "database (--taxonmap option of makedb)")
+    from diamond_tpu.data.block import Block
+    from diamond_tpu.data.taxonomy import Taxonomy
+
+    exclude = bool(taxon_exclude)
+    fset = {int(t) for t in (taxon_exclude or taxonlist).split(",") if t}
+    if not fset:
+        raise SystemExit("Option --taxonlist/--taxon-exclude used with "
+                         "empty list.")
+    if 0 in fset or 1 in fset:
+        raise SystemExit("Option --taxonlist/--taxon-exclude used with "
+                         "invalid argument (0 or 1).")
+    nodes = taxonomy.nodes
+
+    def contained_vec(tids):
+        if not tids:
+            return exclude  # all() over empty = True; any() = False
+        for t in tids:
+            c = nodes.contained(t, fset, include_invalid=exclude)
+            if c and not exclude:
+                return True
+            if not c and exclude:
+                return False
+        return exclude
+
+    keep = [oid for oid in range(len(tb))
+            if contained_vec(taxonomy.taxids(oid)) ^ exclude]
+    fb = Block.from_sequences([tb.seq(i).copy() for i in keep],
+                              [tb.ids[i] for i in keep])
+    ft = Taxonomy(taxon_lists=[taxonomy.taxids(i) for i in keep],
+                  nodes=taxonomy.nodes, names=taxonomy.names)
+    # the reference's filtered letter count sums read_seq sizes, which
+    # include one separator per sequence (dmnd.cpp:641, DbFilter
+    # letter_count at sequence_file.cpp:788) — mirror for e-value parity
+    letters = fb.n_letters + len(fb)
+    return fb, ft, letters
 
 
 def _global_ranking_search(cfg, qb, tb, queries=None):
@@ -338,7 +399,13 @@ def cmd_blastp_blocked(args):
         return [r[1].upper() for r in recs], [r[0] for r in recs]
 
     qseqs, qids = load_seqs_ids(args.query)
-    tseqs, tids = load_seqs_ids(args.db)
+    if args.taxon_k:
+        tb_tax, taxonomy = load_block(args.db, with_taxonomy=True)
+        tseqs = [tb_tax.seq(i).copy() for i in range(len(tb_tax))]
+        tids = tb_tax.ids
+    else:
+        taxonomy = None
+        tseqs, tids = load_seqs_ids(args.db)
     cfg = SearchConfig(
         matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
         sensitivity=args.sensitivity, comp_based_stats=args.comp_based_stats,
@@ -346,7 +413,8 @@ def cmd_blastp_blocked(args):
         toppercent=args.top, index_chunks=args.index_chunks,
         masking=args.masking, global_ranking=args.global_ranking,
         n_shapes=args.shapes)
-    res = blocked_search(cfg, qseqs, qids, tseqs, tids, args.block_size)
+    res = blocked_search(cfg, qseqs, qids, tseqs, tids, args.block_size,
+                         taxonomy=taxonomy, taxon_k=args.taxon_k)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     from diamond_tpu.data.taxonomy import seqid
 
@@ -381,6 +449,9 @@ def cmd_blastx(args):
     validate_global_ranking(args)
     qrecs = list(read_seqs(args.query))
     tb, taxonomy = load_block(args.db, with_taxonomy=True)
+    tb, taxonomy, db_letters = apply_taxon_filter(tb, taxonomy,
+                                                   args.taxonlist,
+                                                   args.taxon_exclude)
     queries = TranslatedQueries(qrecs, gencode=args.query_gencode,
                                 frameshift=args.frameshift,
                                 min_orf=getattr(args, "min_orf", 0) or 0)
@@ -404,6 +475,7 @@ def cmd_blastx(args):
         frame_shift=args.frameshift,
         query_range_culling=args.range_culling,
         query_range_cover=args.range_cover,
+        db_letters=db_letters,
     )
     if cfg.global_ranking:
         cfg.translated = True

@@ -347,9 +347,10 @@ def _full_extend_edges(sub: Block, qid: int, target_scores: dict, cfg,
 # ---------------------------------------------------------------------------
 
 def linclust(seqs, titles, approx_id: float = 0.0, member_cover: float = 80.0,
-             matrix_name: str = "BLOSUM62", verbose: bool = False):
+             matrix_name: str = "BLOSUM62", verbose: bool = False,
+             steps=None):
     """Returns list of (rep_title, member_title) lines in the reference's
-    output order."""
+    output order.  steps overrides the default cascade (--cluster-steps)."""
     from diamond_tpu.cluster.workflow import cluster_steps
     from diamond_tpu.search.config import SearchConfig
     from diamond_tpu.stats.score_matrix import ScoreMatrix
@@ -364,7 +365,8 @@ def linclust(seqs, titles, approx_id: float = 0.0, member_cover: float = 80.0,
 
     clustering = np.arange(n, dtype=np.int64)
     reps = list(range(n))
-    steps = cluster_steps(approx_id, linear=True)
+    if steps is None:
+        steps = cluster_steps(approx_id, linear=True)
     for step in steps:
         if len(reps) <= 1:
             break

@@ -129,17 +129,20 @@ def run_cluster(args):
         from diamond_tpu.cluster.linclust import linclust
 
         pairs = linclust(seqs, titles, approx_id=approx_id,
-                         member_cover=args.member_cover)
+                         member_cover=args.member_cover,
+                         steps=getattr(args, "cluster_steps", None))
         out = sys.stdout if args.out == "-" else open(args.out, "w")
         for rep, member in pairs:
             out.write(f"{rep}\t{member}\n")
         if out is not sys.stdout:
             out.close()
+        _write_reps(args, seqs, titles, {rep for rep, _ in pairs})
         return
     from diamond_tpu.data.block import Block
 
     block = Block.from_sequences(seqs, titles)
-    steps = cluster_steps(approx_id, linear=False)
+    steps = getattr(args, "cluster_steps", None) or \
+        cluster_steps(approx_id, linear=False)
     assignment = cluster_block(block, steps, member_cover=args.member_cover,
                                approx_id=approx_id, threads=args.threads)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
@@ -147,3 +150,22 @@ def run_cluster(args):
         out.write(f"{block.seq_id(int(assignment[i]))}\t{block.seq_id(i)}\n")
     if out is not sys.stdout:
         out.close()
+    _write_reps(args, seqs, titles,
+                {block.seq_id(int(c)) for c in np.unique(assignment)})
+
+
+def _write_reps(args, seqs, titles, rep_ids):
+    """--reps FASTA: id + sequence only (reference config.cpp:359,
+    cluster/output.cpp)."""
+    if not getattr(args, "reps", None):
+        return
+    from diamond_tpu.data.taxonomy import seqid
+    from diamond_tpu.tools_cmds import decode
+
+    with open(args.reps, "w") as f:
+        for t, s in zip(titles, seqs):
+            sid = seqid(t)
+            if sid in rep_ids:
+                seq_str = decode(s) if not isinstance(s, (str, bytes)) \
+                    else (s.decode() if isinstance(s, bytes) else s)
+                f.write(f">{sid}\n{seq_str}\n")

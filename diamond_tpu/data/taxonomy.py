@@ -33,6 +33,7 @@ RANK_NONE = 0
 RANK_SUPERKINGDOM = 1
 RANK_KINGDOM = 6
 RANK_PHYLUM = 9
+RANK_SPECIES = RANK_MAP["species"]
 
 
 # ---------------------------------------------------------------------------
@@ -136,12 +137,16 @@ def get_accession(title: str) -> str:
 
 
 def accessions_from_title(title: str, parse_seqids: bool = True):
+    """All accessions of a (possibly multi-defline) title; deflines are
+    separated by '\\x01' or ' >' (reference sequence.cpp:38
+    FASTA_HEADER_SEP, :59-71 all_seqids)."""
     out = []
-    for part in title.split(_FASTA_HEADER_SEP):
-        if not part:
-            continue
-        s = seqid(part)
-        out.append(get_accession(s) if parse_seqids else s)
+    for p1 in title.split(_FASTA_HEADER_SEP):
+        for part in p1.split(" >"):
+            if not part:
+                continue
+            s = seqid(part)
+            out.append(get_accession(s) if parse_seqids else s)
     return out
 
 

@@ -42,7 +42,8 @@ def split_blocks(seqs, ids, max_letters: int):
 
 
 def blocked_search(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
-                   target_ids, block_size_gb: float):
+                   target_ids, block_size_gb: float, taxonomy=None,
+                   taxon_k: int = 0):
     """Returns ({global_query_id: [(global_target_id, Match)]}, n_queries)."""
     cap = int(block_size_gb * 1e9)
     total_letters = sum(len(s) for s in target_seqs)
@@ -82,7 +83,30 @@ def blocked_search(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
         else:
             items.sort(key=lambda tm: (tm[1].filter_evalue,
                                        -tm[1].filter_score, tm[0]))
-            items = items[: cfg.max_target_seqs]
+            if taxon_k:
+                # per-species cap during the join (reference
+                # join_blocks.cpp:223-272 w/ GlobalCulling taxon counts,
+                # target_culling.h:50-57,91-93)
+                from diamond_tpu.data.taxonomy import RANK_SPECIES
+
+                counts: dict[int, int] = {}
+                kept = []
+                for goid, m in items:
+                    if len(kept) >= cfg.max_target_seqs:
+                        break
+                    rank_ids = taxonomy.rank_taxids(taxonomy.taxids(goid),
+                                                    RANK_SPECIES)
+                    # all() over an empty rank set is True -> NEXT, matching
+                    # the reference's taxons_exceeded == size() comparison
+                    if kept and all(counts.get(r, 0) >= taxon_k
+                                    for r in rank_ids):
+                        continue
+                    for r in rank_ids:
+                        counts[r] = counts.get(r, 0) + 1
+                    kept.append((goid, m))
+                items = kept
+            else:
+                items = items[: cfg.max_target_seqs]
         out[gqid] = items
     return out
 

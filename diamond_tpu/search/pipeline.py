@@ -96,7 +96,7 @@ class Pipeline:
         self.t = target_block
         self.queries = queries  # TranslatedQueries when cfg.translated
         self.ctx = PipelineContext(cfg, query_block, target_block)
-        cfg.matrix.set_db_letters(target_block.n_letters)
+        cfg.matrix.set_db_letters(cfg.db_letters or target_block.n_letters)
         self.same_block = query_block is target_block
         # global ranking (-g): per-shape table updates replace extension
         # (reference double_indexed.cpp:185-193)

@@ -66,3 +66,26 @@ def test_linclust_golden():
     assert len(diffs) <= 2
     for a, b in diffs:
         assert "d3l6ea1" in a + b or "d3guya1" in a + b
+
+
+def test_linclust_reps_output(tmp_path):
+    """linclust_reps (reference src/test/linclust_reps.cmake): --reps FASTA
+    with exactly the representatives, id-only headers; --cluster-steps
+    override."""
+    import subprocess
+    import sys
+
+    clusters = tmp_path / "clusters.tsv"
+    reps = tmp_path / "reps.faa"
+    r = subprocess.run(
+        [sys.executable, "-m", "diamond_tpu.cli", "linclust",
+         "-d", "/root/reference/src/test/1.faa", "--approx-id", "0",
+         "--cluster-steps", "faster_lin", "-o", str(clusters),
+         "--reps", str(reps)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    headers = [l for l in reps.read_text().splitlines() if l.startswith(">")]
+    assert headers == [">NP_001001178.1"]
+    self_lines = [l for l in clusters.read_text().splitlines()
+                  if l.split("\t")[0] == l.split("\t")[1]]
+    assert len(self_lines) == len(headers)
