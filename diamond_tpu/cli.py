@@ -26,6 +26,9 @@ def build_parser():
         sp.add_argument("--outfmt", "-f", nargs="*", default=["6"],
                         help="output format")
         sp.add_argument("--threads", "-p", type=int, default=1)
+        sp.add_argument("--verbose", "-v", action="store_true")
+        sp.add_argument("--quiet", action="store_true")
+        sp.add_argument("--log", dest="log_path", default=None)
 
     def search_opts(sp):
         sp.add_argument("--evalue", "-e", type=float, default=0.001)
@@ -48,6 +51,11 @@ def build_parser():
         sp.add_argument("--taxonlist", default=None)
         sp.add_argument("--taxon-exclude", default=None)
         sp.add_argument("--taxon-k", type=int, default=0)
+        sp.add_argument("--target-indexed", action="store_true")
+        sp.add_argument("--multiprocessing", action="store_true")
+        sp.add_argument("--mp-init", action="store_true")
+        sp.add_argument("--mp-recover", action="store_true")
+        sp.add_argument("--parallel-tmpdir", default=None)
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
@@ -105,6 +113,12 @@ def build_parser():
         sp.add_argument("--reps", default=None,
                         help="representative sequences FASTA output")
         sp.add_argument("--cluster-steps", nargs="+", default=None)
+        sp.add_argument("--cluster-algo", default=None, choices=["mcl"])
+        sp.add_argument("--cluster-threshold", type=float, default=None)
+        sp.add_argument("--mcl-expansion", type=int, default=2)
+        sp.add_argument("--mcl-inflation", type=float, default=2.0)
+        sp.add_argument("--mcl-max-iterations", type=int, default=100)
+        sp.add_argument("--mcl-nonsymmetric", action="store_true")
 
     sp = sub.add_parser("getseq", help="Extract sequences from database")
     sp.add_argument("--db", "-d", required=True)
@@ -152,6 +166,19 @@ def build_parser():
     sp = sub.add_parser("listseeds", help="Most frequent seeds in db")
     sp.add_argument("--db", "-d", required=True)
     sp.add_argument("--count", "-n", type=int, default=20)
+
+    sp = sub.add_parser("makeidx", help="Build seed index for --target-indexed")
+    sp.add_argument("--db", "-d", required=True)
+    sens = sp.add_mutually_exclusive_group()
+    for flag, name in [("--faster", "faster"), ("--fast", "fast"),
+                       ("--mid-sensitive", "mid-sensitive"),
+                       ("--sensitive", "sensitive"),
+                       ("--more-sensitive", "more-sensitive"),
+                       ("--very-sensitive", "very-sensitive"),
+                       ("--ultra-sensitive", "ultra-sensitive")]:
+        sens.add_argument(flag, dest="sensitivity", action="store_const",
+                          const=name)
+    sp.set_defaults(sensitivity="default")
 
     sp = sub.add_parser("benchmark", help="Kernel microbenchmarks (ps/cell)")
 
@@ -220,6 +247,11 @@ def cmd_blastp(args):
         n_shapes=args.shapes,
         db_letters=db_letters,
     )
+    seed_index = None
+    if args.target_indexed:
+        from diamond_tpu.data.seed_index import load_seed_index
+
+        seed_index = load_seed_index(args.db + ".seed_idx", cfg)
     if cfg.global_ranking:
         results = _global_ranking_search(cfg, qb, tb)
     elif args.iterate is not None:
@@ -228,7 +260,7 @@ def cmd_blastp(args):
         rounds = rounds_for(cfg.sensitivity, args.iterate)
         results = iterated_search(cfg, qb, tb, rounds)
     else:
-        pipe = Pipeline(cfg, qb, tb)
+        pipe = Pipeline(cfg, qb, tb, target_seed_index=seed_index)
         results = pipe.search()
     if args.outfmt and args.outfmt[0] in ("100", "daa"):
         from diamond_tpu.data.daa import write_daa
@@ -413,8 +445,20 @@ def cmd_blastp_blocked(args):
         toppercent=args.top, index_chunks=args.index_chunks,
         masking=args.masking, global_ranking=args.global_ranking,
         n_shapes=args.shapes)
-    res = blocked_search(cfg, qseqs, qids, tseqs, tids, args.block_size,
-                         taxonomy=taxonomy, taxon_k=args.taxon_k)
+    if args.multiprocessing or args.mp_init or args.mp_recover:
+        from diamond_tpu.search.blocked import blocked_search_mp
+
+        if not args.parallel_tmpdir:
+            raise SystemExit("--multiprocessing requires --parallel-tmpdir.")
+        res = blocked_search_mp(cfg, qseqs, qids, tseqs, tids,
+                                args.block_size, args.parallel_tmpdir,
+                                init_only=args.mp_init,
+                                recover=args.mp_recover)
+        if res is None:
+            return
+    else:
+        res = blocked_search(cfg, qseqs, qids, tseqs, tids, args.block_size,
+                             taxonomy=taxonomy, taxon_k=args.taxon_k)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     from diamond_tpu.data.taxonomy import seqid
 
@@ -530,6 +574,25 @@ def cmd_dbinfo(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if hasattr(args, "verbose"):
+        from diamond_tpu.utils.log import set_level
+
+        set_level(verbose=args.verbose, quiet=args.quiet,
+                  log_path=args.log_path)
+    import time as _time
+
+    _start = _time.time()
+    try:
+        return _dispatch(args)
+    finally:
+        if hasattr(args, "verbose"):
+            from diamond_tpu.utils.log import message, statistics
+
+            statistics.print()
+            message(f"Total time = {_time.time() - _start:.1f}s")
+
+
+def _dispatch(args):
     if args.command == "blastp":
         cmd_blastp(args)
     elif args.command == "blastx":
@@ -568,6 +631,16 @@ def main(argv=None):
         from diamond_tpu.cluster.workflow import run_cluster
 
         run_cluster(args)
+    elif args.command == "makeidx":
+        from diamond_tpu.data.seed_index import build_seed_index
+        from diamond_tpu.search.config import SearchConfig
+        from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+        block = load_block(args.db)
+        cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"),
+                           sensitivity=args.sensitivity)
+        build_seed_index(args.db + ".seed_idx", block, cfg)
+        print(f"Wrote {args.db}.seed_idx")
     elif args.command == "benchmark":
         from diamond_tpu.benchmark import run_benchmark
 

@@ -125,6 +125,30 @@ def run_cluster(args):
     approx_id = args.approx_id if args.approx_id is not None else 0.0
     if args.command == "deepclust":
         approx_id = 0.0
+    if getattr(args, "cluster_algo", None) == "mcl":
+        from diamond_tpu.cluster.mcl import (DEFAULT_THRESHOLD, mcl_cluster,
+                                             mcl_edges_from_search)
+        from diamond_tpu.data.block import Block
+
+        block = Block.from_sequences(seqs, titles)
+        thr = args.cluster_threshold
+        edges = mcl_edges_from_search(
+            block, threshold=DEFAULT_THRESHOLD if thr is None else thr,
+            threads=args.threads)
+        assignment = mcl_cluster(
+            len(block), edges,
+            expansion=args.mcl_expansion, inflation=args.mcl_inflation,
+            max_iter=args.mcl_max_iterations,
+            symmetric=not args.mcl_nonsymmetric)
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
+        for i in range(len(block)):
+            out.write(f"{block.seq_id(int(assignment[i]))}\t"
+                      f"{block.seq_id(i)}\n")
+        if out is not sys.stdout:
+            out.close()
+        _write_reps(args, seqs, titles,
+                    {block.seq_id(int(c)) for c in np.unique(assignment)})
+        return
     if args.command == "linclust":
         from diamond_tpu.cluster.linclust import linclust
 

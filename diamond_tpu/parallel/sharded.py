@@ -15,8 +15,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, platform: str | None = None) -> Mesh:
+    devs = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("db",))
@@ -57,6 +57,48 @@ def sharded_swipe_topk(mesh: Mesh, targets_1h, band_mask, profile_pad,
         check_vma=False,
     )
     return fn(targets_1h, band_mask)
+
+
+def sharded_full_scores(mesh: Mesh, query, bias, tblock, matrix32,
+                        gap_open: int, gap_extend: int):
+    """Production-semantics sharded full-matrix scoring: score one query
+    against every sequence of a target block with the DB sharded over the
+    mesh's 'db' axis; returns the per-target scores replicated on host.
+
+    This is the multi-chip form of the --swipe / global-ranking final
+    extension first round (align/swipe_all.py): devices do the
+    O(B*T*band) DP over their shard; the host applies the identical
+    culling (sort + _output_range) on the gathered [B] score vector, so
+    results match the single-chip path exactly."""
+    from diamond_tpu.ops.swipe_jax import banded_swipe_uniform, prepare_uniform_batch
+
+    n_dev = mesh.devices.size
+    qlen = len(query)
+    jobs = []
+    for t in range(len(tblock)):
+        tgt = tblock.seq(t)
+        jobs.append((tgt, -(max(len(tgt), 1) - 1), qlen))
+    # pad the batch to a mesh multiple with empty jobs
+    B0 = len(jobs)
+    while len(jobs) % n_dev:
+        jobs.append((np.zeros(1, dtype=np.int8), 0, 1))
+    t1h, bmask, ppad, band, _ = prepare_uniform_batch(query, bias, matrix32,
+                                                      jobs)
+    t1h = shard_batch_axis(mesh, t1h, 1)
+    bmask = shard_batch_axis(mesh, bmask, 0)
+    ppad = replicate(mesh, ppad)
+
+    def per_shard(t1h_s, mask_s):
+        best, _, _ = banded_swipe_uniform(t1h_s, mask_s, ppad,
+                                          gap_open + gap_extend, gap_extend,
+                                          band)
+        return jax.lax.all_gather(best, "db", tiled=True)
+
+    fn = jax.shard_map(per_shard, mesh=mesh,
+                       in_specs=(P(None, "db", None), P("db", None)),
+                       out_specs=P(), check_vma=False)
+    scores = np.asarray(fn(t1h, bmask))
+    return scores[:B0]
 
 
 def replicate(mesh: Mesh, x):

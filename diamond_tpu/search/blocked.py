@@ -59,13 +59,21 @@ def blocked_search(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
     merged: dict[int, list] = {}
     for qb, q_base in zip(q_blocks, q_bases):
         for tb, t_base in zip(t_blocks, t_bases):
-            pipe = Pipeline(cfg, qb, tb)
-            pipe.cfg.matrix.set_db_letters(total_letters)  # keep global stats
-            res = pipe.search()
+            res = _run_combo(cfg, qb, tb, total_letters)
             for qid, matches in res.items():
                 bucket = merged.setdefault(q_base + qid, [])
                 for m in matches:
                     bucket.append((t_base + m.target_block_id, m))
+    return _join(cfg, merged, taxonomy, taxon_k)
+
+
+def _run_combo(cfg, qb, tb, total_letters):
+    pipe = Pipeline(cfg, qb, tb)
+    pipe.cfg.matrix.set_db_letters(total_letters)  # keep global stats
+    return pipe.search()
+
+
+def _join(cfg, merged, taxonomy=None, taxon_k=0):
     # global join culling (reference join_blocks.cpp join_query)
     out: dict[int, list] = {}
     for gqid, items in merged.items():
@@ -109,6 +117,44 @@ def blocked_search(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
                 items = items[: cfg.max_target_seqs]
         out[gqid] = items
     return out
+
+
+def blocked_search_mp(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
+                      target_ids, block_size_gb: float, tmpdir: str,
+                      init_only: bool = False, recover: bool = False):
+    """--multiprocessing blocked search: block combos are claimed from a
+    shared-FS work queue; each combo's result file is the checkpoint
+    (reference double_indexed.cpp:346-430; see parallel/mp.py).
+
+    Returns the joined results when this worker finishes the last combo,
+    else None (another worker holds outstanding combos, or init-only)."""
+    from diamond_tpu.parallel import mp
+
+    cap = int(block_size_gb * 1e9)
+    total_letters = sum(len(s) for s in target_seqs)
+    t_blocks, t_bases = split_blocks(target_seqs, target_ids, cap)
+    q_blocks, q_bases = split_blocks(query_seqs, query_ids, cap)
+
+    if init_only:
+        mp.mp_init(tmpdir, len(q_blocks), len(t_blocks))
+        return None
+    if recover:
+        mp.mp_recover(tmpdir)
+
+    def run_combo(qi, ti):
+        res = _run_combo(cfg, q_blocks[qi], t_blocks[ti], total_letters)
+        return {q_bases[qi] + qid: [(t_bases[ti] + m.target_block_id, m)
+                                    for m in matches]
+                for qid, matches in res.items()}
+
+    mp.mp_worker(tmpdir, run_combo)
+    if not mp.mp_done(tmpdir):
+        return None
+    merged: dict[int, list] = {}
+    for combo in mp.mp_collect(tmpdir).values():
+        for gqid, items in combo.items():
+            merged.setdefault(gqid, []).extend(items)
+    return _join(cfg, merged)
 
 
 def _blocked_global_ranking(cfg, q_blocks, q_bases, t_blocks, t_bases,

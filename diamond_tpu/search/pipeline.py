@@ -90,7 +90,7 @@ def restore_ranges(letters: np.ndarray, saved):
 class Pipeline:
     def __init__(self, cfg: SearchConfig, query_block: Block, target_block: Block,
                  queries=None, ranking_table=None, q_base: int = 0,
-                 t_base: int = 0, query_skip=None):
+                 t_base: int = 0, query_skip=None, target_seed_index=None):
         self.cfg = cfg
         self.q = query_block
         self.t = target_block
@@ -107,15 +107,23 @@ class Pipeline:
         # excluded from enumeration (reference double_indexed.cpp:264-265,
         # EnumCfg::skip)
         self.query_skip = query_skip
+        # --target-indexed: persisted per-shape (keys, pos) target seeds
+        # (reference double_indexed.cpp:181-185 HashedSeedSet load)
+        self.target_seed_index = target_seed_index
 
     def search(self):
         """Run the full search; returns {query_id: [Match, ...]}."""
+        from diamond_tpu.utils.log import TaskTimer, statistics
+
         cfg = self.cfg
+        timer = TaskTimer()
         if cfg.masking == "tantan":
+            timer.go("Masking sequences")
             masker = Tantan(cfg.matrix.matrix32)
             mask_block(self.t, masker)
             if not self.same_block:
                 mask_block(self.q, masker)
+            timer.finish()
 
         # motif soft-mask ranges computed once on the masked block
         q_motif = motif_mask_ranges(self.q) if cfg.motif_masking else []
@@ -131,6 +139,7 @@ class Pipeline:
 
         for sid in range(len(cfg.shapes)):
             shape = cfg.shapes[sid]
+            timer.go(f"Processing shape {sid + 1}/{len(cfg.shapes)}")
             # soft-mask motif regions for enumeration
             saved_q = apply_ranges(self.q.letters, q_motif)
             saved_t = None if self.same_block else apply_ranges(self.t.letters, t_motif)
@@ -141,6 +150,8 @@ class Pipeline:
                 q_keys, q_pos = q_keys[keep], q_pos[keep]
             if self.same_block:
                 t_keys, t_pos = q_keys, q_pos
+            elif self.target_seed_index is not None:
+                t_keys, t_pos = self.target_seed_index[sid]
             else:
                 t_keys, t_pos = self._enumerate(self.t, shape)
             restore_ranges(self.q.letters, saved_q)
@@ -183,10 +194,16 @@ class Pipeline:
                              cfg, self.q_base, self.t_base)
             else:
                 hits.extend(shape_hits)
+            statistics.inc("SEED_HITS", len(shape_hits))
 
+        timer.finish()
         if self.ranking_table is not None:
             return None
-        return self._extend_all(hits)
+        timer.go("Computing alignments")
+        res = self._extend_all(hits)
+        timer.finish()
+        statistics.inc("ALIGNED", len(res) if res else 0)
+        return res
 
     # ------------------------------------------------------------------
     def _enumerate(self, block, shape):

@@ -1,0 +1,90 @@
+"""Tracing, phase timers, and statistics counters.
+
+Reference: src/util/log_stream.h:27-115 (message/verbose/log streams,
+TaskTimer), src/basic/statistics.h:25-58 (counter enum, thread-local
+accumulate + final dump), double_indexed.cpp:778-780 (exit summary).
+
+Three levels: message (default, stderr), verbose (-v), log (--log file,
+timestamped).  TaskTimer logs phase durations at the chosen verbosity;
+Statistics counts pipeline events and prints a final table under -v.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from collections import defaultdict
+
+QUIET, MESSAGE, VERBOSE, LOG = 0, 1, 2, 3
+
+_level = MESSAGE
+_log_file = None
+_t0 = time.time()
+
+
+def set_level(verbose: bool = False, quiet: bool = False,
+              log_path: str | None = None):
+    global _level, _log_file
+    if quiet:
+        _level = QUIET
+    elif verbose:
+        _level = VERBOSE
+    if log_path:
+        _log_file = open(log_path, "a")
+        _level = LOG
+
+
+def message(s: str, level: int = MESSAGE):
+    if _log_file is not None:
+        _log_file.write(f"[{time.time() - _t0:.3f}] {s}\n")
+        _log_file.flush()
+    if level <= _level:
+        print(s, file=sys.stderr)
+
+
+class TaskTimer:
+    """Scoped phase timer (reference util/log_stream.h:32-115): prints the
+    phase name at start and the elapsed time at finish."""
+
+    def __init__(self, name: str | None = None, level: int = VERBOSE):
+        self.level = level
+        self.name = None
+        self.start = None
+        if name:
+            self.go(name)
+
+    def go(self, name: str):
+        self.finish()
+        self.name = name
+        self.start = time.perf_counter()
+        message(f"{name}... ", self.level)
+
+    def finish(self):
+        if self.name is None:
+            return
+        dt = time.perf_counter() - self.start
+        message(f"{self.name} [{dt:.3f}s]", self.level)
+        self.name = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.finish()
+
+
+class Statistics:
+    """Event counters accumulated across the run (reference
+    basic/statistics.h)."""
+
+    def __init__(self):
+        self.counts = defaultdict(int)
+
+    def inc(self, key: str, n: int = 1):
+        self.counts[key] += n
+
+    def print(self):
+        for k in sorted(self.counts):
+            message(f"{k} = {self.counts[k]}", VERBOSE)
+
+
+statistics = Statistics()

@@ -1,0 +1,103 @@
+"""Multi-process blocked search (checkpoint/resume), seed index
+(makeidx/--target-indexed), and tracing flags.
+
+Reference: util/parallel/{filestack.h,atomic.h}, double_indexed.cpp:346-430
+(--multiprocessing / --mp-init / --mp-recover), data/index.cpp (makeidx),
+util/log_stream.h (verbosity levels).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+TD = "/root/reference/src/test"
+
+
+def run_cli(args, **kw):
+    return subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
+                          capture_output=True, text=True, cwd="/root/repo",
+                          **kw)
+
+
+def test_filestack_and_counter(tmp_path):
+    from diamond_tpu.parallel.mp import AtomicCounter, FileStack
+
+    st = FileStack(str(tmp_path / "s.stack"))
+    st.push("a")
+    st.push("b")
+    assert st.pop() == "b"
+    st.push("c")
+    assert sorted(st.lines()) == ["a", "c"]
+    assert st.remove("a")
+    assert not st.remove("a")
+    assert st.pop() == "c"
+    assert st.pop() is None
+
+    c = AtomicCounter(str(tmp_path / "c.txt"))
+    assert c.fetch_add() == 0
+    assert c.fetch_add(5) == 1
+    assert c.get() == 6
+
+
+def test_mp_init_recover(tmp_path):
+    from diamond_tpu.parallel import mp
+
+    d = str(tmp_path / "work")
+    mp.mp_init(d, 2, 3)
+    todo = mp.FileStack(os.path.join(d, "todo.stack"))
+    assert len(todo.lines()) == 6
+    # simulate a crash: one combo in WIP without a checkpoint, one with
+    wip = mp.FileStack(os.path.join(d, "wip.stack"))
+    wip.push("0 1")
+    wip.push("1 2")
+    import pickle
+
+    with open(os.path.join(d, "combo_1_2.pkl"), "wb") as f:
+        pickle.dump({}, f)
+    todo.remove("0 1")
+    todo.remove("1 2")
+    assert mp.mp_recover(d) == 1   # only the un-checkpointed combo requeued
+    assert "0 1" in todo.lines()
+    assert wip.lines() == []
+
+
+@pytest.mark.slow
+def test_mp_blocked_golden(tmp_path):
+    """Two-phase mp run reproduces the blocked golden byte-identically."""
+    d = str(tmp_path / "mp")
+    r = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
+                 "-c", "1", "-b", "0.00002", "--mp-init",
+                 "--parallel-tmpdir", d])
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
+                 "-c", "1", "-b", "0.00002", "--multiprocessing",
+                 "--parallel-tmpdir", d])
+    assert r.returncode == 0, r.stderr
+    with open(f"{TD}/diamond-test-blastp-blocked.out") as f:
+        assert r.stdout.splitlines() == f.read().splitlines()
+
+
+@pytest.mark.slow
+def test_target_indexed_golden(tmp_path):
+    """makeidx + --target-indexed == non-indexed search byte-identically."""
+    db = str(tmp_path / "data.faa")
+    import shutil
+
+    shutil.copy(f"{TD}/data.faa", db)
+    r = run_cli(["makeidx", "-d", db])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(db + ".seed_idx")
+    r = run_cli(["blastp", "-q", f"{TD}/1.faa", "-d", db,
+                 "--target-indexed"])
+    assert r.returncode == 0, r.stderr
+    r2 = run_cli(["blastp", "-q", f"{TD}/1.faa", "-d", db])
+    assert r.stdout == r2.stdout
+
+
+def test_verbose_tracing():
+    r = run_cli(["blastp", "-q", f"{TD}/1.faa", "-d", f"{TD}/2.faa", "-v"])
+    assert r.returncode == 0
+    assert "Masking sequences" in r.stderr
+    assert "Total time" in r.stderr
+    assert "SEED_HITS" in r.stderr

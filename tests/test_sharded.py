@@ -1,0 +1,31 @@
+"""Device-mesh sharded scoring vs the numpy oracle (8 virtual CPU devices;
+see conftest.py XLA_FLAGS)."""
+import numpy as np
+
+from diamond_tpu.data.block import Block
+from diamond_tpu.data.fasta import read_fasta
+from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
+from diamond_tpu.parallel.sharded import make_mesh, sharded_full_scores
+from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+TD = "/root/reference/src/test"
+
+
+def test_sharded_full_scores_match_oracle():
+    recs = list(read_fasta(f"{TD}/data.faa"))[:37]  # odd count -> padding
+    tblock = Block.from_sequences([r[1].upper() for r in recs],
+                                  [r[0] for r in recs])
+    q = tblock.seq(0)
+    m = ScoreMatrix("BLOSUM62")
+    # request the host platform explicitly: a TPU plugin may own the
+    # default platform even under the test env (see conftest.py)
+    mesh = make_mesh(platform="cpu")
+    assert mesh.devices.size == 8, mesh
+    scores = sharded_full_scores(mesh, q, None, tblock, m.matrix32,
+                                 m.gap_open, m.gap_extend)
+    jobs = [(tblock.seq(t), -(len(tblock.seq(t)) - 1), len(q))
+            for t in range(len(tblock))]
+    ref = [s for s, _, _ in banded_swipe_batch_np(
+        q, None, jobs, m.matrix32, m.gap_open, m.gap_extend)]
+    assert scores.shape[0] == len(ref)
+    assert np.array_equal(scores, np.array(ref))
