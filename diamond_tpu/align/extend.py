@@ -428,7 +428,8 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
 
         # --- second round: traceback DP (reference gapped_final.cpp) ---
         round_matches = _traceback_round(aligned, query_letters, q_start, qlen,
-                                         bias, tblock, ctx, all_matrices)
+                                         bias, tblock, ctx, all_matrices,
+                                         query_id=query_id)
         matches.extend(round_matches)
 
         if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs
@@ -616,6 +617,15 @@ def extend_query_translated(source_idx, query_hits, queries, tblock, cfg):
                     gaps=r.gaps, length=r.length, transcript=r.transcript,
                     backtraced=True)
             h.frame = frame
+            if _filters_active(cfg):
+                from diamond_tpu.data.translate import absolute_interval
+
+                dna_len = queries.dna_lens[source_idx]
+                src = absolute_interval(r.query_range[0], r.query_range[1],
+                                        frame, dna_len)
+                if not hsp_passes_filters(h, dna_len, tlen, cfg,
+                                          query_range_source=src):
+                    continue
             m = Match(target_block_id=block_id, hsp=[h])
             m.set_filter()
             round_matches.append(m)
@@ -720,10 +730,39 @@ def _reverse_pass_stats(q, use_bias, tgt, d_begin, d_end, fwd, tm,
                              gap_extend, i_end, j_end)
 
 
+def hsp_passes_filters(h, query_source_len: int, tlen: int, cfg,
+                       q_title=None, t_title=None, q_seq=None, t_seq=None,
+                       query_range_source=None) -> bool:
+    """Per-HSP output filters (reference align/culling.cpp:155-169
+    filter_hsp): --id, --query-cover, --subject-cover, --no-self-hits."""
+    if cfg.min_id > 0 and h.identities * 100.0 / h.length < cfg.min_id:
+        return False
+    if cfg.query_cover > 0:
+        qr = query_range_source or h.query_range
+        if (qr[1] - qr[0]) * 100.0 / query_source_len < cfg.query_cover:
+            return False
+    if cfg.subject_cover > 0:
+        if (h.subject_range[1] - h.subject_range[0]) * 100.0 / tlen \
+                < cfg.subject_cover:
+            return False
+    if getattr(cfg, "no_self_hits", False) and q_title is not None \
+            and q_title == t_title and len(q_seq) == len(t_seq) \
+            and (np.asarray(q_seq) == np.asarray(t_seq)).all():
+        return False
+    return True
+
+
+def _filters_active(cfg) -> bool:
+    return (cfg.min_id > 0 or cfg.query_cover > 0 or cfg.subject_cover > 0
+            or getattr(cfg, "no_self_hits", False))
+
+
 def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
-                     matrices=None):
+                     matrices=None, query_id=None):
     cfg = ctx.cfg
     mat = cfg.matrix
+    filt = _filters_active(cfg)
+    q_title = ctx.query_block.ids[query_id] if query_id is not None else None
     out = []
     matrices = matrices or {}
     use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
@@ -760,6 +799,11 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                 positives=r.positives, gap_openings=r.gap_openings,
                 gaps=r.gaps, length=r.length, transcript=r.transcript,
                 backtraced=True)
+        if filt and not hsp_passes_filters(
+                h, qlen, tlen, cfg, q_title=q_title,
+                t_title=tblock.ids[block_id], q_seq=q,
+                t_seq=jobs[k][0]):
+            continue
         # KNOWN DELTA: the reference reports mismatch/gapopen for stats-only
         # formats from a reversed BackwardCell pass (swipe_wrapper.cpp:
         # 364-430) whose cooptimal-path tie resolution coincides with this

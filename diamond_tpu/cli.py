@@ -57,6 +57,17 @@ def build_parser():
         sp.add_argument("--mp-recover", action="store_true")
         sp.add_argument("--parallel-tmpdir", default=None)
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
+        sp.add_argument("--no-self-hits", action="store_true")
+        sp.add_argument("--dbsize", type=int, default=0)
+        sp.add_argument("--compress", type=int, default=0)
+        # accepted for drop-in compatibility; behavior already canonical
+        sp.add_argument("--algo", default=None)
+        sp.add_argument("--header", nargs="*", default=None)
+        sp.add_argument("--file-buffer-size", type=int, default=None)
+        sp.add_argument("--query-parallel-limit", type=int, default=None)
+        sp.add_argument("--tmpdir", default=None)
+        sp.add_argument("--soft-masking", default=None)
+        sp.add_argument("--approx-id", type=float, default=0.0)
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
         sens = sp.add_mutually_exclusive_group()
@@ -86,7 +97,8 @@ def build_parser():
             sp.add_argument("--query-gencode", type=int, default=1)
             sp.add_argument("--frameshift", "-F", type=int, default=0)
             sp.add_argument("--min-orf", dest="min_orf", type=int, default=0)
-            sp.add_argument("--strand", default="both")
+            sp.add_argument("--strand", default="both",
+                            choices=["both", "plus", "minus"])
             sp.add_argument("--range-culling", action="store_true")
             sp.add_argument("--range-cover", type=float, default=50.0)
             sp.add_argument("--long-reads", action="store_true")
@@ -229,6 +241,8 @@ def cmd_blastp(args):
     tb, taxonomy, db_letters = apply_taxon_filter(tb, taxonomy,
                                                    args.taxonlist,
                                                    args.taxon_exclude)
+    if args.dbsize:
+        db_letters = args.dbsize  # --dbsize overrides e-value stats
     cfg = SearchConfig(
         matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
         sensitivity=args.sensitivity,
@@ -243,6 +257,7 @@ def cmd_blastp(args):
         min_id=args.min_id,
         query_cover=args.query_cover,
         subject_cover=args.subject_cover,
+        no_self_hits=args.no_self_hits,
         global_ranking=args.global_ranking,
         n_shapes=args.shapes,
         db_letters=db_letters,
@@ -271,13 +286,26 @@ def cmd_blastp(args):
         write_daa(args.out, results, qb, tb, cfg.matrix, cfg.max_evalue,
                   build_version=getattr(args, "daa_build_version", 0))
         return
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    out = _open_out(args)
     write_results(out, args.outfmt, results, qb, tb, cfg.matrix,
                   taxonomy=taxonomy, db_path=args.db,
                   max_evalue=cfg.max_evalue,
                   invocation=" ".join(sys.argv))
     if out is not sys.stdout:
         out.close()
+
+
+def _open_out(args):
+    """--compress 1 gzips the output stream (reference config.cpp
+    'compress' option)."""
+    if args.out == "-":
+        return sys.stdout
+    if getattr(args, "compress", 0) == 1:
+        import gzip
+
+        return gzip.open(args.out + ("" if args.out.endswith(".gz")
+                                     else ".gz"), "wt")
+    return open(args.out, "w")
 
 
 def validate_global_ranking(args):
@@ -498,7 +526,8 @@ def cmd_blastx(args):
                                                    args.taxon_exclude)
     queries = TranslatedQueries(qrecs, gencode=args.query_gencode,
                                 frameshift=args.frameshift,
-                                min_orf=getattr(args, "min_orf", 0) or 0)
+                                min_orf=getattr(args, "min_orf", 0) or 0,
+                                strand=args.strand)
     cfg = SearchConfig(
         matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend,
                            frame_shift=args.frameshift),

@@ -48,6 +48,9 @@ def _make_kernel(T: int, band: int, go: int, ge: int):
         def col_step(j, carry):
             best, maxcol, maxrow = carry
             letters = t_idx_ref[j, :]                         # [TB]
+            # fp32 one-hot matmul: bf16 would be MXU-native-faster but is
+            # NOT exact here (profile rows mix the NEG sentinel with bias
+            # offsets that exceed bf16's 9-bit significand)
             onehot = (letters[:, None] == lane32).astype(jnp.float32)
             prof = profile_ref[pl.ds(j, band), :]             # [band, 32]
             scores = jax.lax.dot_general(

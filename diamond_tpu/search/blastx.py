@@ -18,7 +18,7 @@ class TranslatedQueries:
     """Translated query set: 6 contexts per source sequence."""
 
     def __init__(self, dna_records, gencode: int = 1, frameshift: int = 0,
-                 min_orf: int = 0):
+                 min_orf: int = 0, strand: str = "both"):
         tr = Translator(gencode)
         self.source_ids = []
         self.dna_lens = []
@@ -34,8 +34,14 @@ class TranslatedQueries:
                                   frame_shift=frameshift)
             self.source_ids.append(rid)
             self.dna_lens.append(len(d))
-            for f in frames:
-                ctx_seqs.append(find_orfs(np.array(f, copy=True), min_len))
+            for fi, f in enumerate(frames):
+                # --strand plus/minus restricts to forward (0-2) / reverse
+                # (3-5) frames (reference config 'strand', translate.cpp)
+                if (strand == "plus" and fi >= 3) or \
+                        (strand == "minus" and fi < 3):
+                    ctx_seqs.append(np.zeros(0, dtype=np.int8))
+                else:
+                    ctx_seqs.append(find_orfs(np.array(f, copy=True), min_len))
                 ctx_ids.append(rid)
         self.block = Block.from_sequences(ctx_seqs, ctx_ids)
 

@@ -81,6 +81,7 @@ class SearchConfig:
     approx_min_id: float = 0.0
     query_cover: float = 0.0
     subject_cover: float = 0.0
+    no_self_hits: bool = False
     self_search: bool = False
     translated: bool = False
     global_ranking: int = 0  # -g N (reference config.cpp:304)

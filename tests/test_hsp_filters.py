@@ -1,0 +1,52 @@
+"""Per-HSP output filters (--id/--query-cover/--subject-cover/
+--no-self-hits/--dbsize) and blastx --strand.
+
+Reference: align/culling.cpp:155-199 filter_hsp/apply_filters,
+double_indexed.cpp:900 (--dbsize override).  Goldens minted from the
+reference binary.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+TD = "/root/reference/src/test"
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def run_cli(args):
+    r = subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    return r.stdout.splitlines()
+
+
+def golden(name):
+    with open(os.path.join(GOLD, name)) as f:
+        return f.read().splitlines()
+
+
+@pytest.mark.slow
+def test_strand_plus():
+    lines = run_cli(["blastx", "--db", f"{TD}/galaxy/db.dmnd",
+                     "--query", f"{TD}/galaxy/nucleotide.fasta",
+                     "--min-orf", "1", "--strand", "plus"])
+    assert lines == golden("blastx-strand-plus.out")
+
+
+CASES = [
+    ("filter-id40.out", ["--id", "40", "-k", "0"]),
+    ("filter-qcover90.out", ["--query-cover", "90", "-k", "0"]),
+    ("filter-noselfhits.out", ["--no-self-hits"]),
+    ("filter-dbsize.out", ["--dbsize", "1000000000"]),
+]
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
+                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@pytest.mark.parametrize("gold,flags", CASES, ids=[c[0] for c in CASES])
+def test_filters(gold, flags):
+    lines = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
+                     "-c", "1"] + flags)
+    assert lines == golden(gold)
