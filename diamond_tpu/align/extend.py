@@ -310,6 +310,9 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
     if n == 0:
         return []
 
+    if cfg.ext_mode == "none":
+        return _seed_only_matches(tids, groups, tscores, cfg)
+
     chunk_size = ranking_chunk_size(n, tblock.n_letters, cfg.max_target_seqs,
                                 toppercent=cfg.toppercent)
     order = list(range(n))
@@ -636,6 +639,33 @@ def extend_query_translated(source_idx, query_hits, queries, tblock, cfg):
                 and i0 < n and new_hits_ev):
             break
 
+    _cull_matches(matches, cfg)
+    return matches
+
+
+def _seed_only_matches(tids, groups, tscores, cfg):
+    """--ext none: report raw seed positions (reference extend.cpp:137-166
+    seed_only_hsp/seed_only_matches: unit query/subject ranges, evalue 0,
+    stat fields blank in tabular output)."""
+    order = sorted(range(len(tids)), key=lambda t: (-tscores[t], t))
+    matches = []
+    for t in order:
+        hsps = []
+        for hit in groups[t]:
+            h = Hsp(score=hit.score, evalue=0.0,
+                    d_begin=hit.diag, d_end=hit.diag,
+                    query_range=(hit.i, hit.i + 1),
+                    subject_range=(hit.j, hit.j + 1))
+            h.seed_only = True
+            h.frame = hit.frame
+            hsps.append(h)
+        hsps.sort(key=lambda h: h.sort_key())
+        if cfg.max_hsps > 0:
+            hsps = hsps[: cfg.max_hsps]
+        m = Match(target_block_id=tids[t], hsp=hsps)
+        m.filter_evalue = 0.0
+        m.filter_score = tscores[t]
+        matches.append(m)
     _cull_matches(matches, cfg)
     return matches
 

@@ -68,6 +68,9 @@ def build_parser():
         sp.add_argument("--tmpdir", default=None)
         sp.add_argument("--soft-masking", default=None)
         sp.add_argument("--approx-id", type=float, default=0.0)
+        sp.add_argument("--ext", dest="ext", default=None,
+                        choices=["banded-fast", "banded-slow", "full",
+                                 "none"])
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
         sens = sp.add_mutually_exclusive_group()
@@ -258,6 +261,7 @@ def cmd_blastp(args):
         query_cover=args.query_cover,
         subject_cover=args.subject_cover,
         no_self_hits=args.no_self_hits,
+        ext=args.ext,
         global_ranking=args.global_ranking,
         n_shapes=args.shapes,
         db_letters=db_letters,
@@ -414,7 +418,12 @@ def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
     if code in ("100", "daa"):
         raise SystemExit("DAA output requires -o FILE (binary); "
                          "handled by the caller")
-    if code in ("6", "tab"):
+    if code in ("104", "json-flat"):
+        from diamond_tpu.output.tabular import render_json
+
+        out.write(render_json(results, qb, tb, _parse_fields(["6"] + outfmt[1:]),
+                              matrix=matrix, taxonomy=taxonomy, **fmt_kw))
+    elif code in ("6", "tab"):
         fields = _parse_fields(outfmt)
         for line in format_results(results, qb, tb, fields, matrix=matrix,
                                    taxonomy=taxonomy, **fmt_kw):

@@ -30,8 +30,13 @@ def format_match_line(query_name: str, target_name: str, hsp, fields=None,
             qstart, qend = src[1], src[0] + 1
     else:
         qstart, qend = hsp.query_range[0] + 1, hsp.query_range[1]
+    seed_only = getattr(hsp, "seed_only", False)
     out = []
     for f in fields:
+        if seed_only and f in ("pident", "length", "mismatch", "gapopen",
+                               "gaps", "ppos", "evalue", "bitscore", "score"):
+            out.append("")  # stat fields blank for --ext none seed matches
+            continue
         if f == "qseqid":
             out.append(query_name)
         elif f == "sseqid":
@@ -146,3 +151,46 @@ def render_paf(results: dict, query_block, target_block, matrix):
                 lines.append(pw.paf_match(qname, tname, hsp, qlen, tlen,
                                           matrix.bitscore))
     return "\n".join(lines) + ("\n" if lines else "")
+
+
+# reference blast_tab_format.cpp json string-typed fields
+_JSON_STRING_FIELDS = {
+    "qseqid", "sseqid", "qtitle", "stitle", "salltitles", "full_sseq",
+    "qseq", "sseq", "qseq_translated", "cigar", "btop", "qstrand",
+    "sscinames", "sskingdoms", "skingdoms", "sphylums", "staxids",
+    "sallseqid", "qqual",
+}
+
+
+def render_json(results: dict, query_block, target_block, fields=None,
+                **kw) -> str:
+    """JSON flat output (-f 104 / json-flat; reference
+    output_format.cpp:211, blast_tab_format json mode).  Mirrors the
+    reference's record framing exactly (tab-indented objects inside one
+    array, no separators between records)."""
+    fields = fields or DEFAULT_FIELDS
+    # reference quirk: commas separate records WITHIN one query's block
+    # (emitted as a prefix for the query's 2nd+ match); there is NO comma
+    # between different queries' records
+    groups = []
+    for qid in sorted(results):
+        recs = list(format_results({qid: results[qid]}, query_block,
+                                   target_block, fields, **kw))
+        if recs:
+            groups.append(recs)
+    out = ["["]
+    for gi, recs in enumerate(groups):
+        for ri, line in enumerate(recs):
+            vals = line.split("\t")
+            out.append("\t{")
+            for k, (f, v) in enumerate(zip(fields, vals)):
+                q = f in _JSON_STRING_FIELDS
+                comma = "," if k + 1 < len(fields) else ""
+                out.append(f'\t"{f}":{json_quote(v) if q else v}{comma}')
+            out.append("\t}," if ri + 1 < len(recs) else "\t}")
+    out.append("]")
+    return "\n".join(out)  # no trailing newline (reference)
+
+
+def json_quote(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'

@@ -308,7 +308,7 @@ class Pipeline:
             out = []
             for k in range(len(qp)):
                 out.append((int(qidx[k]), int(sp[k]), int(qoff[k]),
-                            int(scores[k])))
+                            min(int(scores[k]), 255)))
             return out
         chunked = cfg.index_chunks > 1
         current = self._matcher(sid + 1)
@@ -319,9 +319,12 @@ class Pipeline:
             cfg.reduction, qp, sp, qoff.astype(np.int64), wl, wr,
             shape, sid, chunked, current, previous,
             part_lo, part_hi, cfg.seedp_mask, cfg.hamming_filter_id)
+        # hit scores saturate at 255 like the reference's uint8 SIMD window
+        # scores (stage2.h:113 DP::window_ungapped_best, hit.h score_)
         out = []
         for k in np.nonzero(keep3)[0]:
-            out.append((int(qidx[k]), int(sp[k]), int(qoff[k]), int(scores[k])))
+            out.append((int(qidx[k]), int(sp[k]), int(qoff[k]),
+                        min(int(scores[k]), 255)))
         return out
 
     def _matcher(self, end_shape: int):

@@ -3,10 +3,12 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the
 # multi-chip path). Must be set before jax import.
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may set e.g. 'axon'
-# some PJRT plugins (axon) override jax_platforms programmatically at
-# registration; the legacy JAX_PLATFORM_NAME still takes precedence
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# NOTE: the default platform is left alone (a TPU plugin may own it and a
+# forced CPU default slows the DP-heavy golden tests several-fold).  Tests
+# that need the virtual multi-device CPU mesh request it explicitly via
+# jax.devices("cpu") / make_mesh(platform="cpu"); the device-count flag
+# below must be set before the first backend initialization.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

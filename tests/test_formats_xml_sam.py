@@ -53,3 +53,20 @@ def test_xml_sam_data():
                      cfg.max_evalue)
     assert xml == open(f"{GD}/blastp-data.xml").read()
     _cmp_sam(render_sam(res, qb, tb, cfg.matrix), f"{GD}/blastp-data.sam")
+
+
+def test_json_flat_golden():
+    """-f 104 json-flat (reference output_format.cpp:211): tab-indented
+    objects, commas between one query's records only, no trailing newline."""
+    import subprocess
+    import sys
+
+    gd = os.path.join(os.path.dirname(__file__), "goldens")
+    r = subprocess.run(
+        [sys.executable, "-m", "diamond_tpu.cli", "blastp",
+         "-q", f"{gd}/j2.faa", "-d", f"{TD}/data.faa", "-c", "1",
+         "-f", "104"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    with open(f"{gd}/json-flat-j2.out") as f:
+        assert r.stdout == f.read()

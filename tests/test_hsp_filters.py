@@ -50,3 +50,13 @@ def test_filters(gold, flags):
     lines = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
                      "-c", "1"] + flags)
     assert lines == golden(gold)
+
+
+@pytest.mark.slow
+def test_ext_none_seed_only():
+    """--ext none reports raw seed positions (reference extend.cpp:137-166).
+    Within-query order is nondeterministic in the reference (Search::Hit
+    sorts by query only, ips4o unstable), so the contract is the hit SET."""
+    lines = run_cli(["blastp", "-q", f"{TD}/1.faa", "-d", f"{TD}/2.faa",
+                     "--ext", "none", "--max-hsps", "0"])
+    assert sorted(lines) == sorted(golden("ext-none-1v2.out"))
