@@ -58,6 +58,7 @@ def build_parser():
         sp.add_argument("--parallel-tmpdir", default=None)
         sp.add_argument("--id", dest="min_id", type=float, default=0.0)
         sp.add_argument("--no-self-hits", action="store_true")
+        sp.add_argument("--freq-masking", action="store_true")
         sp.add_argument("--dbsize", type=int, default=0)
         sp.add_argument("--compress", type=int, default=0)
         # accepted for drop-in compatibility; behavior already canonical
@@ -182,6 +183,21 @@ def build_parser():
     sp.add_argument("--db", "-d", required=True)
     sp.add_argument("--count", "-n", type=int, default=20)
 
+    sp = sub.add_parser("greedy-vertex-cover",
+                        help="Cluster an alignment edge list")
+    sp.add_argument("--db", "-d", required=True,
+                    help="seqid mapping file (one id per line)")
+    sp.add_argument("--edges", required=True)
+    sp.add_argument("--edge-format", default="default",
+                    choices=["default", "triplet"])
+    sp.add_argument("--symmetric", action="store_true")
+    sp.add_argument("--member-cover", type=float, default=80.0)
+    sp.add_argument("--out", "-o", default="-")
+    sp.add_argument("--centroid-out", default=None)
+
+    for cmd in ("reassign", "recluster"):
+        sub.add_parser(cmd, help=f"{cmd} (disabled, matching the reference)")
+
     sp = sub.add_parser("makeidx", help="Build seed index for --target-indexed")
     sp.add_argument("--db", "-d", required=True)
     sens = sp.add_mutually_exclusive_group()
@@ -261,6 +277,7 @@ def cmd_blastp(args):
         query_cover=args.query_cover,
         subject_cover=args.subject_cover,
         no_self_hits=args.no_self_hits,
+        freq_masking=args.freq_masking,
         ext=args.ext,
         global_ranking=args.global_ranking,
         n_shapes=args.shapes,
@@ -683,6 +700,15 @@ def _dispatch(args):
         from diamond_tpu.benchmark import run_benchmark
 
         run_benchmark()
+    elif args.command == "greedy-vertex-cover":
+        from diamond_tpu.tools_cmds import cmd_greedy_vertex_cover
+
+        cmd_greedy_vertex_cover(args)
+    elif args.command in ("reassign", "recluster"):
+        # reference main.cpp:182-193: temporarily removed upstream
+        ver = "v2.2.1" if args.command == "reassign" else "v2.1.25"
+        print(f"{args.command.capitalize()} has been temporarily removed "
+              f"for {ver}. No action was taken.", file=sys.stderr)
     elif args.command in ("getseq", "random-seqs", "mask", "fastq2fasta",
                           "info", "reverse", "hashseqs", "split", "listseeds",
                           "smith-waterman"):

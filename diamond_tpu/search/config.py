@@ -123,7 +123,10 @@ class SearchConfig:
                                       self.threads, self.index_chunks)
         self.xdrop_raw = self.matrix.rawscore(self.ungapped_xdrop_bits)
         if self.motif_masking is None:
-            self.motif_masking = self.traits.motif_masking
+            # motif soft-masking is disabled under --freq-masking
+            # (reference setup.cpp:323-324 soft_masking_algo)
+            self.motif_masking = self.traits.motif_masking \
+                and not self.freq_masking
 
     @property
     def ext_mode(self) -> str:

@@ -144,6 +144,16 @@ class Pipeline:
             saved_q = apply_ranges(self.q.letters, q_motif)
             saved_t = None if self.same_block else apply_ranges(self.t.letters, t_motif)
             q_keys, q_pos = self._enumerate(self.q, shape)
+            if cfg.freq_masking:
+                # the enumeration-level UNREDUCED complexity cut stays active
+                # under --freq-masking (reference enum_seeds ->
+                # seed_is_complex_unreduced; only the post-join reduced
+                # mask_seeds is replaced); dropped query positions get
+                # seed-masked
+                keep_q = stages.unreduced_complexity_filter(
+                    self.q.letters, q_pos, shape, cfg.seed_complexity_cut)
+                self.query_seed_mask[q_pos[~keep_q]] = True
+                q_keys, q_pos = q_keys[keep_q], q_pos[keep_q]
             if self.query_skip is not None and len(q_pos):
                 qidx, _ = self.q.global_to_local(q_pos)
                 keep = ~self.query_skip[qidx]
@@ -154,6 +164,11 @@ class Pipeline:
                 t_keys, t_pos = self.target_seed_index[sid]
             else:
                 t_keys, t_pos = self._enumerate(self.t, shape)
+                if cfg.freq_masking:
+                    keep_t = stages.unreduced_complexity_filter(
+                        self.t.letters, t_pos, shape,
+                        cfg.seed_complexity_cut)
+                    t_keys, t_pos = t_keys[keep_t], t_pos[keep_t]
             restore_ranges(self.q.letters, saved_q)
             if saved_t is not None:
                 restore_ranges(self.t.letters, saved_t)
@@ -183,7 +198,10 @@ class Pipeline:
                 ti = (t_parts >= lo) & (t_parts < hi)
                 join = stages.seed_join(q_keys_f[qi], q_pos_f[qi],
                                         t_keys[ti], t_pos[ti])
-                join, masked_pos = self._complexity_mask(join, shape)
+                if cfg.freq_masking and not cfg.lin_stage1_target:
+                    join, masked_pos = self._frequent_seed_mask(join)
+                else:
+                    join, masked_pos = self._complexity_mask(join, shape)
                 if len(masked_pos):
                     self.query_seed_mask[masked_pos] = True
                 shape_hits.extend(self._stage12(join, shape, sid, chunk, lo, hi))
@@ -235,6 +253,33 @@ class Pipeline:
         if not keys_out:
             return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
         return np.concatenate(keys_out), np.concatenate(pos_out)
+
+    def _frequent_seed_mask(self, join):
+        """--freq-masking: drop seed groups whose query/ref occurrence
+        counts exceed mean + freq_sd * sd, seed-masking the query positions
+        (reference data/frequent_seeds.cpp:39-115, stage0.cpp:168-171;
+        replaces the complexity-based mask_seeds)."""
+        from diamond_tpu.search.stages import SeedJoin, _csr_gather
+
+        n_groups = len(join.keys)
+        if n_groups == 0:
+            return join, np.zeros(0, dtype=np.int64)
+        q_counts = np.diff(join.q_start)
+        s_counts = np.diff(join.s_start)
+        # Sd (reference util.h:43-68): population sd over group sizes
+        q_cap = int(q_counts.mean() + self.cfg.traits.freq_sd * q_counts.std())
+        s_cap = int(s_counts.mean() + self.cfg.traits.freq_sd * s_counts.std())
+        drop = (s_counts > s_cap) | (q_counts > q_cap)
+        if not drop.any():
+            return join, np.zeros(0, dtype=np.int64)
+        didx = np.nonzero(drop)[0]
+        _, masked = _csr_gather(join.q_start[didx], q_counts[didx], join.q_pos)
+        keep = ~drop
+        kidx = np.nonzero(keep)[0]
+        qs, qv = _csr_gather(join.q_start[kidx], q_counts[kidx], join.q_pos)
+        ss, sv = _csr_gather(join.s_start[kidx], s_counts[kidx], join.s_pos)
+        return SeedJoin(keys=join.keys[kidx], q_start=qs, q_pos=qv,
+                        s_start=ss, s_pos=sv), masked
 
     def _complexity_mask(self, join, shape):
         cfg = self.cfg

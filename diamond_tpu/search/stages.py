@@ -250,3 +250,23 @@ class CutoffTable:
         # 32 - clz(len) == bit_length(len)
         bl = np.vectorize(lambda x: int(x).bit_length())(np.asarray(query_len))
         return self.data[bl]
+
+
+def unreduced_complexity_filter(letters, pos, shape, cut: float):
+    """Per-position seed complexity on the UNREDUCED 20-letter alphabet
+    (reference seed_complexity.cpp:53-75 seed_is_complex_unreduced, applied
+    at enumeration): positions sampling any non-AA letter or with entropy
+    below the cut are dropped (and seed-masked).  Returns keep bool mask."""
+    from diamond_tpu.constants.alphabet import TRUE_AA
+
+    if len(pos) == 0:
+        return np.ones(0, dtype=bool)
+    win = letters[pos[:, None] + shape.positions[None, :].astype(np.int64)]
+    win = win.astype(np.int64) & LETTER_MASK
+    ok = (win < TRUE_AA).all(axis=1)
+    w = np.where(win < TRUE_AA, win, 0)
+    counts = np.zeros((len(pos), TRUE_AA), dtype=np.int64)
+    for i in range(shape.weight):
+        np.add.at(counts, (np.arange(len(pos)), w[:, i]), 1)
+    entropy = _LNFACT[shape.weight] - _LNFACT[counts].sum(axis=1)
+    return ok & (entropy >= cut)

@@ -224,3 +224,69 @@ def cmd_smith_waterman(args):
             else:  # "D": gap in query
                 print(f"{seqid(rid)}\t{seqid(qid)}\t{sp}\t-1\t-")
                 sp += 1
+
+
+def cmd_greedy_vertex_cover(args):
+    """Standalone greedy vertex cover over an alignment edge list
+    (reference tools/greedy_vertex_cover.cpp:276-361): -d maps seqids to
+    oids (one per line, first tab field); --edges rows are either
+    'query target qcov tcov weight' (default) or 'node1 node2 weight'
+    (--edge-format triplet); coverage cutoff gates edge directions."""
+    import sys
+
+    from diamond_tpu.cluster.linclust import greedy_vertex_cover_edges
+
+    acc2oid = {}
+    with open(args.db) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            acc = line.split("\t")[0]
+            if acc in acc2oid:
+                raise SystemExit("Duplicate sequence id found in database "
+                                 "file")
+            acc2oid[acc] = len(acc2oid)
+    acc = [None] * len(acc2oid)
+    for a, o in acc2oid.items():
+        acc[o] = a
+
+    triplets = args.edge_format == "triplet"
+    cov = args.member_cover
+    edges = []
+    with open(args.edges) as f:
+        for line in f:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            t = line.split("\t")
+            q, s = acc2oid[t[0]], acc2oid[t[1]]
+            if q == s:
+                continue
+            if triplets:
+                w = float(t[2])
+                edges.append((s, q, w))
+                if args.symmetric:
+                    edges.append((q, s, w))
+            else:
+                qcov, tcov, w = float(t[2]), float(t[3]), float(t[4])
+                if tcov >= cov:
+                    edges.append((q, s, w))
+                if qcov >= cov:
+                    edges.append((s, q, w))
+    clustering = greedy_vertex_cover_edges(len(acc), edges)
+    out = _out(args.out)
+    n_reps = 0
+    centroids = open(args.centroid_out, "w") if args.centroid_out else None
+    for i in range(len(acc)):
+        c = int(clustering[i])
+        if c == i:
+            n_reps += 1
+            if centroids:
+                centroids.write(acc[i] + "\n")
+        out.write(f"{acc[c]}\t{acc[i]}\n")
+    if centroids:
+        centroids.close()
+    if out is not sys.stdout:
+        out.close()
+    print(f"#Clusters: {n_reps}", file=sys.stderr)

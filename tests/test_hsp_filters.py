@@ -60,3 +60,28 @@ def test_ext_none_seed_only():
     lines = run_cli(["blastp", "-q", f"{TD}/1.faa", "-d", f"{TD}/2.faa",
                      "--ext", "none", "--max-hsps", "0"])
     assert sorted(lines) == sorted(golden("ext-none-1v2.out"))
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
+                    reason="set RUN_EXTENDED_GOLDENS=1 (several min)")
+def test_freq_masking():
+    """--freq-masking replaces the reduced complexity mask with the
+    frequency cap (reference stage0.cpp:168-173, frequent_seeds.cpp) and
+    disables motif masking (setup.cpp:323-324); the enumeration-level
+    unreduced complexity cut stays active."""
+    lines = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
+                     "--freq-masking", "-c", "1"])
+    assert lines == golden("freq-masking-data.out")
+
+
+def test_greedy_vertex_cover_tool(tmp_path):
+    """Standalone greedy-vertex-cover (reference tools/
+    greedy_vertex_cover.cpp); output matches the reference binary on the
+    same quintuplet edge file."""
+    m = tmp_path / "map.txt"
+    e = tmp_path / "edges.tsv"
+    m.write_text("a\nb\nc\nd\n")
+    e.write_text("a\tb\t90\t95\t50\nb\tc\t95\t20\t40\nc\td\t90\t90\t30\n")
+    lines = run_cli(["greedy-vertex-cover", "-d", str(m),
+                     "--edges", str(e)])
+    assert lines == ["a\ta", "a\tb", "c\tc", "c\td"]
