@@ -183,6 +183,18 @@ def build_parser():
     sp.add_argument("--db", "-d", required=True)
     sp.add_argument("--count", "-n", type=int, default=20)
 
+    sp = sub.add_parser("blastn", help="nucleotide search (contrib/dna)")
+    sp.add_argument("--db", "-d", required=True)
+    sp.add_argument("--query", "-q", required=True)
+    sp.add_argument("--out", "-o", default="-")
+    sp.add_argument("--outfmt", "-f", nargs="*", default=["6"])
+    sp.add_argument("--threads", "-p", type=int, default=1)
+    sp.add_argument("--evalue", "-e", type=float, default=10.0)
+    sp.add_argument("--reward", type=int, default=2)
+    sp.add_argument("--penalty", type=int, default=-3)
+    sp.add_argument("--gapopen", type=int, default=5)
+    sp.add_argument("--gapextend", type=int, default=2)
+
     sp = sub.add_parser("greedy-vertex-cover",
                         help="Cluster an alignment edge list")
     sp.add_argument("--db", "-d", required=True,
@@ -312,6 +324,41 @@ def cmd_blastp(args):
                   taxonomy=taxonomy, db_path=args.db,
                   max_evalue=cfg.max_evalue,
                   invocation=" ".join(sys.argv))
+    if out is not sys.stdout:
+        out.close()
+
+
+def cmd_blastn(args):
+    """blastn over minimizer chaining + banded extension (reference
+    contrib/dna; the reference ships WITH_DNA off so there is no golden
+    contract — functional output in BLASTN's -outfmt 6 conventions:
+    query always plus strand, subject coordinates reversed on minus)."""
+    from diamond_tpu.data.fasta import read_seqs
+    from diamond_tpu.output.format import format_double, print_e
+    from diamond_tpu.data.taxonomy import seqid
+    from diamond_tpu.search.blastn import blastn_search
+
+    qrecs = [(i, s) for i, s in read_seqs(args.query)]
+    trecs = [(i, s) for i, s in read_seqs(args.db)]
+    results, (qnames, qseqs), (tnames, tseqs) = blastn_search(
+        qrecs, trecs, reward=args.reward, penalty=args.penalty,
+        gap_open=args.gapopen, gap_extend=args.gapextend,
+        max_evalue=args.evalue)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for qi in range(len(qnames)):
+        for m in results.get(qi, []):
+            for h in m.hsp:
+                qs, qe = h.query_source_range[0] + 1, h.query_source_range[1]
+                if h.frame:  # minus strand: subject printed reversed
+                    ss, se = h.subject_range[1], h.subject_range[0] + 1
+                else:
+                    ss, se = h.subject_range[0] + 1, h.subject_range[1]
+                out.write("\t".join([
+                    seqid(qnames[qi]), seqid(tnames[m.target_block_id]),
+                    format_double(h.identities * 100.0 / h.length),
+                    str(h.length), str(h.mismatches), str(h.gap_openings),
+                    str(qs), str(qe), str(ss), str(se),
+                    print_e(h.evalue), format_double(h.bit_score)]) + "\n")
     if out is not sys.stdout:
         out.close()
 
@@ -700,6 +747,8 @@ def _dispatch(args):
         from diamond_tpu.benchmark import run_benchmark
 
         run_benchmark()
+    elif args.command == "blastn":
+        cmd_blastn(args)
     elif args.command == "greedy-vertex-cover":
         from diamond_tpu.tools_cmds import cmd_greedy_vertex_cover
 
