@@ -340,6 +340,7 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
 
     matches: list[Match] = []
     all_matrices: dict = {}
+    band_hsps_all: dict = {}  # tid -> [per-band first-round Hsp]
     i0 = 0
     i1 = min(chunk_size, n)
     new_hits_ev = False
@@ -389,6 +390,15 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
                                mat.evalue(np.maximum(scores, 1), qlen, tlens_v),
                                np.inf)
                 best_by_tid: dict[int, Hsp] = {}
+                # band fallback only for filters that add no first-round
+                # HspValues (reference first_round_hspv: min_id/covers make
+                # round 1 compute IDENT/COORDS and cull per-target best;
+                # approx-id/self-hit filters run on traceback hsps where a
+                # failing best falls back to another band)
+                keep_all = ((cfg.approx_min_id > 0
+                             or getattr(cfg, "no_self_hits", False))
+                            and cfg.min_id <= 0 and cfg.query_cover <= 0
+                            and cfg.subject_cover <= 0)
                 for k, ((tid, tlen), (score, max_col, max_row)) in enumerate(
                         zip(job_meta, res)):
                     ev = float(evs[k])
@@ -402,6 +412,13 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
                         prev = best_by_tid.get(tid)
                         if prev is None or h.sort_key() < prev.sort_key():
                             best_by_tid[tid] = h
+                        if keep_all:
+                            # with HSP filters active, every band's hsp is
+                            # traced back so a failing best hsp can fall
+                            # back to another band (reference: all bands
+                            # reach gapped_final; apply_filters runs per
+                            # hsp before max_hsps selection)
+                            band_hsps_all.setdefault(tid, []).append(h)
                 # preserve chunk target order
                 seen = set()
                 for tid, _ in job_meta:
@@ -432,7 +449,8 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
         # --- second round: traceback DP (reference gapped_final.cpp) ---
         round_matches = _traceback_round(aligned, query_letters, q_start, qlen,
                                          bias, tblock, ctx, all_matrices,
-                                         query_id=query_id)
+                                         query_id=query_id,
+                                         band_hsps=band_hsps_all)
         matches.extend(round_matches)
 
         if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs
@@ -767,6 +785,19 @@ def hsp_passes_filters(h, query_source_len: int, tlen: int, cfg,
     filter_hsp): --id, --query-cover, --subject-cover, --no-self-hits."""
     if cfg.min_id > 0 and h.identities * 100.0 / h.length < cfg.min_id:
         return False
+    if cfg.approx_min_id > 0:
+        from diamond_tpu.cluster.realign import approx_id
+
+        qr = h.query_range
+        sr = h.subject_range
+        ident = (q_seq is not None and t_seq is not None
+                 and qr[1] - qr[0] == sr[1] - sr[0]
+                 and np.array_equal(np.asarray(q_seq)[qr[0]:qr[1]] & 31,
+                                    np.asarray(t_seq)[sr[0]:sr[1]] & 31))
+        aid = 100.0 if ident else approx_id(h.score, qr[1] - qr[0],
+                                            sr[1] - sr[0])
+        if aid < cfg.approx_min_id:
+            return False
     if cfg.query_cover > 0:
         qr = query_range_source or h.query_range
         if (qr[1] - qr[0]) * 100.0 / query_source_len < cfg.query_cover:
@@ -783,12 +814,12 @@ def hsp_passes_filters(h, query_source_len: int, tlen: int, cfg,
 
 
 def _filters_active(cfg) -> bool:
-    return (cfg.min_id > 0 or cfg.query_cover > 0 or cfg.subject_cover > 0
-            or getattr(cfg, "no_self_hits", False))
+    return (cfg.min_id > 0 or cfg.approx_min_id > 0 or cfg.query_cover > 0
+            or cfg.subject_cover > 0 or getattr(cfg, "no_self_hits", False))
 
 
 def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
-                     matrices=None, query_id=None):
+                     matrices=None, query_id=None, band_hsps=None):
     cfg = ctx.cfg
     mat = cfg.matrix
     filt = _filters_active(cfg)
@@ -799,6 +830,14 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
     q = query_letters[q_start : q_start + qlen]
     jobs = []
     job_meta = []
+    if filt and band_hsps:
+        # trace every band of each target so a filtered-out best hsp can
+        # fall back to another band (reference gapped_final + apply_filters)
+        expanded = []
+        for block_id, _ in aligned:
+            for h in band_hsps.get(block_id, []):
+                expanded.append((block_id, h))
+        aligned = expanded
     for block_id, first_hsp in aligned:
         tlen = int(tblock.lengths[block_id])
         t_start = int(tblock.starts[block_id])
@@ -844,6 +883,14 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
         m = Match(target_block_id=block_id, hsp=[h])
         m.set_filter()
         out.append(m)
+    if filt and band_hsps:
+        # best surviving hsp per target (max_hsps == 1)
+        best: dict[int, Match] = {}
+        for m in out:
+            prev = best.get(m.target_block_id)
+            if prev is None or m.hsp[0].sort_key() < prev.hsp[0].sort_key():
+                best[m.target_block_id] = m
+        out = list(best.values())
     _cull_matches(out, cfg)
     return out
 

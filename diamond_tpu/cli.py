@@ -125,6 +125,7 @@ def build_parser():
         sp.add_argument("--out", "-o", default="-")
         sp.add_argument("--approx-id", type=float, default=None)
         sp.add_argument("--member-cover", type=float, default=80.0)
+        sp.add_argument("--mutual-cover", type=float, default=None)
         sp.add_argument("--threads", "-p", type=int, default=1)
         sp.add_argument("--reps", default=None,
                         help="representative sequences FASTA output")
@@ -264,6 +265,7 @@ def cmd_blastp(args):
     from diamond_tpu.search.pipeline import Pipeline
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
+    validate_filters(args)
     validate_global_ranking(args)
     if args.block_size is not None:
         return cmd_blastp_blocked(args)
@@ -286,6 +288,7 @@ def cmd_blastp(args):
         masking=args.masking,
         motif_masking=None if args.motif_masking is None else bool(args.motif_masking),
         min_id=args.min_id,
+        approx_min_id=args.approx_id,
         query_cover=args.query_cover,
         subject_cover=args.subject_cover,
         no_self_hits=args.no_self_hits,
@@ -374,6 +377,12 @@ def _open_out(args):
         return gzip.open(args.out + ("" if args.out.endswith(".gz")
                                      else ".gz"), "wt")
     return open(args.out, "w")
+
+
+def validate_filters(args):
+    """reference run/config.cpp:168-169."""
+    if getattr(args, "approx_id", 0) and args.min_id != 0.0:
+        raise SystemExit("Incompatible options: --approx-id, --id.")
 
 
 def validate_global_ranking(args):

@@ -38,7 +38,8 @@ def cluster_steps(approx_id: float, linear: bool):
 
 
 def _round_edges(block: Block, rep_ids, sensitivity: str, matrix_name: str,
-                 member_cover: float, approx_id: float, threads: int = 1):
+                 member_cover: float, approx_id: float, threads: int = 1,
+                 mutual_cover: float | None = None):
     """Self-search of the representative subset; returns directed edges
     (rep_candidate, member, weight=bitscore)."""
     from diamond_tpu.search.config import SearchConfig
@@ -49,15 +50,23 @@ def _round_edges(block: Block, rep_ids, sensitivity: str, matrix_name: str,
                                [block.ids[i] for i in rep_ids])
     tub = Block.from_sequences([block.seq(i).copy() for i in rep_ids],
                                [block.ids[i] for i in rep_ids])
-    sens = sensitivity[:-4] if sensitivity.endswith("_lin") else sensitivity
-    if sens in ("linclust-20", "linclust-40"):
-        sens_cfg = "default"  # linearized shape sets pending; use default
-    else:
-        sens_cfg = sens
-    cfg = SearchConfig(matrix=ScoreMatrix(matrix_name), sensitivity=sens_cfg,
-                       max_target_seqs=2 ** 31 - 1, threads=threads)
+    lin = sensitivity.endswith("_lin")
+    sens = sensitivity[:-4] if lin else sensitivity
+    cfg = SearchConfig(matrix=ScoreMatrix(matrix_name), sensitivity=sens,
+                       max_target_seqs=2 ** 31 - 1, threads=threads,
+                       lin_stage1_target=lin)
+    if lin:
+        # linearized rounds keep one target occurrence per seed, favoring
+        # the longest sequence (reference search.cpp:75-106 linear rounds,
+        # double_indexed.cpp:112-114 length-sorted block)
+        tub, order = tub.length_sorted()
     pipe = Pipeline(cfg, sub, tub)
     results = pipe.search()
+    if lin:
+        remap = {i: order[i] for i in range(len(order))}
+        for matches in results.values():
+            for m in matches:
+                m.target_block_id = remap[m.target_block_id]
     edges = []
     for qid, matches in results.items():
         qlen = int(sub.lengths[qid])
@@ -72,6 +81,13 @@ def _round_edges(block: Block, rep_ids, sensitivity: str, matrix_name: str,
                 if approx_id > 0 and h.length and \
                         h.identities * 100.0 / h.length < approx_id:
                     continue
+                if mutual_cover is not None:
+                    # --mutual-cover: both sequences covered (reference
+                    # recluster.cpp:55-63, config 'mutual-cover')
+                    if qcov >= mutual_cover and scov >= mutual_cover:
+                        edges.append((t, qid, h.bit_score))
+                        edges.append((qid, t, h.bit_score))
+                    continue
                 # the member must be covered to member_cover
                 if qcov >= member_cover:
                     edges.append((t, qid, h.bit_score))
@@ -82,7 +98,8 @@ def _round_edges(block: Block, rep_ids, sensitivity: str, matrix_name: str,
 
 def cluster_block(block: Block, steps, matrix_name: str = "BLOSUM62",
                   member_cover: float = 80.0, approx_id: float = 0.0,
-                  threads: int = 1, verbose: bool = True):
+                  threads: int = 1, verbose: bool = True,
+                  mutual_cover: float | None = None):
     """Run the cascade; returns centroid assignment per block sequence."""
     n = len(block)
     assignment = np.arange(n, dtype=np.int64)  # global centroid per seq
@@ -94,7 +111,7 @@ def cluster_block(block: Block, steps, matrix_name: str = "BLOSUM62",
             print(f"Clustering round: {step} ({len(reps)} sequences)",
                   file=sys.stderr)
         edges = _round_edges(block, reps, step, matrix_name, member_cover,
-                             approx_id, threads)
+                             approx_id, threads, mutual_cover)
         g = EdgeGraph(len(reps), edges)
         local = greedy_vertex_cover(g)
         # compose: member sequences of this round map to global centroids
@@ -168,7 +185,9 @@ def run_cluster(args):
     steps = getattr(args, "cluster_steps", None) or \
         cluster_steps(approx_id, linear=False)
     assignment = cluster_block(block, steps, member_cover=args.member_cover,
-                               approx_id=approx_id, threads=args.threads)
+                               approx_id=approx_id, threads=args.threads,
+                               mutual_cover=getattr(args, "mutual_cover",
+                                                    None))
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     for i in range(len(block)):
         out.write(f"{block.seq_id(int(assignment[i]))}\t{block.seq_id(i)}\n")
