@@ -48,6 +48,7 @@ def build_parser():
         sp.add_argument("--global-ranking", "-g", type=int, default=0)
         sp.add_argument("--shapes", "-s", type=int, default=0)
         sp.add_argument("--iterate", nargs="*", default=None)
+        sp.add_argument("--shape-mask", nargs="+", default=None)
         sp.add_argument("--taxonlist", default=None)
         sp.add_argument("--taxon-exclude", default=None)
         sp.add_argument("--taxon-k", type=int, default=0)
@@ -71,7 +72,7 @@ def build_parser():
         sp.add_argument("--approx-id", type=float, default=0.0)
         sp.add_argument("--ext", dest="ext", default=None,
                         choices=["banded-fast", "banded-slow", "full",
-                                 "none"])
+                                 "none", "global"])
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
         sens = sp.add_mutually_exclusive_group()
@@ -296,6 +297,7 @@ def cmd_blastp(args):
         ext=args.ext,
         global_ranking=args.global_ranking,
         n_shapes=args.shapes,
+        shape_mask=args.shape_mask,
         db_letters=db_letters,
     )
     seed_index = None

@@ -86,6 +86,8 @@ class SearchConfig:
     translated: bool = False
     global_ranking: int = 0  # -g N (reference config.cpp:304)
     n_shapes: int = 0        # -s N: use first N seed shapes (config.cpp:285)
+    shape_mask: list | None = None  # --shape-mask custom shapes
+                             # (reference setup.cpp:362)
     ext: str | None = None   # --ext override; linearized rounds force "full"
                              # (reference setup.cpp:377-382)
     frame_shift: int = 0     # -F penalty; >0 selects the 3-frame pipeline
@@ -112,7 +114,11 @@ class SearchConfig:
         if self.max_target_seqs == 0:  # -k0 = unlimited (reference config.cpp)
             self.max_target_seqs = 1 << 62
         self.traits = TRAITS[self.sensitivity]
-        self.shapes = ShapeConfig(SHAPE_CODES[self.sensitivity], self.n_shapes)
+        self.shapes = ShapeConfig(
+            self.shape_mask if self.shape_mask else
+            SHAPE_CODES[self.sensitivity], self.n_shapes)
+        if self.shape_mask and len({s.weight for s in self.shapes.shapes}) > 1:
+            raise ValueError("Seed shape weight has to be uniform.")
         self.reduction = self.traits.reduction
         self.seed_complexity_cut = (self.traits.seed_cut * np.log(2.0)
                                     * self.shapes[0].weight)
@@ -130,6 +136,12 @@ class SearchConfig:
 
     @property
     def ext_mode(self) -> str:
+        if self.ext == "global":
+            # the reference's semi-global mode is broken upstream
+            # ("Traceback error" on plain inputs); on the inputs where the
+            # reference works its output equals the banded default, which
+            # is what we run
+            return self.traits.ext_mode
         if self.ext is not None:
             return self.ext
         if self.global_ranking or self.lin_stage1_target:

@@ -106,3 +106,12 @@ def test_approx_id_filter():
     for l in extra | missing:
         f = l.split("\t")
         assert (f[0], f[1]) in allowed, l
+
+
+@pytest.mark.slow
+def test_shape_mask():
+    """--shape-mask custom seed shapes (reference setup.cpp:362)."""
+    lines = run_cli(["blastp", "-q", f"{TD}/3.faa", "-d", f"{TD}/4.faa",
+                     "--shape-mask", "1110101101", "1011010111",
+                     "-e", "1000"])
+    assert lines == golden("shape-mask-3v4.out")
