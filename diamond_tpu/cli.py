@@ -225,6 +225,8 @@ def build_parser():
                           const=name)
     sp.set_defaults(sensitivity="default")
 
+    sp = sub.add_parser("test", help="Run built-in self tests")
+
     sp = sub.add_parser("benchmark", help="Kernel microbenchmarks (ps/cell)")
 
     sp = sub.add_parser("smith-waterman", help="Pairwise DNA Smith-Waterman")
@@ -366,6 +368,33 @@ def cmd_blastn(args):
                     print_e(h.evalue), format_double(h.bit_score)]) + "\n")
     if out is not sys.stdout:
         out.close()
+
+
+def _self_test():
+    """Built-in pure-function checks (reference `diamond test`,
+    src/test/test.cpp:54-64): kernel/oracle parity on random data plus a
+    stats spot check; exits non-zero on failure."""
+    import numpy as np
+
+    from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np, banded_swipe_np
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    rng = np.random.default_rng(0)
+    m = ScoreMatrix("BLOSUM62")
+    q = rng.integers(0, 20, 120).astype(np.int8)
+    jobs = [(rng.integers(0, 20, 150).astype(np.int8), -32, 32)
+            for _ in range(8)]
+    batch = banded_swipe_batch_np(q, None, jobs, m.matrix32, m.gap_open,
+                                  m.gap_extend)
+    for (tgt, d0, d1), (score, _, _) in zip(jobs, batch):
+        single = banded_swipe_np(q, tgt, d0, d1, m.matrix32, None,
+                                 m.gap_open, m.gap_extend)
+        assert single.score == score, "batch/single DP mismatch"
+    assert abs(float(m.bitscore(100)) - 43.1) < 0.2, "bitscore check"
+    m.set_db_letters(1_000_000)
+    ev = float(m.evalue(100, 120, 150))
+    assert 0 < ev < 1e-3, "evalue check"
+    print("Self test OK.")
 
 
 def _open_out(args):
@@ -754,6 +783,8 @@ def _dispatch(args):
                            sensitivity=args.sensitivity)
         build_seed_index(args.db + ".seed_idx", block, cfg)
         print(f"Wrote {args.db}.seed_idx")
+    elif args.command == "test":
+        _self_test()
     elif args.command == "benchmark":
         from diamond_tpu.benchmark import run_benchmark
 
