@@ -49,6 +49,7 @@ def build_parser():
         sp.add_argument("--shapes", "-s", type=int, default=0)
         sp.add_argument("--iterate", nargs="*", default=None)
         sp.add_argument("--shape-mask", nargs="+", default=None)
+        sp.add_argument("--minimizer-window", type=int, default=0)
         sp.add_argument("--taxonlist", default=None)
         sp.add_argument("--taxon-exclude", default=None)
         sp.add_argument("--taxon-k", type=int, default=0)
@@ -300,6 +301,7 @@ def cmd_blastp(args):
         global_ranking=args.global_ranking,
         n_shapes=args.shapes,
         shape_mask=args.shape_mask,
+        minimizer_window=args.minimizer_window,
         db_letters=db_letters,
     )
     seed_index = None

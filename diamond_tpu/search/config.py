@@ -88,6 +88,7 @@ class SearchConfig:
     n_shapes: int = 0        # -s N: use first N seed shapes (config.cpp:285)
     shape_mask: list | None = None  # --shape-mask custom shapes
                              # (reference setup.cpp:362)
+    minimizer_window: int = 0  # --minimizer-window (reference EnumCfg)
     ext: str | None = None   # --ext override; linearized rounds force "full"
                              # (reference setup.cpp:377-382)
     frame_shift: int = 0     # -F penalty; >0 selects the 3-frame pipeline

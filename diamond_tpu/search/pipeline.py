@@ -231,7 +231,7 @@ class Pipeline:
         even/odd key packing; the returned join keys stay in the pipeline's
         plain packing."""
         cfg = self.cfg
-        if not cfg.traits.sketch:
+        if not cfg.traits.sketch and not cfg.minimizer_window:
             return stages.enumerate_seeds(block, shape, cfg.reduction)
         from diamond_tpu.cluster.linclust import exact_seed_keys, sketch_select
 
@@ -244,7 +244,11 @@ class Pipeline:
             start = int(block.starts[i])
             red = reduced_all[start : start + L]
             ekeys, valid = exact_seed_keys(red, shape, cfg.reduction.size)
-            sel = sketch_select(ekeys, valid, cfg.traits.sketch)
+            if cfg.minimizer_window:
+                sel = stages.minimizer_select(ekeys, valid,
+                                              cfg.minimizer_window)
+            else:
+                sel = sketch_select(ekeys, valid, cfg.traits.sketch)
             if len(sel) == 0:
                 continue
             pkeys, _ = shape.extract_seeds(red, cfg.reduction.size)
@@ -349,7 +353,7 @@ class Pipeline:
         # left-most dedup filter (vectorized); skipped for sketch/minimizer
         # seeding and all linearized modes (reference stage2.h:101
         # skip_left_most)
-        if cfg.traits.sketch or cfg.lin_stage1_target:
+        if cfg.traits.sketch or cfg.lin_stage1_target or cfg.minimizer_window:
             out = []
             for k in range(len(qp)):
                 out.append((int(qidx[k]), int(sp[k]), int(qoff[k]),

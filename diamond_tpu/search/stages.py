@@ -270,3 +270,26 @@ def unreduced_complexity_filter(letters, pos, shape, cut: float):
         np.add.at(counts, (np.arange(len(pos)), w[:, i]), 1)
     entropy = _LNFACT[shape.weight] - _LNFACT[counts].sum(axis=1)
     return ok & (entropy >= cut)
+
+
+def minimizer_select(ekeys, valid, window: int):
+    """Window-minimizer seed selection over the VALID seeds (reference
+    seed_iterator.h:52-110 MinimizerIterator: windows count valid seeds,
+    the first murmur-minimal seed per window is kept, and consecutive
+    windows sharing the same minimal seed VALUE collapse to one entry).
+    Returns indices into the original position array."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from diamond_tpu.cluster.linclust import murmur64
+
+    vpos = np.nonzero(valid)[0]
+    if len(vpos) < window:
+        return np.zeros(0, dtype=np.int64)
+    vk = ekeys[vpos]
+    h = murmur64(vk)
+    win = sliding_window_view(h, window)
+    arg = win.argmin(axis=1) + np.arange(len(win))
+    kmin = vk[arg]
+    keep = np.ones(len(arg), dtype=bool)
+    keep[1:] = kmin[1:] != kmin[:-1]
+    return vpos[arg[keep]]

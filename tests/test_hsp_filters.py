@@ -115,3 +115,27 @@ def test_shape_mask():
                      "--shape-mask", "1110101101", "1011010111",
                      "-e", "1000"])
     assert lines == golden("shape-mask-3v4.out")
+
+
+@pytest.mark.slow
+def test_minimizer_window():
+    """--minimizer-window protein seeding (reference MinimizerIterator,
+    seed_iterator.h:52-110; the reference only wires it for blastn, so the
+    contract is functional: subsampled seeding still finds the alignment)."""
+    lines = run_cli(["blastp", "-q", f"{TD}/1.faa", "-d", f"{TD}/2.faa",
+                     "--minimizer-window", "5"])
+    assert lines and lines[0].startswith("NP_001001178.1\tNP_620158.3")
+
+
+def test_minimizer_select_dedup():
+    import numpy as np
+
+    from diamond_tpu.search.stages import minimizer_select
+
+    keys = np.arange(20, dtype=np.uint64)
+    valid = np.ones(20, dtype=bool)
+    sel = minimizer_select(keys, valid, 5)
+    assert len(sel) > 0
+    # consecutive windows sharing a min collapse: strictly fewer than windows
+    assert len(sel) <= 16
+    assert np.all(np.diff(sel) > 0)
