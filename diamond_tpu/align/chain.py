@@ -58,7 +58,19 @@ def xdrop_ungapped(query: np.ndarray, bias: np.ndarray | None, target: np.ndarra
 
     query/target are views into the padded concatenated block arrays so
     out-of-sequence reads hit delimiter letters, terminating the loops
-    exactly like the reference."""
+    exactly like the reference.
+
+    Runs through the native C++ twin when available (bit-identical
+    integer semantics; diamond_tpu/native/src/xdrop.cc); this Python body
+    is the fallback and test oracle."""
+    if (query.dtype == np.int8 and target.dtype == np.int8
+            and getattr(matrix32, "dtype", None) == np.int32):
+        from diamond_tpu import native
+
+        r = native.xdrop_ungapped_native(query, bias, target, qa, sa,
+                                         matrix32, xdrop)
+        if r is not None:
+            return DiagSegment(i=r[0], j=r[1], len=r[2], score=r[3])
     score = 0
     st = 0
     n = 1

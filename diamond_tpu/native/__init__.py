@@ -63,6 +63,11 @@ def lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
         cdll.tantan_repeat_prob.restype = None
+        cdll.xdrop_ungapped_one.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p]
+        cdll.xdrop_ungapped_one.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -88,3 +93,29 @@ def tantan_repeat_prob(letters, ratios, p_repeat, p_repeat_end,
         ctypes.c_float(repeat_growth),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+_xdrop_out = None
+
+
+def xdrop_ungapped_native(query, bias, target, qa: int, sa: int, matrix32,
+                          xdrop: int):
+    """Native x-drop extension; returns (i, j, len, score) or None.
+
+    query/target must be contiguous int8 views whose memory extends at
+    least one delimiter past both sequence boundaries (the padded block
+    layout); bias, when given, a contiguous int8 array."""
+    import numpy as np
+
+    global _xdrop_out
+    l = lib()
+    if l is None:
+        return None
+    if _xdrop_out is None:
+        _xdrop_out = np.empty(4, dtype=np.int64)
+    out = _xdrop_out
+    bias_p = bias.ctypes.data if bias is not None else None
+    l.xdrop_ungapped_one(query.ctypes.data, bias_p, target.ctypes.data,
+                         qa, sa, matrix32.ctypes.data, xdrop,
+                         out.ctypes.data)
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])

@@ -44,3 +44,37 @@ def test_tantan_bit_identical(masker):
         finally:
             native._lib = saved
         assert a.tobytes() == b.tobytes()
+
+
+def test_xdrop_bit_identical():
+    """Native x-drop extension vs the Python oracle on block views."""
+    import diamond_tpu.native as native
+    from diamond_tpu.align.chain import xdrop_ungapped
+    from diamond_tpu.data.block import Block
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    m = ScoreMatrix("BLOSUM62").matrix32
+    seqs = [rng.integers(0, 20, int(n)).astype(np.int8)
+            for n in rng.integers(20, 200, 30)]
+    b = Block.from_sequences(seqs, [f"s{i}" for i in range(len(seqs))])
+    for trial in range(300):
+        qi_ = int(rng.integers(0, len(seqs)))
+        ti_ = int(rng.integers(0, len(seqs)))
+        qs = int(b.starts[qi_])
+        ts = int(b.starts[ti_])
+        qa = int(rng.integers(0, b.lengths[qi_]))
+        sa = int(rng.integers(0, b.lengths[ti_]))
+        bias = (rng.integers(-3, 4, int(b.lengths[qi_])).astype(np.int8)
+                if trial % 2 else None)
+        qv = b.letters[qs:]
+        tv = b.letters[ts:]
+        a = xdrop_ungapped(qv, bias, tv, qa, sa, m, 77)
+        saved = native._lib
+        native._lib = None
+        try:
+            c = xdrop_ungapped(qv, bias, tv, qa, sa, m, 77)
+        finally:
+            native._lib = saved
+        assert (a.i, a.j, a.len, a.score) == (c.i, c.j, c.len, c.score)
