@@ -633,7 +633,12 @@ def cmd_blastx(args):
     if args.range_culling and args.frameshift == 0:
         raise SystemExit("Query range culling is only supported in frameshift "
                          "alignment mode (option -F).")
+    validate_filters(args)
     validate_global_ranking(args)
+    if args.comp_based_stats >= 2:
+        # reference run/config.cpp: matrix adjust needs untranslated queries
+        raise SystemExit("This mode of composition based stats is not "
+                         "supported for translated searches.")
     qrecs = list(read_seqs(args.query))
     tb, taxonomy = load_block(args.db, with_taxonomy=True)
     tb, taxonomy, db_letters = apply_taxon_filter(tb, taxonomy,
