@@ -458,8 +458,12 @@ class Pipeline:
         by_query: dict[int, list] = {}
         for qid, sgpos, soff, score in hits:
             by_query.setdefault(qid, []).append((sgpos, soff, score))
+        qids = sorted(by_query)
+        if self.cfg.threads > 1 and len(qids) > 1 and _can_fork():
+            return _extend_parallel(self.ctx, by_query, qids,
+                                    self.cfg.threads)
         results = {}
-        for qid in sorted(by_query):
+        for qid in qids:
             results[qid] = extend_query(qid, by_query[qid], self.ctx)
         return results
 
@@ -473,3 +477,45 @@ def _partition(total: int, parts: int):
         hi = min(lo + size, total)
         out.append((lo, hi))
     return out
+
+
+# ---------------------------------------------------------------------------
+# process-parallel extension (-p): queries are independent; output stays in
+# query order so multithreaded output is byte-identical to single-threaded
+# (the reference's ReorderQueue determinism contract, SURVEY §4)
+# ---------------------------------------------------------------------------
+
+_MP_CTX = None
+
+
+def _can_fork() -> bool:
+    import multiprocessing
+    import os
+    import sys
+
+    if os.environ.get("DIAMOND_TPU_DEVICE_DP"):
+        return False  # forked children must not share a device handle
+    return sys.platform.startswith("linux") and \
+        "fork" in multiprocessing.get_all_start_methods()
+
+
+def _mp_extend(arg):
+    qid, query_hits = arg
+    return qid, extend_query(qid, query_hits, _MP_CTX)
+
+
+def _extend_parallel(ctx, by_query, qids, threads: int):
+    import multiprocessing
+
+    global _MP_CTX
+    _MP_CTX = ctx  # inherited by forked children (blocks shared, not pickled)
+    try:
+        with multiprocessing.get_context("fork").Pool(threads) as pool:
+            results = {}
+            for qid, matches in pool.imap(
+                    _mp_extend, ((q, by_query[q]) for q in qids),
+                    chunksize=max(1, len(qids) // (threads * 8))):
+                results[qid] = matches
+            return results
+    finally:
+        _MP_CTX = None

@@ -139,3 +139,26 @@ def test_minimizer_select_dedup():
     # consecutive windows sharing a min collapse: strictly fewer than windows
     assert len(sel) <= 16
     assert np.all(np.diff(sel) > 0)
+
+
+def test_parallel_extension_identical(tmp_path):
+    """-p N forks per-query extension workers; output must be byte-identical
+    to single-threaded (reference ReorderQueue determinism contract)."""
+    from diamond_tpu.data.fasta import read_fasta
+
+    sub = tmp_path / "sub.faa"
+    recs = list(read_fasta(f"{TD}/data.faa"))[:10]
+    with open(sub, "wb") as f:
+        for h, s in recs:
+            if isinstance(h, str):
+                h = h.encode()
+            f.write(b">" + h + b"\n" + s + b"\n")
+    outs = []
+    for p in ("1", "3"):
+        out = tmp_path / f"p{p}.out"
+        subprocess.run(
+            [sys.executable, "-m", "diamond_tpu.cli", "blastp",
+             "-q", str(sub), "-d", str(sub), "-p", p, "-o", str(out)],
+            check=True, cwd="/root/repo", capture_output=True)
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
