@@ -158,6 +158,33 @@ def load_hits(hits, target_block):
     return tids, groups, scores
 
 
+def _extend_hits(qpad, use_bias, tpad, hits, m, xdrop):
+    """Per-target seed extension loop with the chaining skip rule
+    (reference align/ungapped.cpp:62-150).  Batched through one native
+    call (xdrop_ungapped_chain) when available; the Python loop below is
+    the bit-identical fallback and test oracle."""
+    if (len(hits) > 1 and qpad.dtype == np.int8 and tpad.dtype == np.int8
+            and getattr(m, "dtype", None) == np.int32):
+        from diamond_tpu import native
+        from diamond_tpu.align.chain import DiagSegment
+
+        hi = np.fromiter((h.i for h in hits), dtype=np.int64, count=len(hits))
+        hj = np.fromiter((h.j for h in hits), dtype=np.int64, count=len(hits))
+        r = native.xdrop_chain_native(qpad, use_bias, tpad, hi, hj, m, xdrop)
+        if r is not None:
+            kept, oi, oj, ol, osc = r
+            return [DiagSegment(i=int(oi[k]), j=int(oj[k]), len=int(ol[k]),
+                                score=int(osc[k])) for k in range(kept)]
+    segments = []
+    for h in hits:
+        if segments and segments[-1].diag == h.diag and segments[-1].subject_end >= h.j:
+            continue
+        d = xdrop_ungapped(qpad, use_bias, tpad, h.i, h.j, m, xdrop)
+        if d.score > 0:
+            segments.append(d)
+    return segments
+
+
 @dataclass
 class WorkTarget:
     block_id: int
@@ -176,8 +203,6 @@ def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hi
     full=True: Mode::FULL (reference ungapped.cpp:71-76) — no xdrop or
     chaining, just the max hit score; the DP covers the whole matrix."""
     hits = sorted(seed_hits, key=lambda h: (h.diag, h.j))
-    segments = []
-    ungapped_score = 0
     t_start = int(target_block.starts[block_id])
     m = cfg.matrix.matrix32
     use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
@@ -200,14 +225,10 @@ def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hi
         ungapped_score = max(h.score for h in hits)
         return WorkTarget(block_id=block_id, hsps=None,
                           ungapped_score=ungapped_score, matrix=target_matrix)
-    for h in hits:
-        ungapped_score = max(ungapped_score, h.score)
-        if segments and segments[-1].diag == h.diag and segments[-1].subject_end >= h.j:
-            continue
-        d = xdrop_ungapped(query_letters[q_start:], use_bias,
-                           target_block.letters[t_start:], h.i, h.j, m, cfg.xdrop_raw)
-        if d.score > 0:
-            segments.append(d)
+    ungapped_score = max(h.score for h in hits)
+    segments = _extend_hits(query_letters[q_start:], use_bias,
+                            target_block.letters[t_start:], hits, m,
+                            cfg.xdrop_raw)
     hsps = chain(segments)
     return WorkTarget(block_id=block_id, hsps=hsps,
                       ungapped_score=ungapped_score, matrix=target_matrix)

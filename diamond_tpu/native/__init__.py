@@ -68,6 +68,13 @@ def lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_void_p]
         cdll.xdrop_ungapped_one.restype = None
+        cdll.xdrop_ungapped_chain.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        cdll.xdrop_ungapped_chain.restype = ctypes.c_int64
         _lib = cdll
     except Exception:
         _lib = None
@@ -119,3 +126,30 @@ def xdrop_ungapped_native(query, bias, target, qa: int, sa: int, matrix32,
                          qa, sa, matrix32.ctypes.data, xdrop,
                          out.ctypes.data)
     return int(out[0]), int(out[1]), int(out[2]), int(out[3])
+
+_chain_bufs = None
+
+
+def xdrop_chain_native(query, bias, target, hi, hj, matrix32, xdrop: int):
+    """Batched per-target x-drop extension with the chaining skip rule.
+
+    hi/hj: contiguous int64 seed coordinates sorted by (diag, j).  Returns
+    (kept, out_i, out_j, out_len, out_score) numpy views valid until the
+    next call, or None if the native library is unavailable."""
+    import numpy as np
+
+    global _chain_bufs
+    l = lib()
+    if l is None:
+        return None
+    n = len(hi)
+    if _chain_bufs is None or len(_chain_bufs[0]) < n:
+        _chain_bufs = tuple(np.empty(max(n, 64), dtype=np.int64)
+                            for _ in range(4))
+    oi, oj, ol, os_ = _chain_bufs
+    bias_p = bias.ctypes.data if bias is not None else None
+    kept = l.xdrop_ungapped_chain(
+        query.ctypes.data, bias_p, target.ctypes.data,
+        hi.ctypes.data, hj.ctypes.data, n, matrix32.ctypes.data, xdrop,
+        oi.ctypes.data, oj.ctypes.data, ol.ctypes.data, os_.ctypes.data)
+    return kept, oi, oj, ol, os_

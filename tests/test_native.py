@@ -78,3 +78,47 @@ def test_xdrop_bit_identical():
         finally:
             native._lib = saved
         assert (a.i, a.j, a.len, a.score) == (c.i, c.j, c.len, c.score)
+
+
+def test_xdrop_chain_bit_identical():
+    """Batched native extension loop vs the Python fallback in
+    align/extend.py (_extend_hits)."""
+    from diamond_tpu.align.extend import _extend_hits
+    from diamond_tpu.data.block import Block
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+
+    class H:
+        def __init__(self, i, j):
+            self.i, self.j = i, j
+
+        @property
+        def diag(self):
+            return self.i - self.j
+
+    rng = np.random.default_rng(23)
+    m = ScoreMatrix("BLOSUM62").matrix32
+    seqs = [rng.integers(0, 20, int(n)).astype(np.int8)
+            for n in rng.integers(30, 300, 20)]
+    b = Block.from_sequences(seqs, [f"s{i}" for i in range(len(seqs))])
+    for trial in range(120):
+        qi_ = int(rng.integers(0, len(seqs)))
+        ti_ = int(rng.integers(0, len(seqs)))
+        qv = b.letters[int(b.starts[qi_]):]
+        tv = b.letters[int(b.starts[ti_]):]
+        nh = int(rng.integers(2, 12))
+        hits = [H(int(rng.integers(0, b.lengths[qi_])),
+                  int(rng.integers(0, b.lengths[ti_]))) for _ in range(nh)]
+        hits.sort(key=lambda h: (h.i - h.j, h.j))
+        bias = (rng.integers(-3, 4, int(b.lengths[qi_])).astype(np.int8)
+                if trial % 2 else None)
+        a = _extend_hits(qv, bias, tv, hits, m, 77)
+        saved = native._lib
+        native._lib = None
+        try:
+            c = _extend_hits(qv, bias, tv, hits, m, 77)
+        finally:
+            native._lib = saved
+        assert [(s.i, s.j, s.len, s.score) for s in a] == \
+               [(s.i, s.j, s.len, s.score) for s in c]
