@@ -75,6 +75,15 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
         cdll.xdrop_ungapped_chain.restype = ctypes.c_int64
+        cdll.leftmost_verify.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_int32, ctypes.c_void_p]
+        cdll.leftmost_verify.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -153,3 +162,35 @@ def xdrop_chain_native(query, bias, target, hi, hj, matrix32, xdrop: int):
         hi.ctypes.data, hj.ctypes.data, n, matrix32.ctypes.data, xdrop,
         oi.ctypes.data, oj.ctypes.data, ol.ctypes.data, os_.ctypes.data)
     return kept, oi, oj, ol, os_
+
+
+def leftmost_verify_native(q_letters, s_letters, qs, ss, hit_bits,
+                           match_masks, left, shape, reduction, chunked,
+                           part_lo, part_hi, seedp_mask,
+                           hamming_filter_id):
+    """Native left-most hit verification; returns [N] bool or None.
+
+    All array arguments must be contiguous (qs/ss int64, hit_bits/
+    match_masks uint64); early-exits per hit on the first verified bit."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    n = len(qs)
+    out = np.empty(n, dtype=np.uint8)
+    pos = getattr(shape, "_pos64", None)
+    if pos is None:
+        pos = np.ascontiguousarray(shape.positions, dtype=np.int64)
+        shape._pos64 = pos
+    l.leftmost_verify(
+        q_letters.ctypes.data, s_letters.ctypes.data,
+        qs.ctypes.data, ss.ctypes.data,
+        hit_bits.ctypes.data, match_masks.ctypes.data,
+        n, int(bool(left)),
+        ctypes.c_uint64(shape.mask), pos.ctypes.data, int(shape.weight),
+        reduction.map.ctypes.data, int(reduction.size),
+        int(bool(chunked)), int(part_lo), int(part_hi),
+        ctypes.c_uint64(seedp_mask), int(hamming_filter_id),
+        out.ctypes.data)
+    return out.astype(bool)

@@ -169,12 +169,15 @@ def left_most_filter(
                     ok = False
                     break
                 key = key * reduction.size + int(reduction.map[l])
-            if ok:
-                part = key & seedp_mask
-                if left and not (part < part_end):
-                    return False
-                if not left and not (part < part_begin):
-                    return False
+            if not ok:
+                # set_seed failure fails this bit outright
+                # (reference left_most.h:36-37)
+                return False
+            part = key & seedp_mask
+            if left and not (part < part_end):
+                return False
+            if not left and not (part < part_begin):
+                return False
         # fingerprint verification
         fq = q_letters[qs + p - WINDOW_LEFT : qs + p + 32] & LETTER_MASK
         fs = s_letters[ss + p - WINDOW_LEFT : ss + p + 32] & LETTER_MASK

@@ -188,7 +188,23 @@ def _verify_batch(q_letters, s_letters, qs, ss, hit_bits, match_masks, left,
                   shape, reduction, chunked, part_lo, part_hi, seedp_mask,
                   hamming_filter_id) -> np.ndarray:
     """For each hit, True iff ANY set bit position verifies
-    (reference left_most.h:31-60 verify_hit/verify_hits)."""
+    (reference left_most.h:31-60 verify_hit/verify_hits).
+
+    Runs through the native C++ twin when available (early-exits per hit
+    on the first verified bit; native/src/leftmost.cc); the numpy body
+    below is the bit-identical fallback and test oracle."""
+    from diamond_tpu import native
+
+    r = native.leftmost_verify_native(
+        q_letters, s_letters,
+        np.ascontiguousarray(qs, dtype=np.int64),
+        np.ascontiguousarray(ss, dtype=np.int64),
+        np.ascontiguousarray(hit_bits, dtype=np.uint64),
+        np.ascontiguousarray(match_masks, dtype=np.uint64),
+        left, shape, reduction, chunked, part_lo, part_hi, seedp_mask,
+        hamming_filter_id)
+    if r is not None:
+        return r
     N = len(qs)
     # expand (hit, bit) pairs
     hb = hit_bits.astype(np.uint64)

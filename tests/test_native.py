@@ -122,3 +122,39 @@ def test_xdrop_chain_bit_identical():
             native._lib = saved
         assert [(s.i, s.j, s.len, s.score) for s in a] == \
                [(s.i, s.j, s.len, s.score) for s in c]
+
+
+def test_leftmost_verify_bit_identical():
+    """Native left-most verification vs the numpy batch oracle, all
+    (chunked, left) variants."""
+    import diamond_tpu.search.left_most_batch as lmb
+    from diamond_tpu.seed.reduction import MURPHY10
+    from diamond_tpu.seed.shapes import Shape
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    shape = Shape("111101011101111")
+    L = 4000
+    q = rng.integers(0, 24, L).astype(np.int8)
+    s = rng.integers(0, 24, L).astype(np.int8)
+    for a in (q, s):
+        a[rng.integers(0, L, 30)] = 31
+    for chunked in (False, True):
+        for left in (False, True):
+            N = 400
+            qs = rng.integers(60, L - 100, N).astype(np.int64)
+            ss = rng.integers(60, L - 100, N).astype(np.int64)
+            hit_bits = rng.integers(0, 1 << 33, N, dtype=np.uint64)
+            match_masks = rng.integers(0, 1 << 49, N, dtype=np.uint64)
+            match_masks[:80] |= np.uint64(shape.mask)
+            args = (q, s, qs, ss, hit_bits, match_masks, left, shape,
+                    MURPHY10, chunked, 37, 91, 127, 26)
+            a = lmb._verify_batch(*args)
+            saved = native._lib
+            native._lib = None
+            try:
+                b = lmb._verify_batch(*args)
+            finally:
+                native._lib = saved
+            assert (a == b).all()
