@@ -84,6 +84,14 @@ def lib():
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_int32, ctypes.c_void_p]
         cdll.leftmost_verify.restype = None
+        cdll.banded_swipe_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.banded_swipe_many.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -194,3 +202,35 @@ def leftmost_verify_native(q_letters, s_letters, qs, ss, hit_bits,
         ctypes.c_uint64(seedp_mask), int(hamming_filter_id),
         out.ctypes.data)
     return out.astype(bool)
+
+
+def banded_swipe_many_native(q_letters, bias32, t_cat, t_off, t_len,
+                             d_begins, bands, matrix32, go: int, ge: int,
+                             mask_off=None, masks=None):
+    """Batched banded-SWIPE score DP; returns [njobs, 3] int64
+    (score, max_col, max_row_band) or None.
+
+    All arrays contiguous; t_cat int8 concatenated targets with int64
+    offsets/lengths; bias32 int32 per query position or None.  When
+    mask_off/masks given (masks = 4 uint8 buffers), the trace-mask planes
+    are emitted per job at those offsets."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    njobs = len(t_off)
+    out = np.empty((njobs, 3), dtype=np.int64)
+    bias_p = bias32.ctypes.data if bias32 is not None else None
+    if masks is None:
+        mo = gv = gh = ov = oh = None
+    else:
+        mo = mask_off.ctypes.data
+        gv, gh, ov, oh = (m.ctypes.data for m in masks)
+    l.banded_swipe_many(
+        q_letters.ctypes.data, len(q_letters), bias_p,
+        t_cat.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+        d_begins.ctypes.data, bands.ctypes.data, njobs,
+        matrix32.ctypes.data, go, ge, out.ctypes.data,
+        mo, gv, gh, ov, oh)
+    return out

@@ -343,6 +343,68 @@ def _traceback(res, query, target, d_begin, d_end, matrix32, bias, go, ge,
     res.length = length
 
 
+def _batch_native(query, bias, jobs, matrix32, gap_open, gap_extend,
+                  traceback):
+    """Run the job batch through the native C++ DP (bit-identical to the
+    numpy path below; native/src/banded_swipe.cc).  Emits per-job trace
+    masks so _traceback above stays the traceback oracle.  Returns None
+    when the native library is unavailable."""
+    from diamond_tpu import native
+
+    if native.lib() is None:
+        return None
+    q8 = np.ascontiguousarray(np.asarray(query), dtype=np.int8)
+    bias32 = (None if bias is None
+              else np.ascontiguousarray(bias, dtype=np.int32))
+    B = len(jobs)
+    t_len = np.fromiter((len(t) for t, _, _ in jobs), dtype=np.int64,
+                        count=B)
+    t_off = np.zeros(B, dtype=np.int64)
+    np.cumsum(t_len[:-1], out=t_off[1:])
+    t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+    for k, (t, _, _) in enumerate(jobs):
+        t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(t, dtype=np.int8)
+    d_begins = np.fromiter((d0 for _, d0, _ in jobs), dtype=np.int64,
+                           count=B)
+    bands = np.fromiter((d1 - d0 for _, d0, d1 in jobs), dtype=np.int64,
+                        count=B)
+    go = gap_open + gap_extend
+    ge = gap_extend
+    masks = mask_off = None
+    if traceback:
+        sizes = t_len * bands
+        mask_off = np.zeros(B, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=mask_off[1:])
+        total = int(sizes.sum())
+        masks = tuple(np.zeros(total, dtype=np.uint8) for _ in range(4))
+    out = native.banded_swipe_many_native(
+        q8, bias32, t_cat, t_off, t_len, d_begins, bands, matrix32, go, ge,
+        mask_off, masks)
+    if out is None:
+        return None
+    if not traceback:
+        return [(int(out[k, 0]), int(out[k, 1]),
+                 int(out[k, 1]) + int(d_begins[k]) + int(out[k, 2]))
+                for k in range(B)]
+    b64 = (np.zeros(len(q8), dtype=np.int64) if bias is None
+           else np.asarray(bias).astype(np.int64))
+    results = []
+    for k, (t_let, d0, d1) in enumerate(jobs):
+        tlen = int(t_len[k])
+        band = int(bands[k])
+        res = BandedResult(score=int(out[k, 0]), max_col=int(out[k, 1]),
+                           max_row=int(out[k, 1]) + d0 + int(out[k, 2]))
+        if res.score > 0:
+            shape = (tlen, band)
+            off = int(mask_off[k])
+            end = off + tlen * band
+            mv = [m[off:end].view(bool).reshape(shape) for m in masks]
+            _traceback(res, query, t_let, d0, d1, matrix32, b64, go, ge,
+                       mv[0], mv[1], mv[2], mv[3])
+        results.append(res)
+    return results
+
+
 def banded_swipe_batch_np(query, bias, jobs, matrix32, gap_open, gap_extend,
                           traceback=False):
     """Banded SW over a batch of (target, d_begin, d_end) jobs, vectorized
@@ -353,6 +415,10 @@ def banded_swipe_batch_np(query, bias, jobs, matrix32, gap_open, gap_extend,
     transcripts."""
     if not jobs:
         return []
+    r = _batch_native(query, bias, jobs, matrix32, gap_open, gap_extend,
+                      traceback)
+    if r is not None:
+        return r
     qlen = len(query)
     q = np.asarray(query).astype(np.int64) & 31
     b = np.zeros(qlen, dtype=np.int64) if bias is None else np.asarray(bias).astype(np.int64)

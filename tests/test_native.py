@@ -158,3 +158,52 @@ def test_leftmost_verify_bit_identical():
             finally:
                 native._lib = saved
             assert (a == b).all()
+
+
+def test_banded_swipe_batch_bit_identical():
+    """Native banded-SWIPE batch DP vs the numpy twin: scores, best cells,
+    transcripts, and alignment stats."""
+    import diamond_tpu.ops.banded_swipe as bs
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    m = ScoreMatrix("BLOSUM62").matrix32
+    rng = np.random.default_rng(3)
+    for trial in range(25):
+        qlen = int(rng.integers(30, 400))
+        query = rng.integers(0, 24, qlen).astype(np.int8)
+        bias = (rng.integers(-2, 3, qlen).astype(np.int8)
+                if trial % 2 else None)
+        jobs = []
+        for _ in range(int(rng.integers(1, 9))):
+            tlen = int(rng.integers(20, 300))
+            t = rng.integers(0, 24, tlen).astype(np.int8)
+            d0 = int(rng.integers(-tlen + 5, qlen - 5))
+            band = int(rng.integers(8, 80))
+            jobs.append((t, d0, d0 + band))
+        for tb in (False, True):
+            a = bs.banded_swipe_batch_np(query, bias, jobs, m, 11, 1,
+                                         traceback=tb)
+            saved = native._lib
+            native._lib = None
+            try:
+                b = bs.banded_swipe_batch_np(query, bias, jobs, m, 11, 1,
+                                             traceback=tb)
+            finally:
+                native._lib = saved
+            for x, y in zip(a, b):
+                if not tb:
+                    assert x[0] == y[0]
+                    if x[0] > 0:
+                        assert x == y
+                else:
+                    assert x.score == y.score
+                    if x.score > 0:
+                        assert (x.transcript, x.query_range,
+                                x.subject_range, x.identities, x.mismatches,
+                                x.positives, x.gap_openings, x.gaps,
+                                x.length, x.max_col, x.max_row) == \
+                               (y.transcript, y.query_range,
+                                y.subject_range, y.identities, y.mismatches,
+                                y.positives, y.gap_openings, y.gaps,
+                                y.length, y.max_col, y.max_row)
