@@ -92,6 +92,15 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
         cdll.banded_swipe_many.restype = None
+        cdll.stage1_filter_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+        cdll.stage1_filter_many.restype = None
+        cdll.stage2_scores_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+        cdll.stage2_scores_many.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -233,4 +242,36 @@ def banded_swipe_many_native(q_letters, bias32, t_cat, t_off, t_len,
         d_begins.ctypes.data, bands.ctypes.data, njobs,
         matrix32.ctypes.data, go, ge, out.ctypes.data,
         mo, gv, gh, ov, oh)
+    return out
+
+
+def stage1_filter_native(q_letters, s_letters, qp, sp, hamming_id: int):
+    """Native fingerprint identity filter; returns [N] bool or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    n = len(qp)
+    out = np.empty(n, dtype=np.uint8)
+    l.stage1_filter_many(q_letters.ctypes.data, s_letters.ctypes.data,
+                         qp.ctypes.data, sp.ctypes.data, n, hamming_id,
+                         out.ctypes.data)
+    return out.astype(bool)
+
+
+def stage2_scores_native(q_letters, s_letters, qp, sp, matrix32,
+                         window: int, clamp: bool):
+    """Native diagonal ungapped window scores; returns [N] int32 or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    n = len(qp)
+    out = np.empty(n, dtype=np.int32)
+    l.stage2_scores_many(q_letters.ctypes.data, s_letters.ctypes.data,
+                         qp.ctypes.data, sp.ctypes.data, n,
+                         matrix32.ctypes.data, window, int(bool(clamp)),
+                         out.ctypes.data)
     return out

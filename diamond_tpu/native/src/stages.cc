@@ -1,0 +1,61 @@
+// Stage-1/2 candidate filters (native twins of
+// diamond_tpu/search/stages.py stage1_filter / stage2_scores; reference
+// semantics from src/search/stage2.h:95-100, dp/ungapped_simd.cpp:32-67,
+// hamming/finger_print.h:41-49).
+//
+// Window reads rely on the Block perimeter padding (256 delimiter bytes
+// at both ends, data/block.py) so [pos-48, pos+48) is always in bounds.
+
+#include <cstdint>
+
+namespace {
+constexpr int8_t DELIMITER = 31;
+}
+
+// Fingerprint identity filter: out[i] = 1 iff the 48-letter windows
+// around qp/sp agree at >= hamming_id positions.
+extern "C" void stage1_filter_many(
+    const int8_t* q_letters, const int8_t* s_letters,
+    const int64_t* qp, const int64_t* sp, int64_t n,
+    int32_t hamming_id, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int8_t* q = q_letters + qp[i];
+        const int8_t* s = s_letters + sp[i];
+        int32_t ident = 0;
+        for (int o = -16; o < 32; ++o)
+            ident += (q[o] & 31) == (s[o] & 31);
+        out[i] = ident >= hamming_id;
+    }
+}
+
+// Best ungapped segment score on the seed diagonal within the
+// delimiter-clipped query window (Kadane, floor 0, optional ceiling 255
+// mirroring the saturated int8 SIMD path).
+extern "C" void stage2_scores_many(
+    const int8_t* q_letters, const int8_t* s_letters,
+    const int64_t* qp, const int64_t* sp, int64_t n,
+    const int32_t* matrix32, int64_t window, int32_t clamp,
+    int32_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int8_t* q = q_letters + qp[i];
+        const int8_t* s = s_letters + sp[i];
+        // query-side delimiter clip (reference Util::Seq::clip)
+        int64_t left = 0;
+        while (left < window && q[-left - 1] != DELIMITER)
+            ++left;
+        int64_t right = 0;
+        while (right < window && q[right] != DELIMITER)
+            ++right;
+        int64_t st = 0, best = 0;
+        for (int64_t o = -left; o < right; ++o) {
+            st += matrix32[(q[o] & 31) * 32 + (s[o] & 31)];
+            if (st < 0)
+                st = 0;
+            else if (clamp && st > 255)
+                st = 255;
+            if (st > best)
+                best = st;
+        }
+        out[i] = (int32_t)best;
+    }
+}

@@ -171,9 +171,19 @@ def fingerprints(letters: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 
 def stage1_filter(q_letters, s_letters, qp, sp, hamming_filter_id: int):
-    """Keep pairs whose fingerprint identity count >= cutoff."""
+    """Keep pairs whose fingerprint identity count >= cutoff.
+
+    Runs through the native C++ twin when available
+    (native/src/stages.cc); the numpy body is the fallback and oracle."""
     if len(qp) == 0:
         return np.zeros(0, dtype=bool)
+    from diamond_tpu import native
+
+    r = native.stage1_filter_native(
+        q_letters, s_letters, np.ascontiguousarray(qp, dtype=np.int64),
+        np.ascontiguousarray(sp, dtype=np.int64), int(hamming_filter_id))
+    if r is not None:
+        return r
     fq = fingerprints(q_letters, qp)
     fs = fingerprints(s_letters, sp)
     matches = (fq == fs).sum(axis=1)
@@ -217,6 +227,14 @@ def stage2_scores(q_letters, s_letters, qp, sp, matrix32: np.ndarray,
     int8 SIMD path semantics, dp/ungapped_simd.cpp:32-67)."""
     if len(qp) == 0:
         return np.zeros(0, dtype=np.int32)
+    from diamond_tpu import native
+
+    r = native.stage2_scores_native(
+        q_letters, s_letters, np.ascontiguousarray(qp, dtype=np.int64),
+        np.ascontiguousarray(sp, dtype=np.int64), matrix32, int(window),
+        clamp)
+    if r is not None:
+        return r
     left, right = clip_window(q_letters, qp, window)
     offs = np.arange(-window, window, dtype=np.int64)
     qwin = q_letters[qp[:, None] + offs[None, :]].astype(np.int64) & LETTER_MASK

@@ -98,15 +98,20 @@ def _normal_cdf(x):
     return 0.5 * erfc(-x / SQRT_2)
 
 
+_erfc = None
+
+
 def _normal_cdf_np(x):
     # erfc via math is scalar; use vectorized complement through numpy
-    try:
-        from scipy.special import erfc
+    global _erfc
+    if _erfc is None:
+        try:
+            from scipy.special import erfc as _e
 
-        return 0.5 * erfc(-np.asarray(x) / SQRT_2)
-    except ImportError:  # pragma: no cover
-        v = np.vectorize(lambda t: 0.5 * math.erfc(-t / SQRT_2))
-        return v(x)
+            _erfc = _e
+        except ImportError:  # pragma: no cover
+            _erfc = np.vectorize(lambda t: math.erfc(t))
+    return 0.5 * _erfc(-np.asarray(x) / SQRT_2)
 
 
 def area(params: GumbelParams, score, qlen, slen):

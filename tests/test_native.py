@@ -207,3 +207,42 @@ def test_banded_swipe_batch_bit_identical():
                                 y.subject_range, y.identities, y.mismatches,
                                 y.positives, y.gap_openings, y.gaps,
                                 y.length, y.max_col, y.max_row)
+
+
+def test_stage_filters_bit_identical():
+    """Native stage-1 fingerprint filter and stage-2 diagonal scores vs
+    the numpy twins."""
+    import diamond_tpu.search.stages as st
+    from diamond_tpu.data.block import Block
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    m = ScoreMatrix("BLOSUM62").matrix32
+    rng = np.random.default_rng(9)
+    seqs = [rng.integers(0, 24, int(n)).astype(np.int8)
+            for n in rng.integers(10, 400, 60)]
+    b = Block.from_sequences(seqs, [f"s{i}" for i in range(len(seqs))])
+    N = 3000
+    idx = rng.integers(0, len(seqs), N)
+    qp = (b.starts[idx]
+          + (rng.random(N) * b.lengths[idx]).astype(np.int64)).astype(np.int64)
+    idx2 = rng.integers(0, len(seqs), N)
+    sp = (b.starts[idx2]
+          + (rng.random(N) * b.lengths[idx2]).astype(np.int64)).astype(np.int64)
+
+    def both(fn, *args):
+        a = fn(*args)
+        saved = native._lib
+        native._lib = None
+        try:
+            c = fn(*args)
+        finally:
+            native._lib = saved
+        return a, c
+
+    for clamp in (True, False):
+        a, c = both(st.stage2_scores, b.letters, b.letters, qp, sp, m, 48,
+                    clamp)
+        assert (a == c).all()
+    a, c = both(st.stage1_filter, b.letters, b.letters, qp, sp, 26)
+    assert (a == c).all()
