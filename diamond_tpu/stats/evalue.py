@@ -101,16 +101,28 @@ def _normal_cdf(x):
 _erfc = None
 
 
+def _load_erfc():
+    global _erfc
+    try:
+        from scipy.special import erfc as _e
+
+        _erfc = _e
+    except ImportError:  # pragma: no cover
+        _erfc = np.vectorize(lambda t: math.erfc(t))
+
+
+# scipy.special takes ~0.5 s to import; start it on a daemon thread at
+# module load so the cost overlaps the masking/seeding phases instead of
+# landing on the first e-value computation
+import threading as _threading  # noqa: E402
+
+_threading.Thread(target=_load_erfc, daemon=True).start()
+
+
 def _normal_cdf_np(x):
     # erfc via math is scalar; use vectorized complement through numpy
-    global _erfc
     if _erfc is None:
-        try:
-            from scipy.special import erfc as _e
-
-            _erfc = _e
-        except ImportError:  # pragma: no cover
-            _erfc = np.vectorize(lambda t: math.erfc(t))
+        _load_erfc()  # blocks on the import lock if the prewarm is mid-way
     return 0.5 * _erfc(-np.asarray(x) / SQRT_2)
 
 
