@@ -82,6 +82,30 @@ class Block:
     def save_unmasked(self):
         self.unmasked = self.letters.copy()
 
+    def seq_bounds(self):
+        """Per-letter-position (sequence end offset, sequence length) arrays
+        over the concatenated layout; 0 at padding/delimiter positions.
+        Lets whole-block kernels mask windows that cross sequence bounds in
+        one vector op instead of a per-sequence loop.  Cached (the layout
+        never changes after construction)."""
+        cached = getattr(self, "_seq_bounds", None)
+        if cached is not None:
+            return cached
+        seq_end = np.zeros(len(self.letters), dtype=np.int64)
+        seq_len = np.zeros(len(self.letters), dtype=np.int64)
+        lens = self.lengths.astype(np.int64)
+        total = int(lens.sum())
+        if total:
+            grp = np.repeat(np.arange(len(self), dtype=np.int64), lens)
+            csum = np.zeros(len(self) + 1, dtype=np.int64)
+            np.cumsum(lens, out=csum[1:])
+            within = np.arange(total, dtype=np.int64) - csum[grp]
+            abs_pos = self.starts[grp] + within
+            seq_end[abs_pos] = self.starts[grp] + lens[grp]
+            seq_len[abs_pos] = lens[grp]
+        self._seq_bounds = (seq_end, seq_len)
+        return self._seq_bounds
+
     def length_sorted(self):
         """Copy with sequences ordered by (length desc, block id desc) —
         used by linearized stage-1 rounds so the kept seed occurrence

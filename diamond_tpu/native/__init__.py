@@ -101,6 +101,15 @@ def lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
         cdll.stage2_scores_many.restype = None
+        cdll.tantan_repeat_prob_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_void_p]
+        cdll.tantan_repeat_prob_many.restype = None
+        cdll.extract_seeds_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        cdll.extract_seeds_many.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -275,3 +284,42 @@ def stage2_scores_native(q_letters, s_letters, qp, sp, matrix32,
                          matrix32.ctypes.data, window, int(bool(clamp)),
                          out.ctypes.data)
     return out
+
+
+def tantan_repeat_prob_many(letters, starts, lens, ratios, p_repeat,
+                            p_repeat_end, repeat_growth):
+    """Batched native tantan over a concatenated block; returns a float32
+    array aligned with letters (zeros outside sequences) or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    letters = np.ascontiguousarray(letters, dtype=np.int8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    ratios = np.ascontiguousarray(ratios, dtype=np.float32)
+    out = np.zeros(len(letters), dtype=np.float32)
+    l.tantan_repeat_prob_many(
+        letters.ctypes.data, starts.ctypes.data, lens.ctypes.data,
+        len(starts), ratios.ctypes.data,
+        ctypes.c_float(p_repeat), ctypes.c_float(p_repeat_end),
+        ctypes.c_float(repeat_growth), out.ctypes.data)
+    return out
+
+
+def extract_seeds_native(reduced, n_windows: int, positions64, weight,
+                         base: int):
+    """Native whole-array spaced-seed extraction over the first n_windows
+    start positions; returns (keys uint64, valid bool) or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    keys = np.empty(n_windows, dtype=np.uint64)
+    valid = np.empty(n_windows, dtype=np.uint8)
+    l.extract_seeds_many(reduced.ctypes.data, n_windows,
+                         positions64.ctypes.data, int(weight), int(base),
+                         keys.ctypes.data, valid.ctypes.data)
+    return keys, valid.view(bool)

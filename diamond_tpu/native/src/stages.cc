@@ -59,3 +59,24 @@ extern "C" void stage2_scores_many(
         out[i] = (int32_t)best;
     }
 }
+
+// Whole-block spaced-seed extraction (native twin of
+// diamond_tpu/seed/shapes.py Shape.extract_seeds): one pass, no
+// temporaries.  keys/valid have n = L - shape_length + 1 entries; digit
+// semantics replicate the numpy np.where(w < base, w, 0) exactly
+// (signed digit, wrap on uint64 cast).
+extern "C" void extract_seeds_many(
+    const int8_t* reduced, int64_t n, const int64_t* positions,
+    int32_t weight, int64_t base, uint64_t* keys, uint8_t* valid) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t key = 0;  // mod-2^64 arithmetic == numpy int64 wrap + cast
+        uint8_t v = 1;
+        for (int32_t c = 0; c < weight; ++c) {
+            const int64_t w = reduced[i + positions[c]];
+            v &= (uint8_t)(w >= 0 && w < base);
+            key = key * (uint64_t)base + (uint64_t)(w < base ? w : 0);
+        }
+        keys[i] = key;
+        valid[i] = v;
+    }
+}

@@ -143,3 +143,15 @@ extern "C" void tantan_repeat_prob(const int8_t* letters, int64_t L,
     delete[] pb;
     delete[] scale;
 }
+
+// Batched scan over a concatenated block: one call for all sequences
+// (removes the per-sequence Python/ctypes round trip).  out is aligned
+// with the letters array; positions outside sequences are left untouched.
+extern "C" void tantan_repeat_prob_many(
+    const int8_t* letters, const int64_t* starts, const int64_t* lens,
+    int64_t n, const float* ratios, float p_repeat, float p_repeat_end,
+    float repeat_growth, float* out) {
+    for (int64_t i = 0; i < n; ++i)
+        tantan_repeat_prob(letters + starts[i], lens[i], ratios, p_repeat,
+                           p_repeat_end, repeat_growth, out + starts[i]);
+}

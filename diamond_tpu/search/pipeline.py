@@ -55,6 +55,18 @@ def mask_block(block: Block, masker: Tantan):
     block._tantan_masked = True
     if block.unmasked is None:
         block.save_unmasked()
+    from diamond_tpu import native
+
+    probs = native.tantan_repeat_prob_many(
+        block.letters, block.starts, block.lengths, masker.ratios,
+        float(masker.p_repeat), float(masker.p_repeat_end),
+        float(masker.repeat_growth))
+    if probs is not None:
+        # padding positions carry prob 0 < p_mask, so one vector op masks
+        # exactly the in-sequence repeat letters
+        np.copyto(block.letters, MASK_LETTER,
+                  where=probs >= masker.p_mask)
+        return
     for i in range(len(block)):
         s = int(block.starts[i])
         L = int(block.lengths[i])

@@ -45,22 +45,22 @@ def enumerate_seeds(block: Block, shape: Shape, reduction: Reduction,
     Positions whose sampled letters include MASK/STOP/soft-masked letters are
     skipped (reference enum_seeds.h:131-188, shape.h:114-150).
     """
-    keys_out = []
-    pos_out = []
     reduced_all = reduction(block.letters)
-    for i in range(len(block)):
-        L = int(block.lengths[i])
-        if L < shape.length or (min_len and L < min_len):
-            continue
-        start = int(block.starts[i])
-        reduced = reduced_all[start : start + L]
-        keys, valid = shape.extract_seeds(reduced, reduction.size)
-        idx = np.nonzero(valid)[0]
-        keys_out.append(keys[idx])
-        pos_out.append(start + idx.astype(np.int64))
-    if not keys_out:
+    keys, valid = shape.extract_seeds(reduced_all, reduction.size)
+    n = len(keys)
+    if n <= 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
-    return np.concatenate(keys_out), np.concatenate(pos_out)
+    # one pass over the whole concatenated block; windows must not cross a
+    # sequence end (a spaced shape can straddle the single delimiter byte
+    # when the delimiter lands on an unsampled position, so letter validity
+    # alone is not enough)
+    seq_end, seq_len = block.seq_bounds()
+    pos = np.arange(n, dtype=np.int64)
+    valid &= pos + shape.length <= seq_end[:n]
+    if min_len:
+        valid &= seq_len[:n] >= min_len
+    idx = np.nonzero(valid)[0]
+    return keys[idx], idx
 
 
 @dataclass
@@ -93,10 +93,28 @@ def seed_join(q_keys, q_pos, s_keys, s_pos) -> SeedJoin:
     so = np.argsort(s_keys, kind="stable")
     qk, qp = q_keys[qo], q_pos[qo]
     sk, sp = s_keys[so], s_pos[so]
-    # unique keys on each side
-    uq, q_first = np.unique(qk, return_index=True)
-    us, s_first = np.unique(sk, return_index=True)
-    common, qi, si = np.intersect1d(uq, us, return_indices=True)
+    # group boundaries on the sorted key arrays (the arrays are already
+    # sorted, so run boundaries beat np.unique, which would sort again)
+    def _firsts(k):
+        if len(k) == 0:
+            return np.zeros(0, dtype=np.int64)
+        f = np.empty(len(k), dtype=bool)
+        f[0] = True
+        np.not_equal(k[1:], k[:-1], out=f[1:])
+        return np.nonzero(f)[0]
+
+    q_first = _firsts(qk)
+    s_first = _firsts(sk)
+    uq = qk[q_first]
+    us = sk[s_first]
+    # intersect two sorted unique arrays via one searchsorted
+    ii = np.searchsorted(us, uq)
+    iic = np.minimum(ii, max(len(us) - 1, 0))
+    match = ((ii < len(us)) & (us[iic] == uq)) if len(us) else \
+        np.zeros(len(uq), dtype=bool)
+    qi = np.nonzero(match)[0]
+    si = ii[match]
+    common = uq[qi]
     q_counts = np.diff(np.append(q_first, len(qk)))[qi]
     s_counts = np.diff(np.append(s_first, len(sk)))[si]
 

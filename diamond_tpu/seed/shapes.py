@@ -46,6 +46,17 @@ class Shape:
         n = L - self.length + 1
         if n <= 0:
             return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+        if reduced.dtype == np.int8 and reduced.flags.c_contiguous:
+            from diamond_tpu import native
+
+            pos = getattr(self, "_pos64", None)
+            if pos is None:
+                pos = np.ascontiguousarray(self.positions, dtype=np.int64)
+                self._pos64 = pos
+            r = native.extract_seeds_native(reduced, n, pos, self.weight,
+                                            base)
+            if r is not None:
+                return r
         r = reduced.astype(np.int64)
         keys = np.zeros(n, dtype=np.int64)
         valid = np.ones(n, dtype=bool)

@@ -246,3 +246,51 @@ def test_stage_filters_bit_identical():
         assert (a == c).all()
     a, c = both(st.stage1_filter, b.letters, b.letters, qp, sp, 26)
     assert (a == c).all()
+
+
+def test_extract_seeds_bit_identical():
+    """Native whole-array seed extraction vs the numpy twin across shapes
+    and reductions."""
+    from diamond_tpu.seed.reduction import MURPHY10, NO_REDUCTION
+    from diamond_tpu.seed.shapes import Shape
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(17)
+    letters = rng.integers(0, 32, 5000).astype(np.int8)
+    for red in (MURPHY10, NO_REDUCTION):
+        reduced = red(letters)
+        for code in ("111101110111", "1101110101101111", "1111111",
+                     "110100100010111"):
+            shape = Shape(code)
+            a = shape.extract_seeds(reduced, red.size)
+            saved = native._lib
+            native._lib = None
+            try:
+                b = shape.extract_seeds(reduced, red.size)
+            finally:
+                native._lib = saved
+            assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+
+
+def test_tantan_batched_bit_identical(masker):
+    """Batched native tantan over a block vs per-sequence scans."""
+    from diamond_tpu.data.block import Block
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(19)
+    seqs = [rng.integers(0, 20, int(n)).astype(np.int8)
+            for n in (1, 17, 50, 200, 333)]
+    seqs.append(np.tile(np.arange(7, dtype=np.int8), 40))
+    b = Block.from_sequences(seqs, [str(i) for i in range(len(seqs))])
+    probs = native.tantan_repeat_prob_many(
+        b.letters, b.starts, b.lengths, masker.ratios,
+        float(masker.p_repeat), float(masker.p_repeat_end),
+        float(masker.repeat_growth))
+    for i in range(len(b)):
+        s = int(b.starts[i])
+        L = int(b.lengths[i])
+        single = masker.repeat_prob(b.letters[s : s + L])
+        assert probs[s : s + L].tobytes() == np.asarray(
+            single, dtype=np.float32).tobytes()
