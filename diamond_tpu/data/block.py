@@ -91,18 +91,17 @@ class Block:
         cached = getattr(self, "_seq_bounds", None)
         if cached is not None:
             return cached
+        # per-sequence slice fills: no multi-hundred-MB index temporaries
+        # (a np.repeat-based expansion thrashes under memory reclaim)
         seq_end = np.zeros(len(self.letters), dtype=np.int64)
         seq_len = np.zeros(len(self.letters), dtype=np.int64)
-        lens = self.lengths.astype(np.int64)
-        total = int(lens.sum())
-        if total:
-            grp = np.repeat(np.arange(len(self), dtype=np.int64), lens)
-            csum = np.zeros(len(self) + 1, dtype=np.int64)
-            np.cumsum(lens, out=csum[1:])
-            within = np.arange(total, dtype=np.int64) - csum[grp]
-            abs_pos = self.starts[grp] + within
-            seq_end[abs_pos] = self.starts[grp] + lens[grp]
-            seq_len[abs_pos] = lens[grp]
+        starts = self.starts
+        lens = self.lengths
+        for i in range(len(self)):
+            s = starts[i]
+            L = lens[i]
+            seq_end[s : s + L] = s + L
+            seq_len[s : s + L] = L
         self._seq_bounds = (seq_end, seq_len)
         return self._seq_bounds
 

@@ -79,3 +79,52 @@ def find_motif_ranges(letters: np.ndarray, max_motif_len: int = MAX_MOTIF_LEN_DE
     if total / L >= 0.5:
         return []
     return [(b, e) for b, e in ranges if e - b <= max_motif_len]
+
+
+_MOTIF_SHAPE = None
+
+
+def find_motif_starts_block(block) -> np.ndarray:
+    """Global start positions of motif 8-mer hits over a whole block in one
+    pass (same hit set as per-sequence find_motif_ranges before the
+    merge/length/50% rules, which remain per sequence)."""
+    global _MOTIF_SHAPE
+    from diamond_tpu.seed.shapes import Shape
+
+    if _MOTIF_SHAPE is None:
+        _MOTIF_SHAPE = Shape("1" * MOTIF_LEN)
+    letters = np.asarray(block.letters)
+    n = len(letters) - MOTIF_LEN + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    keys, valid = _MOTIF_SHAPE.extract_seeds(letters, TRUE_AA)
+    keys = keys.astype(np.int64)
+    table = motif_keys()
+    idx = np.searchsorted(table, keys)
+    np.minimum(idx, len(table) - 1, out=idx)
+    hit = valid & (table[idx] == keys)
+    seq_end, _ = block.seq_bounds()
+    pos = np.nonzero(hit)[0]
+    return pos[pos + MOTIF_LEN <= seq_end[pos]]
+
+
+def merge_motif_ranges(starts, L: int,
+                       max_motif_len: int = MAX_MOTIF_LEN_DEFAULT):
+    """Range merge + length/coverage rules for one sequence's LOCAL motif
+    start positions (identical to the tail of find_motif_ranges)."""
+    if len(starts) == 0:
+        return []
+    ranges = []
+    cur_b, cur_e = int(starts[0]), int(starts[0]) + MOTIF_LEN
+    for s in starts[1:]:
+        s = int(s)
+        if s <= cur_e:
+            cur_e = s + MOTIF_LEN
+        else:
+            ranges.append((cur_b, cur_e))
+            cur_b, cur_e = s, s + MOTIF_LEN
+    ranges.append((cur_b, cur_e))
+    total = sum(e - b for b, e in ranges)
+    if total / L >= 0.5:
+        return []
+    return [(b, e) for b, e in ranges if e - b <= max_motif_len]

@@ -76,12 +76,28 @@ def mask_block(block: Block, masker: Tantan):
 
 
 def motif_mask_ranges(block: Block):
-    """Global-position motif mask ranges per sequence."""
+    """Global-position motif mask ranges per sequence.
+
+    The 8-mer table scan runs once over the whole concatenated block
+    (masking/motifs.find_motif_starts_block); only the per-sequence range
+    merge walks the (few) hit positions in Python.  find_motif_ranges is
+    the per-sequence oracle."""
+    from diamond_tpu.masking.motifs import (find_motif_starts_block,
+                                            merge_motif_ranges)
+
+    starts = find_motif_starts_block(block)
     out = []
+    if len(starts) == 0:
+        return out
+    sidx, local = block.global_to_local(starts)
+    bounds = np.searchsorted(sidx, np.arange(len(block) + 1))
     for i in range(len(block)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if lo == hi:
+            continue
         s = int(block.starts[i])
-        L = int(block.lengths[i])
-        for b, e in find_motif_ranges(block.letters[s : s + L]):
+        for b, e in merge_motif_ranges(local[lo:hi],
+                                       int(block.lengths[i])):
             out.append((s + b, s + e))
     return out
 

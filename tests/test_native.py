@@ -294,3 +294,29 @@ def test_tantan_batched_bit_identical(masker):
         single = masker.repeat_prob(b.letters[s : s + L])
         assert probs[s : s + L].tobytes() == np.asarray(
             single, dtype=np.float32).tobytes()
+
+
+def test_motif_block_scan_matches_oracle():
+    """Whole-block motif range scan vs the per-sequence oracle."""
+    from diamond_tpu.constants.alphabet import encode
+    from diamond_tpu.data.block import Block
+    from diamond_tpu.masking.motifs import find_motif_ranges
+    from diamond_tpu.search.pipeline import motif_mask_ranges
+
+    seqs, ids = [], []
+    for h, s in list(read_fasta(f"{TD}/data.faa"))[:120]:
+        seqs.append(encode(s.decode().upper()))
+        ids.append(str(h))
+    rng = np.random.default_rng(2)
+    for n in rng.integers(5, 300, 100):
+        seqs.append(rng.integers(0, 26, int(n)).astype(np.int8))
+        ids.append("r")
+    b = Block.from_sequences(seqs, ids)
+    got = motif_mask_ranges(b)
+    want = []
+    for i in range(len(b)):
+        s = int(b.starts[i])
+        L = int(b.lengths[i])
+        for bb, ee in find_motif_ranges(b.letters[s : s + L]):
+            want.append((s + bb, s + ee))
+    assert got == want
