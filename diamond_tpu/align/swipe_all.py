@@ -14,11 +14,51 @@ from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
 from diamond_tpu.stats import cbs as cbs_mod
 
 
+_MESH = None
+
+
+def _mesh_for(cfg):
+    """Cached jax mesh for --mesh N sharded scoring (None when off)."""
+    global _MESH
+    if not getattr(cfg, "mesh_devices", 0):
+        return None
+    if _MESH is None or _MESH.devices.size != cfg.mesh_devices:
+        from diamond_tpu.parallel.sharded import make_mesh
+
+        _MESH = make_mesh(cfg.mesh_devices)
+    return _MESH
+
+
+def swipe_all_protein(qblock, tblock, cfg) -> dict:
+    """--swipe blastp: every query vs every DB sequence, no seeding
+    (reference align/full_db.cpp via extend.cpp:332-333)."""
+    from diamond_tpu.masking.tantan import Tantan
+    from diamond_tpu.search.pipeline import mask_block
+    from diamond_tpu.stats.cbs import hauser_correction
+
+    cfg.matrix.set_db_letters(cfg.db_letters or tblock.n_letters)
+    if cfg.masking == "tantan":
+        masker = Tantan(cfg.matrix.matrix32)
+        mask_block(tblock, masker)
+        if qblock is not tblock:
+            mask_block(qblock, masker)
+    m = cfg.matrix
+    results = {}
+    for qi in range(len(qblock)):
+        q = qblock.seq(qi)
+        _, i8 = hauser_correction(q, m.matrix32, m.background_scores)
+        matches = swipe_all_query([(0, q)], len(q), {0: i8}, tblock, cfg)
+        if matches:
+            results[qi] = matches
+    return results
+
+
 def swipe_all_query(contexts, source_len, biases, tblock, cfg) -> list:
     """contexts: list of (frame, letters) translated/protein query contexts.
     Returns culled Matches with traceback Hsps (frame-aware)."""
     mat = cfg.matrix
     n_targets = len(tblock)
+    mesh = _mesh_for(cfg)
 
     # first round: score-only full SW for all (frame, target)
     per_target: dict[int, list] = {}
@@ -36,8 +76,18 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg) -> list:
                 continue
             jobs.append((tgt, -(tlen - 1), qlen))
             metas.append(t)
-        res = banded_swipe_batch_np(q, bias, jobs, mat.matrix32,
-                                    mat.gap_open, mat.gap_extend)
+        if mesh is not None:
+            # device-sharded scoring round: DB shards over the mesh's 'db'
+            # axis, per-shard banded SW, all_gather merge — exact int32
+            # parity with the host path (parallel/sharded.py)
+            from diamond_tpu.parallel.sharded import sharded_full_scores
+
+            scores = sharded_full_scores(mesh, q, bias, tblock, mat.matrix32,
+                                         mat.gap_open, mat.gap_extend)
+            res = [(int(scores[t]), 0, 0) for t in metas]
+        else:
+            res = banded_swipe_batch_np(q, bias, jobs, mat.matrix32,
+                                        mat.gap_open, mat.gap_extend)
         for (score, mc, mr), t in zip(res, metas):
             tlen = int(tblock.lengths[t])
             ev = float(mat.evalue(score, qlen, tlen)) if score > 0 else float("inf")

@@ -76,6 +76,11 @@ def build_parser():
                                  "none", "global"])
         sp.add_argument("--query-cover", type=float, default=0.0)
         sp.add_argument("--subject-cover", type=float, default=0.0)
+        # --swipe: exhaustive full-matrix SW, no seeding (reference
+        # align/full_db.cpp); --mesh N runs its scoring round sharded over
+        # an N-device jax mesh (framework extension; 0 = single device)
+        sp.add_argument("--swipe", action="store_true")
+        sp.add_argument("--mesh", dest="mesh", type=int, default=0)
         sens = sp.add_mutually_exclusive_group()
         for flag, name in [("--faster", "faster"), ("--fast", "fast"),
                            ("--mid-sensitive", "mid-sensitive"),
@@ -303,13 +308,18 @@ def cmd_blastp(args):
         shape_mask=args.shape_mask,
         minimizer_window=args.minimizer_window,
         db_letters=db_letters,
+        mesh_devices=args.mesh,
     )
     seed_index = None
     if args.target_indexed:
         from diamond_tpu.data.seed_index import load_seed_index
 
         seed_index = load_seed_index(args.db + ".seed_idx", cfg)
-    if cfg.global_ranking:
+    if args.swipe:
+        from diamond_tpu.align.swipe_all import swipe_all_protein
+
+        results = swipe_all_protein(qb, tb, cfg)
+    elif cfg.global_ranking:
         results = _global_ranking_search(cfg, qb, tb)
     elif args.iterate is not None:
         from diamond_tpu.search.iterate import iterated_search, rounds_for
@@ -669,8 +679,13 @@ def cmd_blastx(args):
         query_range_culling=args.range_culling,
         query_range_cover=args.range_cover,
         db_letters=db_letters,
+        mesh_devices=args.mesh,
     )
-    if cfg.global_ranking:
+    if args.swipe:
+        from diamond_tpu.search.blastx import blastx_swipe_all
+
+        results = blastx_swipe_all(queries, tb, cfg)
+    elif cfg.global_ranking:
         cfg.translated = True
         results = _global_ranking_search(cfg, queries.block, tb,
                                          queries=queries)

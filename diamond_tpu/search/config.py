@@ -94,6 +94,8 @@ class SearchConfig:
     frame_shift: int = 0     # -F penalty; >0 selects the 3-frame pipeline
     db_letters: int = 0      # override for e-value stats (taxon filters set
                              # the reference's quirky len+1-per-seq count)
+    mesh_devices: int = 0    # --mesh N: shard full-matrix scoring over an
+                             # N-device jax mesh (framework extension)
     query_range_culling: bool = False  # --range-culling (requires -F)
     query_range_cover: float = 50.0    # --range-cover default (config.cpp:441)
     lin_stage1_target: bool = False  # linearized stage 1: one target

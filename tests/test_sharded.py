@@ -1,6 +1,9 @@
 """Device-mesh sharded scoring vs the numpy oracle (8 virtual CPU devices;
 see conftest.py XLA_FLAGS)."""
+import os
+
 import numpy as np
+import pytest
 
 from diamond_tpu.data.block import Block
 from diamond_tpu.data.fasta import read_fasta
@@ -29,3 +32,36 @@ def test_sharded_full_scores_match_oracle():
         q, None, jobs, m.matrix32, m.gap_open, m.gap_extend)]
     assert scores.shape[0] == len(ref)
     assert np.array_equal(scores, np.array(ref))
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
+                    reason="set RUN_EXTENDED_GOLDENS=1 (two jit-compiling "
+                           "CLI subprocesses, ~7 min)")
+def test_cli_swipe_mesh_byte_identical(tmp_path):
+    """blastp --swipe --mesh 8 through the CLI == single-device output."""
+    import os
+    import subprocess
+    import sys
+
+    TD = "/root/reference/src/test"
+    q = tmp_path / "q.faa"
+    db = tmp_path / "db.faa"
+    with open(f"{TD}/data.faa") as f:
+        lines = f.readlines()
+    q.write_text("".join(lines[:6]))
+    db.write_text("".join(lines[:60]))
+    outs = []
+    for mesh in (0, 8):
+        out = tmp_path / f"m{mesh}.out"
+        env = dict(os.environ)
+        if mesh:
+            env.update(XLA_FLAGS="--xla_force_host_platform_device_count=8",
+                       JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+        args = [sys.executable, "-m", "diamond_tpu.cli", "blastp",
+                "-q", str(q), "-d", str(db), "--swipe", "-o", str(out)]
+        if mesh:
+            args += ["--mesh", str(mesh)]
+        subprocess.run(args, check=True, cwd="/root/repo", env=env,
+                       capture_output=True)
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
