@@ -66,6 +66,42 @@ def run_benchmark():
     cells = 64.0 * tgt3.shape[0] * band_f
     rows.append(("full-matrix SWIPE (pallas)", cells, dt))
 
+    # host-native (C++) kernels, when the toolchain is available
+    from diamond_tpu import native
+
+    if native.lib() is not None:
+        from diamond_tpu.data.block import Block
+        from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
+        from diamond_tpu.search import stages
+
+        def _time_host(fn, n_iter=3):
+            fn()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_iter):
+                    fn()
+                best = min(best, (time.perf_counter() - t0) / n_iter)
+            return best
+
+        jobs_h = [(rng.integers(0, 20, T).astype(np.int8), -64, 64)
+                  for _ in range(64)]
+        dt = _time_host(lambda: banded_swipe_batch_np(
+            q, None, jobs_h, m.matrix32, m.gap_open, m.gap_extend))
+        rows.append(("banded SWIPE (C++ host)", 64.0 * T * 128, dt))
+
+        seqs = [rng.integers(0, 20, 300).astype(np.int8) for _ in range(64)]
+        blk = Block.from_sequences(seqs, [str(i) for i in range(64)])
+        N = 20000
+        qp = (blk.starts[rng.integers(0, 64, N)] + 50).astype(np.int64)
+        sp = (blk.starts[rng.integers(0, 64, N)] + 50).astype(np.int64)
+        dt = _time_host(lambda: stages.stage2_scores(
+            blk.letters, blk.letters, qp, sp, m.matrix32, 48, True))
+        rows.append(("ungapped window (C++ host)", N * 96.0, dt))
+        dt = _time_host(lambda: stages.stage1_filter(
+            blk.letters, blk.letters, qp, sp, 26))
+        rows.append(("fingerprint filter (C++ host)", N * 48.0, dt))
+
     print(f"{'kernel':<30} {'ps/cell':>10} {'GCUPS':>10}")
     for name, cells, dt in rows:
         ps = dt / cells * 1e12

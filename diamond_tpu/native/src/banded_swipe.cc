@@ -3,98 +3,104 @@
 // reference semantics from src/dp/swipe/banded_swipe.h:200-360,
 // cell_update.h:102-141).
 //
-// Computes the column DP exactly like the numpy oracle (int64 cells,
-// lazy vertical-gap chain, last-row-attaining column max, first column
-// strictly improving) and optionally emits the four trace-mask planes
+// Computes the column DP exactly like the numpy oracle (int32 cells —
+// every quantity is bounded well inside int32: scores are matrix+bias
+// sums, the NEG sentinel is -10^9, and the gap chain subtracts at most
+// band*ge — so int32 results equal the oracle's int64), with the lazy
+// vertical-gap chain, last-row-attaining column max, and first column
+// strictly improving.  Optionally emits the four trace-mask planes
 // (gapv/gaph/openv/openh as 0/1 bytes, [tlen, band] row-major) consumed
 // by the Python _traceback walk, which remains the traceback oracle.
-// On TPU the same DP runs as the Pallas kernel (ops/swipe_pallas.py);
-// this is the host path.
+// Row loops are segmented on [r_lo, r_hi) so the hot loops are
+// branch-free and auto-vectorize.  On TPU the same DP runs as the
+// Pallas kernel (ops/swipe_pallas.py); this is the host path.
 
 #include <cstdint>
 #include <cstring>
 #include <vector>
 
 namespace {
-constexpr int64_t NEGB = -1000000000LL;  // matches the oracle's -(10**9)
+constexpr int32_t NEGB = -1000000000;  // matches the oracle's -(10**9)
 
-inline int64_t max64(int64_t a, int64_t b) { return a > b ? a : b; }
+inline int32_t max32(int32_t a, int32_t b) { return a > b ? a : b; }
 
 void swipe_one(const int8_t* q_letters, int64_t qlen, const int32_t* bias,
                const int8_t* t_letters, int64_t tlen, int64_t d_begin,
-               int64_t band, const int32_t* matrix32, int64_t go, int64_t ge,
+               int64_t band, const int32_t* matrix32, int32_t go, int32_t ge,
                int64_t* out3, uint8_t* gapv, uint8_t* gaph, uint8_t* openv,
-               uint8_t* openh, std::vector<int64_t>& Hbuf,
-               std::vector<int64_t>& Ebuf, std::vector<int64_t>& c0buf,
-               std::vector<int64_t>& Fbuf, std::vector<int64_t>& gmbuf) {
+               uint8_t* openh, std::vector<int32_t>& Hbuf,
+               std::vector<int32_t>& Ebuf, std::vector<int32_t>& c0buf,
+               std::vector<int32_t>& Fbuf) {
     Hbuf.assign(band, 0);
     Ebuf.assign(band + 1, 0);
     c0buf.resize(band);
     Fbuf.resize(band);
-    gmbuf.resize(band);
-    int64_t* H = Hbuf.data();
-    int64_t* E = Ebuf.data();
-    int64_t* cur0 = c0buf.data();
-    int64_t* F = Fbuf.data();
-    int64_t* gm = gmbuf.data();
+    int32_t* H = Hbuf.data();
+    int32_t* E = Ebuf.data();
+    int32_t* cur = c0buf.data();
+    int32_t* F = Fbuf.data();
 
     int64_t best = 0, max_col = 0, max_row_band = 0;
 
     for (int64_t j = 0; j < tlen; ++j) {
         const int64_t i_lo = j + d_begin;
-        const int64_t r_lo = max64(0, -i_lo);
+        const int64_t r_lo = i_lo < 0 ? -i_lo : 0;
         const int64_t r_hi = band < qlen - i_lo ? band : qlen - i_lo;
         if (r_lo >= r_hi) {
-            std::memset(H, 0, band * sizeof(int64_t));
-            std::memset(E, 0, band * sizeof(int64_t));
+            std::memset(H, 0, band * sizeof(int32_t));
+            std::memset(E, 0, band * sizeof(int32_t));
             continue;
         }
-        const int32_t* mrow_base = matrix32;
         const int64_t tl = t_letters[j] & 31;
+        const int32_t* mcol = matrix32;  // row (q letter) * 32 + tl
 
-        // cur0 = max(H + score, E, 0), zeroed outside [r_lo, r_hi)
-        for (int64_t r = 0; r < band; ++r) {
-            int64_t v;
-            if (r >= r_lo && r < r_hi) {
-                const int64_t ql = q_letters[i_lo + r] & 31;
-                int64_t sc = mrow_base[ql * 32 + tl];
-                if (bias)
-                    sc += bias[i_lo + r];
-                v = H[r] + sc;
-                if (E[r] > v)
-                    v = E[r];
-                if (v < 0)
-                    v = 0;
-            } else {
-                v = 0;
+        // cur0 = max(H + score, E, 0) on [r_lo, r_hi), 0 outside
+        for (int64_t r = 0; r < r_lo; ++r)
+            cur[r] = 0;
+        const int8_t* qrow = q_letters + i_lo;
+        if (bias) {
+            const int32_t* brow = bias + i_lo;
+            for (int64_t r = r_lo; r < r_hi; ++r) {
+                const int32_t sc = mcol[(qrow[r] & 31) * 32 + tl] + brow[r];
+                int32_t v = H[r] + sc;
+                v = max32(v, E[r]);
+                cur[r] = max32(v, 0);
             }
-            cur0[r] = v;
+        } else {
+            for (int64_t r = r_lo; r < r_hi; ++r) {
+                const int32_t sc = mcol[(qrow[r] & 31) * 32 + tl];
+                int32_t v = H[r] + sc;
+                v = max32(v, E[r]);
+                cur[r] = max32(v, 0);
+            }
         }
+        for (int64_t r = r_hi; r < band; ++r)
+            cur[r] = 0;
+
         // lazy vertical-gap chain: g[r] = cur0[r] - go + r*ge, running max;
         // F[r] = max(gm[r-1] - (r-1)*ge, 0), zeroed through row r_lo
         {
-            int64_t run = NEGB;
-            for (int64_t r = 0; r < band; ++r) {
-                const int64_t g = cur0[r] - go + r * ge;
-                if (g > run)
-                    run = g;
-                gm[r] = run;
-            }
+            int32_t run = NEGB;
             F[0] = 0;
-            for (int64_t r = 1; r < band; ++r)
-                F[r] = max64(gm[r - 1] - (r - 1) * ge, 0);
-            for (int64_t r = 0; r <= r_lo && r < band; ++r)
+            for (int64_t r = 1; r < band; ++r) {
+                const int32_t g = cur[r - 1] - go + (int32_t)(r - 1) * ge;
+                run = max32(run, g);
+                F[r] = max32(run - (int32_t)(r - 1) * ge, 0);
+            }
+            for (int64_t r = 1; r <= r_lo && r < band; ++r)
                 F[r] = 0;
         }
-        // cur = max(cur0, F), zeroed outside the valid rows; column best is
-        // the LAST row attaining the max (VectorRowCounter)
-        int64_t cb = 0, cbr = r_lo;
-        for (int64_t r = 0; r < band; ++r) {
-            int64_t v = r >= r_lo && r < r_hi ? max64(cur0[r], F[r]) : 0;
-            cur0[r] = v;  // cur0 now holds cur
-            if (r >= r_lo && r < r_hi && v >= cb && v > 0) {
-                if (v > cb)
-                    cb = v;
+        // cur = max(cur0, F) on valid rows; column best = LAST row
+        // attaining the max (VectorRowCounter); F keeps its value on
+        // out-of-range rows (the numpy twin does not zero it there, and
+        // the gapv mask compares against it)
+        int32_t cb = 0;
+        int64_t cbr = r_lo;
+        for (int64_t r = r_lo; r < r_hi; ++r) {
+            const int32_t v = max32(cur[r], F[r]);
+            cur[r] = v;
+            if (v > 0 && v >= cb) {
+                cb = v;
                 cbr = r;
             }
         }
@@ -104,24 +110,34 @@ void swipe_one(const int8_t* q_letters, int64_t qlen, const int32_t* bias,
             max_row_band = cbr;
         }
         // E update + trace masks (gaph compares against the OLD E)
-        for (int64_t r = 0; r < band; ++r) {
-            const int64_t cu = cur0[r];
-            const int64_t opn = max64(cu - go, 0);
-            const int64_t e_next = max64(E[r] - ge, 0);
-            if (gapv) {
-                const int64_t base = j * band + r;
-                gapv[base] = cu == F[r];
-                gaph[base] = cu == E[r];
-                openv[base] = opn >= max64(F[r] - ge, 0);
-                openh[base] = opn >= e_next;
+        if (gapv) {
+            const int64_t base = j * band;
+            for (int64_t r = 0; r < band; ++r) {
+                const int32_t cu = cur[r];
+                const int32_t opn = max32(cu - go, 0);
+                const int32_t e_next = max32(E[r] - ge, 0);
+                gapv[base + r] = cu == F[r];
+                gaph[base + r] = cu == E[r];
+                openv[base + r] = opn >= max32(F[r] - ge, 0);
+                openh[base + r] = opn >= e_next;
+                int32_t en = max32(e_next, opn);
+                if (r < r_lo || r >= r_hi)
+                    en = 0;
+                F[r] = en;  // F reused as Enew scratch
             }
-            int64_t en = max64(e_next, opn);
-            if (r < r_lo || r >= r_hi)
-                en = 0;
-            F[r] = en;  // F reused as Enew scratch
+        } else {
+            for (int64_t r = 0; r < r_lo; ++r)
+                F[r] = 0;
+            for (int64_t r = r_lo; r < r_hi; ++r) {
+                const int32_t opn = max32(cur[r] - go, 0);
+                const int32_t e_next = max32(E[r] - ge, 0);
+                F[r] = max32(e_next, opn);
+            }
+            for (int64_t r = r_hi; r < band; ++r)
+                F[r] = 0;
         }
-        std::memcpy(H, cur0, band * sizeof(int64_t));
-        std::memcpy(E, F + 1, (band - 1) * sizeof(int64_t));
+        std::memcpy(H, cur, band * sizeof(int32_t));
+        std::memcpy(E, F + 1, (band - 1) * sizeof(int32_t));
         E[band - 1] = 0;
     }
     out3[0] = best;
@@ -142,7 +158,7 @@ extern "C" void banded_swipe_many(
     const int32_t* matrix32, int64_t go, int64_t ge, int64_t* out,
     const int64_t* mask_off, uint8_t* gapv, uint8_t* gaph, uint8_t* openv,
     uint8_t* openh) {
-    std::vector<int64_t> Hbuf, Ebuf, c0buf, Fbuf, gmbuf;
+    std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
     for (int64_t k = 0; k < njobs; ++k) {
         uint8_t *gv = nullptr, *gh = nullptr, *ov = nullptr, *oh = nullptr;
         if (mask_off) {
@@ -153,7 +169,7 @@ extern "C" void banded_swipe_many(
             oh = openh + off;
         }
         swipe_one(q_letters, qlen, bias, t_cat + t_off[k], t_len[k],
-                  d_begin[k], band[k], matrix32, go, ge, out + 3 * k, gv, gh,
-                  ov, oh, Hbuf, Ebuf, c0buf, Fbuf, gmbuf);
+                  d_begin[k], band[k], matrix32, (int32_t)go, (int32_t)ge,
+                  out + 3 * k, gv, gh, ov, oh, Hbuf, Ebuf, c0buf, Fbuf);
     }
 }
