@@ -127,6 +127,15 @@ def pad_pow2(x: int, lo: int = 16) -> int:
     return n
 
 
+def pad_band(x: int) -> int:
+    """Band padding: pow2 up to 1024 (few compile shapes), then multiples
+    of 1024 (a 4169-wide full-matrix band pads to 5120, not 8192 — pow2
+    doubling wastes VMEM and cells at that scale)."""
+    if x <= 1024:
+        return pad_pow2(x, 16)
+    return (x + 1023) // 1024 * 1024
+
+
 def prepare_uniform_batch(query, bias, matrix32, jobs):
     """Build device inputs for banded_swipe_uniform from per-target bands.
 

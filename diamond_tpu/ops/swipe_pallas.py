@@ -132,10 +132,10 @@ def banded_swipe_pallas(t_idx, band_mask, profile_pad, go: int, ge: int,
 def prepare_pallas_batch(query, bias, matrix32, jobs, tile_b: int = 256):
     """Pack jobs like swipe_jax.prepare_uniform_batch but with letter arrays
     (one-hot built in-kernel) and batch padded to tile_b."""
-    from diamond_tpu.ops.swipe_jax import make_profile, pad_pow2
+    from diamond_tpu.ops.swipe_jax import make_profile, pad_band, pad_pow2
 
     qlen = len(query)
-    band = pad_pow2(max(d1 - d0 for _, d0, d1 in jobs), 16)
+    band = pad_band(max(d1 - d0 for _, d0, d1 in jobs))
     C = max(0, -min(d0 for _, d0, _ in jobs))
     shifts = [d0 + C for _, d0, _ in jobs]
     T = pad_pow2(max(len(t) + s for (t, _, _), s in zip(jobs, shifts)), 16)

@@ -69,19 +69,60 @@ def sharded_full_scores(mesh: Mesh, query, bias, tblock, matrix32,
     extension first round (align/swipe_all.py): devices do the
     O(B*T*band) DP over their shard; the host applies the identical
     culling (sort + _output_range) on the gathered [B] score vector, so
-    results match the single-chip path exactly."""
-    from diamond_tpu.ops.swipe_jax import banded_swipe_uniform, prepare_uniform_batch
+    results match the single-chip path exactly.
 
+    On TPU devices the per-shard DP runs the Pallas kernel (~7x the XLA
+    one-hot twin); elsewhere (CPU test meshes) the XLA twin.  Both share
+    exact int32 semantics with the host oracle."""
     n_dev = mesh.devices.size
+    use_pallas = mesh.devices.flat[0].platform == "tpu"
     qlen = len(query)
     jobs = []
     for t in range(len(tblock)):
         tgt = tblock.seq(t)
         jobs.append((tgt, -(max(len(tgt), 1) - 1), qlen))
-    # pad the batch to a mesh multiple with empty jobs
+    # pad the batch to a mesh multiple with empty jobs (the pallas branch
+    # re-pads to its tile size below)
     B0 = len(jobs)
     while len(jobs) % n_dev:
         jobs.append((np.zeros(1, dtype=np.int8), 0, 1))
+
+    if use_pallas:
+        from diamond_tpu.ops.swipe_jax import pad_band
+        from diamond_tpu.ops.swipe_pallas import (banded_swipe_pallas,
+                                                  prepare_pallas_batch)
+
+        # keep the kernel's VMEM footprint (2 scratch [tile_b, band] int32
+        # planes + ~5 live [tile_b, band] column temporaries + the
+        # [T, tile_b] target block) inside the ~16 MB scoped budget
+        band_est = pad_band(max(d1 - d0 for _, d0, d1 in jobs))
+        tile_b = 256 if band_est <= 1024 else \
+            128 if band_est <= 2048 else 64
+        use_pallas = band_est <= 6144
+        pad_unit = n_dev * tile_b
+        while len(jobs) % pad_unit:
+            jobs.append((np.zeros(1, dtype=np.int8), 0, 1))
+        t_idx, bmask, ppad, band, _ = prepare_pallas_batch(
+            query, bias, matrix32, jobs, tile_b=tile_b)
+        t_idx = shard_batch_axis(mesh, t_idx, 1)
+        bmask = shard_batch_axis(mesh, bmask, 0)
+        ppad = replicate(mesh, ppad)
+
+        def per_shard(ti_s, mask_s):
+            best, _, _ = banded_swipe_pallas(ti_s, mask_s, ppad,
+                                             gap_open + gap_extend,
+                                             gap_extend, band,
+                                             tile_b=tile_b)
+            return jax.lax.all_gather(best, "db", tiled=True)
+
+        fn = jax.shard_map(per_shard, mesh=mesh,
+                           in_specs=(P(None, "db"), P("db", None)),
+                           out_specs=P(), check_vma=False)
+        scores = np.asarray(fn(t_idx, bmask))
+        return scores[:B0]
+
+    from diamond_tpu.ops.swipe_jax import banded_swipe_uniform, prepare_uniform_batch
+
     t1h, bmask, ppad, band, _ = prepare_uniform_batch(query, bias, matrix32,
                                                       jobs)
     t1h = shard_batch_axis(mesh, t1h, 1)
