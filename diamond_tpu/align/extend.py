@@ -257,6 +257,47 @@ def merged_bands(work: WorkTarget, qlen: int, tlen: int, base_band: int):
 
 
 
+@dataclass
+class DpRequest:
+    """A batch of banded-DP jobs yielded by the extension coroutine.
+
+    The coroutine protocol lets one driver serve many queries: the direct
+    driver (extend_query) executes each request on host immediately; the
+    wave driver (align/wave.py) pools score-only requests from a whole
+    wave of queries into one device mega-batch — the TPU-native form of
+    the reference's thread-parallel align_queries partition (reference
+    src/align/align.cpp:203-269)."""
+    q: np.ndarray
+    bias: np.ndarray | None
+    jobs: list            # [(target_letters, d_begin, d_end)]
+    job_meta: list        # [(tid, tlen)]
+    tgt_matrices: dict    # tid -> adjusted 32x32 matrix
+    traceback: bool
+
+
+def execute_dp_request(req: DpRequest, mat):
+    """Host execution of one DpRequest (the direct, single-query driver)."""
+    if req.traceback:
+        try:
+            return _run_dp_jobs(req.q, req.bias, req.jobs, req.job_meta,
+                                req.tgt_matrices, mat, True)
+        except RuntimeError:
+            return None  # rare spill-tie in shared-band masks; use oracle
+    return _run_dp_jobs(req.q, req.bias, req.jobs, req.job_meta,
+                        req.tgt_matrices, mat, False)
+
+
+def drive(gen, mat):
+    """Run an extension coroutine to completion on host."""
+    resp = None
+    while True:
+        try:
+            req = gen.send(resp)
+        except StopIteration as e:
+            return e.value
+        resp = execute_dp_request(req, mat)
+
+
 def _device_dp_min_batch() -> int:
     import os
 
@@ -318,6 +359,11 @@ def _run_dp_jobs(q, use_bias, jobs, job_meta, tgt_matrices, mat, traceback):
 def extend_query(query_id: int, query_hits, ctx) -> list:
     """Full per-query extension (reference extend.cpp:226-388,
     gapped_final.cpp:80-158).  ctx: PipelineContext."""
+    return drive(extend_query_gen(query_id, query_hits, ctx), ctx.cfg.matrix)
+
+
+def extend_query_gen(query_id: int, query_hits, ctx):
+    """Coroutine form of extend_query: yields DpRequest, receives results."""
     cfg = ctx.cfg
     qblock = ctx.query_block
     tblock = ctx.target_block
@@ -403,8 +449,8 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
                     job_meta.append((tids[t], tlen))
             v = []
             if jobs:
-                res = _run_dp_jobs(q, use_bias, jobs, job_meta, tgt_matrices,
-                                   mat, False)
+                res = yield DpRequest(q, use_bias, jobs, job_meta,
+                                      tgt_matrices, False)
                 scores = np.array([r[0] for r in res], dtype=np.int64)
                 tlens_v = np.array([mt[1] for mt in job_meta], dtype=np.int64)
                 evs = np.where(scores > 0,
@@ -468,10 +514,9 @@ def extend_query(query_id: int, query_hits, ctx) -> list:
         aligned = aligned[: _output_range(aligned, cfg)]
 
         # --- second round: traceback DP (reference gapped_final.cpp) ---
-        round_matches = _traceback_round(aligned, query_letters, q_start, qlen,
-                                         bias, tblock, ctx, all_matrices,
-                                         query_id=query_id,
-                                         band_hsps=band_hsps_all)
+        round_matches = yield from _traceback_round(
+            aligned, query_letters, q_start, qlen, bias, tblock, ctx,
+            all_matrices, query_id=query_id, band_hsps=band_hsps_all)
         matches.extend(round_matches)
 
         if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs
@@ -865,10 +910,7 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
         jobs.append((tblock.letters[t_start : t_start + tlen],
                      first_hsp.d_begin, first_hsp.d_end))
         job_meta.append((block_id, tlen))
-    try:
-        batch_res = _run_dp_jobs(q, use_bias, jobs, job_meta, matrices, mat, True)
-    except RuntimeError:
-        batch_res = None  # rare spill-tie in shared-band masks; use oracle
+    batch_res = yield DpRequest(q, use_bias, jobs, job_meta, matrices, True)
     for k, (block_id, first_hsp) in enumerate(aligned):
         tlen = int(tblock.lengths[block_id])
         if batch_res is not None:

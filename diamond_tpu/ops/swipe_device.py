@@ -1,0 +1,259 @@
+"""Cross-query batched banded-SWIPE scheduling for the TPU.
+
+The round-1 kernel (ops/swipe_pallas.py) batches the DP jobs of ONE query
+per call: the query profile is shared by every tile of the batch.  Real
+searches produce tens-to-hundreds of jobs per query — far too few to feed
+the chip — so this module generalizes the kernel with a *per-tile profile*:
+the grid gains one flat tile axis, every tile holds the jobs of a single
+query, and a stacked [G, T+band, 32] profile array gives each tile its own
+query profile.  One pallas_call then serves the banded DP of an entire
+wave of queries (the reference's per-thread `align_queries` partition,
+src/align/align.cpp:203-269, becomes a device mega-batch).
+
+Scheduling: jobs are grouped per query by padded band, then bucketed
+across queries by (padded target length, padded band) so one kernel
+compilation serves each bucket; results are scattered back to
+(request, job) order.  Scores are exact int32 (same math as the numpy
+oracle ops/banded_swipe.py; see tests/test_swipe_pallas.py and
+tests/test_device.py for parity).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diamond_tpu.ops.swipe_jax import make_profile, pad_band, pad_pow2
+
+NEG = -(2 ** 20)
+
+# Per-job cell cap for the device path: jobs above this (huge full-matrix
+# bands) fall back to the host C++ batch.  Bounded by VMEM: the H/E
+# scratch is 2 * tile_b * band * 4 bytes and t_idx is T * tile_b * 4.
+MAX_DEVICE_T = 8192
+MAX_DEVICE_BAND = 2048
+MAX_DEVICE_CELLS = 4 << 20
+
+
+def _prefix_max_shift(g, band):
+    """Inclusive prefix max along axis 1 via log-depth shifts."""
+    shift = 1
+    while shift < band:
+        rolled = pltpu.roll(g, shift, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        g = jnp.maximum(g, jnp.where(col >= shift, rolled, NEG))
+        shift *= 2
+    return g
+
+
+def _make_kernel(T: int, band: int, go: int, ge: int):
+    def kernel(t_idx_ref, band_mask_ref, profile_ref, best_ref, maxcol_ref,
+               maxrow_ref, H_scr, E_scr):
+        TB = H_scr.shape[0]
+        r_ge = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1) * ge
+        col = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1)
+        bmask = band_mask_ref[:] != 0
+        lane32 = jax.lax.broadcasted_iota(jnp.int32, (TB, 32), 1)
+
+        H_scr[:] = jnp.zeros((TB, band), jnp.int32)
+        E_scr[:] = jnp.zeros((TB, band), jnp.int32)
+
+        def col_step(j, carry):
+            best, maxcol, maxrow = carry
+            letters = t_idx_ref[j, :]                         # [TB]
+            # fp32 one-hot matmul: exact for |score| < 2^24 incl. the NEG
+            # sentinel (bf16 would truncate it)
+            onehot = (letters[:, None] == lane32).astype(jnp.float32)
+            prof = profile_ref[0, pl.ds(j, band), :]          # [band, 32]
+            scores = jax.lax.dot_general(
+                onehot, prof.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            scores = jnp.where(bmask, scores, NEG)
+            valid = scores > NEG // 2
+
+            H = H_scr[:]
+            E = E_scr[:]
+            cur0 = jnp.maximum(jnp.maximum(H + scores, E), 0)
+            g = cur0 - go + r_ge
+            gmax = _prefix_max_shift(g, band)
+            F = jnp.maximum(gmax - r_ge, 0)
+            # F used at row r comes from rows < r: shift right by one
+            Fs = pltpu.roll(F, 1, axis=1)
+            Fs = jnp.where(col >= 1, Fs, 0)
+            Hn = jnp.where(valid, jnp.maximum(cur0, Fs), 0)
+
+            col_best = jnp.max(Hn, axis=1)
+            eq = Hn == col_best[:, None]
+            col_row = jnp.max(jnp.where(eq, col, -1), axis=1)
+            upd = col_best > best
+            best = jnp.where(upd, col_best, best)
+            maxcol = jnp.where(upd, j, maxcol)
+            maxrow = jnp.where(upd, col_row, maxrow)
+
+            E_out = jnp.maximum(jnp.maximum(E - ge, Hn - go), 0)
+            E_next = pltpu.roll(E_out, band - 1, axis=1)  # left-shift by one
+            E_next = jnp.where(col < band - 1, E_next, 0)
+            H_scr[:] = Hn
+            E_scr[:] = E_next
+            return best, maxcol, maxrow
+
+        z = jnp.zeros((TB,), jnp.int32)
+        best, maxcol, maxrow = jax.lax.fori_loop(0, T, col_step, (z, z, z))
+        best_ref[:] = best.reshape(best_ref.shape)
+        maxcol_ref[:] = maxcol.reshape(maxcol_ref.shape)
+        maxrow_ref[:] = maxrow.reshape(maxrow_ref.shape)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("go", "ge", "band", "tile_b", "interpret"))
+def banded_swipe_pallas_multi(t_idx, band_mask, profiles, go: int, ge: int,
+                              band: int, tile_b: int = 128,
+                              interpret: bool = False):
+    """Multi-query banded SWIPE.
+
+    t_idx [T, G*tile_b] int32 shifted target letters (column-major);
+    band_mask [G*tile_b, band] int32; profiles [G, T + band, 32] int32 —
+    tile g's column j reads profile rows [j, j+band) of profiles[g].
+    Returns (best [B], max_col [B], max_rowband [B]), B = G*tile_b.
+    """
+    T, B = t_idx.shape
+    G = B // tile_b
+    assert B % tile_b == 0 and profiles.shape[0] == G
+    kernel = _make_kernel(T, band, go, ge)
+    out_shape = [jax.ShapeDtypeStruct((G * 8, tile_b // 8), jnp.int32)] * 3
+    out = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((T, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, band), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T + band, 32), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((8, tile_b // 8), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, band), jnp.int32),
+            pltpu.VMEM((tile_b, band), jnp.int32),
+        ],
+        interpret=interpret,
+    )(t_idx, band_mask, profiles)
+    return tuple(o.reshape(B) for o in out)
+
+
+def job_fits_device(tgt_len: int, d0: int, d1: int) -> bool:
+    band = pad_band(d1 - d0)
+    T = pad_pow2(tgt_len + max(0, -d0), 16)
+    return (T <= MAX_DEVICE_T and band <= MAX_DEVICE_BAND
+            and T * band <= MAX_DEVICE_CELLS)
+
+
+class _Group:
+    """The jobs of one request that share a padded band."""
+
+    __slots__ = ("req", "idx", "jobs", "C", "shifts", "band", "T")
+
+    def __init__(self, req: int, idx: list, jobs: list, band: int):
+        self.req = req
+        self.idx = idx          # positions in the request's job list
+        self.jobs = jobs
+        self.band = band
+        self.C = max(0, -min(d0 for _, d0, _ in jobs))
+        self.shifts = [d0 + self.C for _, d0, _ in jobs]
+        self.T = pad_pow2(max(len(t) + s
+                              for (t, _, _), s in zip(jobs, self.shifts)), 16)
+
+
+class DeviceDP:
+    """Cross-query score-only banded DP batcher.
+
+    run_many(requests) with requests = [(query, bias_or_None, jobs)], jobs =
+    [(target_letters, d_begin, d_end)], returns per-request lists of
+    (score, subject_pos, query_pos) exactly like the score-only output of
+    ops/banded_swipe.banded_swipe_batch_np.
+    """
+
+    def __init__(self, matrix32, gap_open: int, gap_extend: int,
+                 tile_b: int = 128, interpret: bool = False):
+        self.matrix32 = matrix32
+        self.go = gap_open + gap_extend
+        self.ge = gap_extend
+        self.tile_b = tile_b
+        self.interpret = interpret
+
+    def run_many(self, requests):
+        out = [[None] * len(jobs) for _, _, jobs in requests]
+        # per-call profile cache: one profile per request, reused by every
+        # tile of that request (ids are stable for the call's lifetime)
+        self._profiles = {}
+        # group jobs per request by padded band
+        groups: list[_Group] = []
+        for r, (_, _, jobs) in enumerate(requests):
+            by_band: dict[int, list] = {}
+            for k, (t, d0, d1) in enumerate(jobs):
+                by_band.setdefault(pad_band(d1 - d0), []).append(k)
+            for band, idx in by_band.items():
+                groups.append(_Group(r, idx, [jobs[k] for k in idx], band))
+        # bucket groups by kernel shape
+        buckets: dict[tuple, list[_Group]] = {}
+        for g in groups:
+            # share T across the bucket: quantized already by pad_pow2
+            buckets.setdefault((g.T, g.band), []).append(g)
+        for (T, band), grps in buckets.items():
+            self._run_bucket(T, band, grps, requests, out)
+        return out
+
+    def _run_bucket(self, T, band, grps, requests, out):
+        tile_b = self.tile_b
+        # tiles: (group, slice into group's job list)
+        tiles = []
+        for g in grps:
+            for lo in range(0, len(g.jobs), tile_b):
+                tiles.append((g, lo, min(lo + tile_b, len(g.jobs))))
+        G = len(tiles)
+        B = G * tile_b
+        t_idx = np.full((B, T), 31, dtype=np.int32)
+        band_mask = np.zeros((B, band), dtype=np.int32)
+        profiles = np.full((G, T + band, 32), NEG, dtype=np.int32)
+        for gnum, (g, lo, hi) in enumerate(tiles):
+            base = gnum * tile_b
+            for k in range(lo, hi):
+                t, d0, d1 = g.jobs[k]
+                s = g.shifts[k]
+                row = base + k - lo
+                t_idx[row, s : s + len(t)] = np.asarray(t, dtype=np.int32) & 31
+                band_mask[row, : d1 - d0] = 1
+            query, bias, _ = requests[g.req]
+            prof = self._profiles.get(g.req)
+            if prof is None:
+                prof = make_profile(query, bias, self.matrix32, len(query))
+                self._profiles[g.req] = prof
+            qlen = len(query)
+            lo_q = -g.C
+            i0 = max(0, lo_q)
+            i1 = min(qlen, lo_q + T + band)
+            if i1 > i0:
+                profiles[gnum, i0 - lo_q : i1 - lo_q] = prof[i0:i1]
+        best, mc, mr = banded_swipe_pallas_multi(
+            jnp.asarray(np.ascontiguousarray(t_idx.T)),
+            jnp.asarray(band_mask), jnp.asarray(profiles),
+            self.go, self.ge, band, tile_b, self.interpret)
+        best = np.asarray(best)
+        mc = np.asarray(mc)
+        mr = np.asarray(mr)
+        for gnum, (g, lo, hi) in enumerate(tiles):
+            base = gnum * tile_b
+            for k in range(lo, hi):
+                row = base + k - lo
+                j_true = int(mc[row]) - g.shifts[k]
+                i_true = int(mc[row]) - g.C + int(mr[row])
+                out[g.req][g.idx[k]] = (int(best[row]), j_true, i_true)

@@ -487,6 +487,17 @@ class Pipeline:
         for qid, sgpos, soff, score in hits:
             by_query.setdefault(qid, []).append((sgpos, soff, score))
         qids = sorted(by_query)
+        from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
+
+        if qids and device_dp_enabled():
+            # TPU-first: cross-query batched DP on the accelerator
+            from diamond_tpu.align.wave import extend_wave
+            from diamond_tpu.ops.swipe_device import DeviceDP
+
+            mat = self.cfg.matrix
+            device = DeviceDP(mat.matrix32, mat.gap_open, mat.gap_extend,
+                              interpret=dp_interpret())
+            return extend_wave(self.ctx, by_query, qids, device)
         if self.cfg.threads > 1 and len(qids) > 1 and _can_fork():
             return _extend_parallel(self.ctx, by_query, qids,
                                     self.cfg.threads)

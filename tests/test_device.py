@@ -1,0 +1,97 @@
+"""On-device parity: the pallas DP kernel and the wave driver against the
+numpy oracle and the committed goldens, ON REAL TPU HARDWARE when present.
+
+When no TPU is attached (CI on CPU), the hardware tests skip and a cheap
+interpret-mode scheduler test still runs, so the cross-query packing logic
+(ops/swipe_device.DeviceDP) is always covered.
+
+The contract being pinned: device scores are exact int32 — a default TPU
+run is byte-identical to the host path (the reference's determinism
+contract, reference src/test/test.cmake:1-12).
+"""
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
+from diamond_tpu.ops.swipe_device import DeviceDP
+from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+TD = "/root/reference/src/test"
+
+
+def _tpu_device():
+    try:
+        for d in jax.devices():
+            if d.platform not in ("cpu", "gpu"):
+                return d  # tpu or a tpu plugin platform (e.g. axon)
+    except Exception:
+        return None
+    return None
+
+
+def _random_requests(seed=11, n_queries=6, max_jobs=60):
+    m = ScoreMatrix("BLOSUM62")
+    rng = np.random.default_rng(seed)
+    reqs = []
+    for r in range(n_queries):
+        qlen = int(rng.integers(15, 400))
+        q = rng.integers(0, 20, qlen).astype(np.int8)
+        bias = (rng.integers(-4, 5, qlen).astype(np.int32)
+                if r % 2 else None)
+        jobs = []
+        for _ in range(int(rng.integers(1, max_jobs))):
+            tl = int(rng.integers(8, 500))
+            t = rng.integers(0, 20, tl).astype(np.int8)
+            k = max(min(qlen - 1, tl - 2, 20), 0)
+            t[2 : 2 + k] = q[1 : 1 + k]
+            d0 = int(rng.integers(-tl + 1, max(-tl + 2, qlen - 5)))
+            d1 = min(d0 + int(rng.integers(4, 150)), qlen)
+            if d1 <= d0:
+                d1 = d0 + 1
+            jobs.append((t, d0, d1))
+        reqs.append((q, bias, jobs))
+    return m, reqs
+
+
+def _check(m, reqs, out):
+    for (q, bias, jobs), res in zip(reqs, out):
+        ref = banded_swipe_batch_np(q, bias, jobs, m.matrix32, m.gap_open,
+                                    m.gap_extend)
+        for k, (a, b) in enumerate(zip(res, ref)):
+            assert a == b, (k, a, b)
+
+
+def test_device_scheduler_interpret():
+    """Cross-query packing vs oracle (interpret mode; always runs)."""
+    m, reqs = _random_requests(seed=3, n_queries=4, max_jobs=20)
+    dev = DeviceDP(m.matrix32, m.gap_open, m.gap_extend, tile_b=8,
+                   interpret=True)
+    _check(m, reqs, dev.run_many(reqs))
+
+
+@pytest.mark.skipif(_tpu_device() is None, reason="no TPU attached")
+def test_device_kernel_vs_oracle_on_tpu():
+    """Pallas kernel on the real chip: irregular bands/lengths vs oracle."""
+    m, reqs = _random_requests(seed=11, n_queries=8, max_jobs=80)
+    dev = DeviceDP(m.matrix32, m.gap_open, m.gap_extend)
+    _check(m, reqs, dev.run_many(reqs))
+
+
+@pytest.mark.skipif(_tpu_device() is None, reason="no TPU attached")
+@pytest.mark.slow
+def test_device_golden_blastp_on_tpu():
+    """Full blastp golden with the wave driver on the real chip:
+    byte-identical to the committed reference expectation."""
+    from diamond_tpu.align.wave import extend_wave  # noqa: F401
+    from tests.test_golden_e2e import golden, run_blastp
+
+    os.environ["DIAMOND_TPU_DEVICE_DP"] = "1"
+    try:
+        lines = run_blastp(f"{TD}/data.faa", f"{TD}/data.faa")
+    finally:
+        os.environ.pop("DIAMOND_TPU_DEVICE_DP", None)
+    assert lines == golden("diamond-test-blastp-default.out")
