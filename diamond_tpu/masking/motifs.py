@@ -97,6 +97,13 @@ def find_motif_starts_block(block) -> np.ndarray:
     n = len(letters) - MOTIF_LEN + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
+    if letters.dtype == np.int8 and letters.flags.c_contiguous:
+        from diamond_tpu import native
+
+        r = native.motif_scan_native(letters, block.starts, block.lengths,
+                                     motif_keys(), TRUE_AA)
+        if r is not None:
+            return r
     keys, valid = _MOTIF_SHAPE.extract_seeds(letters, TRUE_AA)
     keys = keys.astype(np.int64)
     table = motif_keys()

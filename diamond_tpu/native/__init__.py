@@ -112,6 +112,21 @@ def lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
         cdll.extract_seeds_many.restype = None
+        cdll.clip_window_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        cdll.clip_window_many.restype = None
+        cdll.enumerate_seeds_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.enumerate_seeds_block.restype = ctypes.c_int64
+        cdll.motif_scan_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
+        cdll.motif_scan_block.restype = ctypes.c_int64
         _lib = cdll
     except Exception:
         _lib = None
@@ -308,6 +323,68 @@ def tantan_repeat_prob_many(letters, starts, lens, ratios, p_repeat,
         ctypes.c_float(p_repeat), ctypes.c_float(p_repeat_end),
         ctypes.c_float(repeat_growth), out.ctypes.data)
     return out
+
+
+def clip_window_native(letters, pos, window: int):
+    """Native per-position delimiter window clip; returns (left, right)
+    int64 arrays or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    n = len(pos)
+    out_l = np.empty(n, dtype=np.int64)
+    out_r = np.empty(n, dtype=np.int64)
+    l.clip_window_many(letters.ctypes.data, pos.ctypes.data, n, window,
+                       out_l.ctypes.data, out_r.ctypes.data)
+    return out_l, out_r
+
+
+def enumerate_seeds_native(reduced, starts, lengths, positions64, weight,
+                           shape_length: int, base: int, min_len: int):
+    """Native compacted seed enumeration; returns (keys, positions) or
+    None.  Walks sequences directly (no per-window temporaries)."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    # two passes: count, then fill an exact-size buffer (large over-
+    # allocation + copy would churn the host's proactive memory reclaim)
+    m = l.enumerate_seeds_block(
+        reduced.ctypes.data, starts.ctypes.data, lengths.ctypes.data,
+        len(starts), positions64.ctypes.data, int(weight),
+        int(shape_length), int(base), int(min_len), None, None)
+    keys = np.empty(m, dtype=np.uint64)
+    pos = np.empty(m, dtype=np.int64)
+    l.enumerate_seeds_block(
+        reduced.ctypes.data, starts.ctypes.data, lengths.ctypes.data,
+        len(starts), positions64.ctypes.data, int(weight),
+        int(shape_length), int(base), int(min_len),
+        keys.ctypes.data, pos.ctypes.data)
+    return keys, pos
+
+
+def motif_scan_native(letters, starts, lengths, table64, true_aa: int):
+    """Native 8-mer motif table scan; returns global hit start positions
+    (int64) or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    out = np.empty(len(letters), dtype=np.int64)
+    m = l.motif_scan_block(
+        letters.ctypes.data, starts.ctypes.data, lengths.ctypes.data,
+        len(starts), table64.ctypes.data, len(table64), int(true_aa),
+        out.ctypes.data)
+    return out[:m].copy()
 
 
 def extract_seeds_native(reduced, n_windows: int, positions64, weight,

@@ -60,6 +60,101 @@ extern "C" void stage2_scores_many(
     }
 }
 
+// Per-position delimiter window clip (native twin of
+// diamond_tpu/search/stages.py clip_window; reference Util::Seq::clip,
+// sequence.h:30-40): window [pos-left, pos+right) contains no delimiter.
+extern "C" void clip_window_many(
+    const int8_t* letters, const int64_t* pos, int64_t n, int64_t window,
+    int64_t* out_left, int64_t* out_right) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int8_t* p = letters + pos[i];
+        int64_t left = 0;
+        while (left < window && p[-left - 1] != DELIMITER)
+            ++left;
+        int64_t right = 0;
+        while (right < window && p[right] != DELIMITER)
+            ++right;
+        out_left[i] = left;
+        out_right[i] = right;
+    }
+}
+
+// Compacted per-block seed enumeration (native twin of
+// diamond_tpu/search/stages.py enumerate_seeds; reference
+// enum_seeds.h:131-188): loops sequences directly so no per-window
+// temporaries exist.  Returns the number of valid seeds written.
+// When out_keys is null, only counts (the caller then allocates exactly).
+extern "C" int64_t enumerate_seeds_block(
+    const int8_t* reduced, const int64_t* starts, const int64_t* lengths,
+    int64_t nseqs, const int64_t* positions, int32_t weight,
+    int64_t shape_length, int64_t base, int64_t min_len,
+    uint64_t* out_keys, int64_t* out_pos) {
+    int64_t m = 0;
+    for (int64_t s = 0; s < nseqs; ++s) {
+        const int64_t L = lengths[s];
+        if (L < shape_length || (min_len && L < min_len))
+            continue;
+        const int64_t st = starts[s];
+        const int64_t end = st + L - shape_length;
+        for (int64_t p = st; p <= end; ++p) {
+            uint64_t key = 0;
+            bool v = true;
+            for (int32_t c = 0; c < weight; ++c) {
+                const int64_t w = reduced[p + positions[c]];
+                v &= (w >= 0 && w < base);
+                key = key * (uint64_t)base + (uint64_t)(w < base ? w : 0);
+            }
+            if (v) {
+                if (out_keys) {
+                    out_keys[m] = key;
+                    out_pos[m] = p;
+                }
+                ++m;
+            }
+        }
+    }
+    return m;
+}
+
+// 8-mer motif scan: for each window of 8 true-AA letters, binary-search
+// the sorted motif key table; writes global start positions of hits
+// (native twin of masking/motifs.find_motif_starts_block).
+extern "C" int64_t motif_scan_block(
+    const int8_t* letters, const int64_t* starts, const int64_t* lengths,
+    int64_t nseqs, const int64_t* table, int64_t table_n, int64_t true_aa,
+    int64_t* out_pos) {
+    int64_t m = 0;
+    for (int64_t s = 0; s < nseqs; ++s) {
+        const int64_t L = lengths[s];
+        if (L < 8)
+            continue;
+        const int64_t st = starts[s];
+        const int64_t end = st + L - 8;
+        for (int64_t p = st; p <= end; ++p) {
+            int64_t key = 0;
+            bool v = true;
+            for (int c = 0; c < 8; ++c) {
+                const int64_t w = letters[p + c];
+                v &= (w >= 0 && w < true_aa);
+                key = key * true_aa + (w >= 0 && w < true_aa ? w : 0);
+            }
+            if (!v)
+                continue;
+            int64_t lo = 0, hi = table_n;
+            while (lo < hi) {
+                const int64_t mid = (lo + hi) / 2;
+                if (table[mid] < key)
+                    lo = mid + 1;
+                else
+                    hi = mid;
+            }
+            if (lo < table_n && table[lo] == key)
+                out_pos[m++] = p;
+        }
+    }
+    return m;
+}
+
 // Whole-block spaced-seed extraction (native twin of
 // diamond_tpu/seed/shapes.py Shape.extract_seeds): one pass, no
 // temporaries.  keys/valid have n = L - shape_length + 1 entries; digit

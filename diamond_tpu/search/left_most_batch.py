@@ -67,6 +67,9 @@ def _pack_bits(bools: np.ndarray) -> np.ndarray:
     return (bools.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
 
 
+CHUNK = 16384
+
+
 def left_most_filter_batch(
     q_letters, s_letters, q_seed_mask, reduction,
     qp, sp, seed_offsets, window_lefts, window_rights,
@@ -79,8 +82,22 @@ def left_most_filter_batch(
     qp/sp: [N] global seed positions.  window_lefts/rights: delimiter-clipped
     query window extents around the seed (from stage 2).  seed_offsets: local
     query offsets of the seeds.
-    """
+
+    Processed in fixed-size chunks: the per-hit [N, 49] window temporaries
+    stay a few MB so the host's proactive memory reclaim never stalls the
+    scan (identical results; the chunks are independent)."""
     N = len(qp)
+    if N > CHUNK:
+        out = np.empty(N, dtype=bool)
+        for lo in range(0, N, CHUNK):
+            hi = min(lo + CHUNK, N)
+            out[lo:hi] = left_most_filter_batch(
+                q_letters, s_letters, q_seed_mask, reduction,
+                qp[lo:hi], sp[lo:hi], seed_offsets[lo:hi],
+                window_lefts[lo:hi], window_rights[lo:hi],
+                shape, sid, chunked, current_matcher, previous_matcher,
+                part_lo, part_hi, seedp_mask, hamming_filter_id)
+        return out
     if N == 0:
         return np.zeros(0, dtype=bool)
     qp = qp.astype(np.int64)

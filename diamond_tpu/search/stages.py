@@ -46,6 +46,18 @@ def enumerate_seeds(block: Block, shape: Shape, reduction: Reduction,
     skipped (reference enum_seeds.h:131-188, shape.h:114-150).
     """
     reduced_all = reduction(block.letters)
+    if reduced_all.dtype == np.int8 and reduced_all.flags.c_contiguous:
+        from diamond_tpu import native
+
+        pos64 = getattr(shape, "_pos64", None)
+        if pos64 is None:
+            pos64 = np.ascontiguousarray(shape.positions, dtype=np.int64)
+            shape._pos64 = pos64
+        r = native.enumerate_seeds_native(
+            reduced_all, block.starts, block.lengths, pos64, shape.weight,
+            shape.length, reduction.size, min_len)
+        if r is not None:
+            return r
     keys, valid = shape.extract_seeds(reduced_all, reduction.size)
     n = len(keys)
     if n <= 0:
@@ -220,6 +232,12 @@ def clip_window(letters: np.ndarray, pos: np.ndarray, window: int):
     contains no delimiter."""
     from diamond_tpu.constants.alphabet import DELIMITER_LETTER
 
+    if letters.dtype == np.int8 and letters.flags.c_contiguous:
+        from diamond_tpu import native
+
+        r = native.clip_window_native(letters, pos, window)
+        if r is not None:
+            return r
     offs = np.arange(-window, window, dtype=np.int64)
     win = letters[pos[:, None] + offs[None, :]]
     delim = win == DELIMITER_LETTER
