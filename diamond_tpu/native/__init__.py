@@ -127,6 +127,18 @@ def lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p]
         cdll.motif_scan_block.restype = ctypes.c_int64
+        cdll.left_most_filter_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_int32, ctypes.c_void_p]
+        cdll.left_most_filter_many.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -323,6 +335,56 @@ def tantan_repeat_prob_many(letters, starts, lens, ratios, p_repeat,
         ctypes.c_float(p_repeat), ctypes.c_float(p_repeat_end),
         ctypes.c_float(repeat_growth), out.ctypes.data)
     return out
+
+
+def left_most_filter_native(q_letters, s_letters, q_seed_mask, reduction,
+                            qp, sp, seed_offsets, window_lefts,
+                            window_rights, shape, first_shape: bool,
+                            chunked: bool, current_matcher, previous_matcher,
+                            part_lo, part_hi, seedp_mask,
+                            hamming_filter_id) -> "np.ndarray | None":
+    """Full native left-most filter; returns [N] bool keeps or None.
+
+    current/previous_matcher: BatchPatternMatcher instances (table/
+    suffix_mask/min_len/empty are read directly)."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    n = len(qp)
+    out = np.empty(n, dtype=np.uint8)
+    pos64 = getattr(shape, "_pos64", None)
+    if pos64 is None:
+        pos64 = np.ascontiguousarray(shape.positions, dtype=np.int64)
+        shape._pos64 = pos64
+    qp = np.ascontiguousarray(qp, dtype=np.int64)
+    sp = np.ascontiguousarray(sp, dtype=np.int64)
+    seed_offsets = np.ascontiguousarray(seed_offsets, dtype=np.int64)
+    window_lefts = np.ascontiguousarray(window_lefts, dtype=np.int64)
+    window_rights = np.ascontiguousarray(window_rights, dtype=np.int64)
+
+    def m_args(m):
+        if m.empty:
+            return None, 0, 0, 1
+        return m.table.ctypes.data, int(m.suffix_mask), int(m.min_len), 0
+
+    ct, csm, cml, cem = m_args(current_matcher)
+    pt, psm, pml, pem = m_args(previous_matcher)
+    l.left_most_filter_many(
+        q_letters.ctypes.data, s_letters.ctypes.data,
+        q_seed_mask.ctypes.data,
+        reduction.map.ctypes.data, int(reduction.size),
+        qp.ctypes.data, sp.ctypes.data, seed_offsets.ctypes.data,
+        window_lefts.ctypes.data, window_rights.ctypes.data, n,
+        ctypes.c_uint64(shape.mask), pos64.ctypes.data, int(shape.weight),
+        int(shape.length),
+        int(bool(first_shape)), int(bool(chunked)),
+        ct, ctypes.c_uint64(csm), cml, cem,
+        pt, ctypes.c_uint64(psm), pml, pem,
+        int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
+        int(hamming_filter_id), out.ctypes.data)
+    return out.view(bool)
 
 
 def clip_window_native(letters, pos, window: int):

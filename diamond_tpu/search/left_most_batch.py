@@ -83,10 +83,22 @@ def left_most_filter_batch(
     query window extents around the seed (from stage 2).  seed_offsets: local
     query offsets of the seeds.
 
-    Processed in fixed-size chunks: the per-hit [N, 49] window temporaries
-    stay a few MB so the host's proactive memory reclaim never stalls the
-    scan (identical results; the chunks are independent)."""
+    Runs through the native C++ single pass when available
+    (native/src/leftmost.cc left_most_filter_many); the numpy body below
+    is the bit-identical fallback and test oracle, processed in fixed-size
+    chunks so its [N, 49] window temporaries stay a few MB (the host's
+    proactive memory reclaim stalls large allocations)."""
     N = len(qp)
+    if N:
+        from diamond_tpu import native
+
+        r = native.left_most_filter_native(
+            q_letters, s_letters, q_seed_mask, reduction, qp, sp,
+            seed_offsets, window_lefts, window_rights, shape, sid == 0,
+            chunked, current_matcher, previous_matcher, part_lo, part_hi,
+            seedp_mask, hamming_filter_id)
+        if r is not None:
+            return r
     if N > CHUNK:
         out = np.empty(N, dtype=bool)
         for lo in range(0, N, CHUNK):

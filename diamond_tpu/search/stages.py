@@ -301,8 +301,12 @@ class CutoffTable:
             self.data[b] = score_matrix.rawscore(bitscore)
 
     def __call__(self, query_len) -> np.ndarray:
-        # 32 - clz(len) == bit_length(len)
-        bl = np.vectorize(lambda x: int(x).bit_length())(np.asarray(query_len))
+        # 32 - clz(len) == bit_length(len), vectorized via log2 on the
+        # exact integer (query lengths are < 2^31, exactly representable)
+        q = np.asarray(query_len, dtype=np.int64)
+        bl = np.where(q > 0,
+                      np.floor(np.log2(np.maximum(q, 1))).astype(np.int64) + 1,
+                      0)
         return self.data[bl]
 
 
