@@ -139,6 +139,18 @@ def lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_int32, ctypes.c_void_p]
         cdll.left_most_filter_many.restype = None
+        cdll.sort_kv_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        cdll.sort_kv_u64.restype = None
+        cdll.banded_swipe_tb_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        cdll.banded_swipe_tb_many.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -283,6 +295,37 @@ def banded_swipe_many_native(q_letters, bias32, t_cat, t_off, t_len,
     return out
 
 
+def banded_swipe_tb_native(q_letters, bias32, t_cat, t_off, t_len,
+                           d_begins, bands, matrix32, go: int, ge: int):
+    """Batched banded SWIPE with in-C++ traceback walk; returns
+    (out [njobs,3], stats [njobs,12], op_off, op_codes, op_payload) or
+    None.  stats[:,11] == 0 flags a walk failure for that job."""
+    import numpy as np
+
+    l = lib()
+    if l is None or not hasattr(l, "banded_swipe_tb_many"):
+        return None
+    njobs = len(t_off)
+    qlen = len(q_letters)
+    caps = t_len + qlen + 2
+    op_off = np.zeros(njobs + 1, dtype=np.int64)
+    np.cumsum(caps, out=op_off[1:])
+    total = int(op_off[-1])
+    op_codes = np.empty(total, dtype=np.int8)
+    op_payload = np.empty(total, dtype=np.int32)
+    out = np.empty((njobs, 3), dtype=np.int64)
+    stats = np.empty((njobs, 12), dtype=np.int64)
+    bias_p = bias32.ctypes.data if bias32 is not None else None
+    l.banded_swipe_tb_many(
+        q_letters.ctypes.data, qlen, bias_p,
+        t_cat.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+        d_begins.ctypes.data, bands.ctypes.data, njobs,
+        matrix32.ctypes.data, go, ge, out.ctypes.data,
+        op_off.ctypes.data, op_codes.ctypes.data, op_payload.ctypes.data,
+        stats.ctypes.data)
+    return out, stats, op_off, op_codes, op_payload
+
+
 def stage1_filter_native(q_letters, s_letters, qp, sp, hamming_id: int):
     """Native fingerprint identity filter; returns [N] bool or None."""
     import numpy as np
@@ -385,6 +428,27 @@ def left_most_filter_native(q_letters, s_letters, q_seed_mask, reduction,
         int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
         int(hamming_filter_id), out.ctypes.data)
     return out.view(bool)
+
+
+def sort_kv_native(keys, vals):
+    """Stable radix sort of (uint64 key, int64 value) pairs; returns the
+    sorted (keys, vals) copies or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    n = len(keys)
+    k = np.ascontiguousarray(keys, dtype=np.uint64).copy()
+    v = np.ascontiguousarray(vals, dtype=np.int64).copy()
+    if n == 0:
+        return k, v
+    tmp_k = np.empty(n, dtype=np.uint64)
+    tmp_v = np.empty(n, dtype=np.int64)
+    kb = max((int(k.max()).bit_length() + 7) // 8, 1)
+    l.sort_kv_u64(k.ctypes.data, v.ctypes.data, n,
+                  tmp_k.ctypes.data, tmp_v.ctypes.data, kb)
+    return k, v
 
 
 def clip_window_native(letters, pos, window: int):

@@ -144,7 +144,147 @@ void swipe_one(const int8_t* q_letters, int64_t qlen, const int32_t* bias,
     out3[1] = max_col;
     out3[2] = max_row_band;
 }
+// Trace-mask walk (native twin of ops/banded_swipe.py _traceback): from
+// the best cell, follow vertical gap > horizontal gap > diagonal at
+// equal scores; a gap run ends at the first set open bit.  Ops are
+// emitted in walk order (reversed alignment); op codes 0=M, 1=S(letter),
+// 2=D(letter), 3=I(run length).  Returns 1 on success, 0 when the summed
+// score misses the end score (rare shared-band spill ties; caller falls
+// back to the per-job oracle).
+int walk_one(const int8_t* query, const int32_t* bias, const int8_t* target,
+             int64_t d_begin, int64_t band, const int32_t* matrix32,
+             int32_t go, int32_t ge, int64_t best, int64_t max_col,
+             int64_t max_row, const uint8_t* gapv, const uint8_t* gaph,
+             const uint8_t* openv, const uint8_t* openh,
+             int8_t* op_codes, int32_t* op_payload, int64_t* stats) {
+    int64_t i = max_row, j = max_col;
+    int64_t score = 0;
+    int64_t n_ops = 0;
+    int64_t identities = 0, mismatches = 0, positives = 0;
+    int64_t gap_openings = 0, gaps = 0, length = 0;
+    const int64_t q_end = i + 1, s_end = j + 1;
+    while (i >= 0 && j >= 0 && score < best) {
+        const int64_t r = i - j - d_begin;
+        if (r < 0 || r >= band)
+            return 0;
+        const int64_t base = j * band;
+        if (gapv[base + r]) {
+            int64_t l = 0;
+            for (;;) {
+                ++l;
+                --i;
+                const int64_t rr = i - j - d_begin;
+                if (rr < 0 || (rr < band && openv[base + rr]) || i <= 0)
+                    break;
+            }
+            op_codes[n_ops] = 3;
+            op_payload[n_ops++] = (int32_t)l;
+            ++gap_openings;
+            gaps += l;
+            length += l;
+            score -= go + (l - 1) * ge;
+        } else if (gaph[base + r]) {
+            int64_t l = 0;
+            for (;;) {
+                ++l;
+                --j;
+                const int64_t rr = i - j - d_begin;
+                if (rr >= band || (rr >= 0 && openh[j * band + rr]) || j <= 0)
+                    break;
+            }
+            for (int64_t k = 0; k < l; ++k) {
+                op_codes[n_ops] = 2;
+                op_payload[n_ops++] = (int32_t)(target[j + l - k] & 31);
+            }
+            ++gap_openings;
+            gaps += l;
+            length += l;
+            score -= go + (l - 1) * ge;
+        } else {
+            const int ql = query[i] & 31;
+            const int tl = target[j] & 31;
+            const int32_t m = matrix32[ql * 32 + tl];
+            score += m + (bias ? bias[i] : 0);
+            if (query[i] == target[j]) {
+                op_codes[n_ops] = 0;
+                op_payload[n_ops++] = 1;
+                ++identities;
+                ++positives;
+            } else {
+                op_codes[n_ops] = 1;
+                op_payload[n_ops++] = tl;
+                ++mismatches;
+                if (m > 0)
+                    ++positives;
+            }
+            ++length;
+            --i;
+            --j;
+        }
+    }
+    if (score != best)
+        return 0;
+    stats[0] = i + 1;       // q_begin
+    stats[1] = q_end;
+    stats[2] = j + 1;       // s_begin
+    stats[3] = s_end;
+    stats[4] = identities;
+    stats[5] = mismatches;
+    stats[6] = positives;
+    stats[7] = gap_openings;
+    stats[8] = gaps;
+    stats[9] = length;
+    stats[10] = n_ops;
+    return 1;
+}
 }  // namespace
+
+// Batched DP + in-place traceback walk: per job emits
+// out[k*3..] = (score, max_col_true, max_row_true), stats[k*12..] (see
+// walk_one; stats[11] = ok flag), and ops at op_off[k] (walk order,
+// caller reverses).  Mask planes live only in scratch — nothing large
+// crosses the boundary.
+extern "C" void banded_swipe_tb_many(
+    const int8_t* q_letters, int64_t qlen, const int32_t* bias,
+    const int8_t* t_cat, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* d_begin, const int64_t* band, int64_t njobs,
+    const int32_t* matrix32, int64_t go, int64_t ge, int64_t* out,
+    const int64_t* op_off, int8_t* op_codes, int32_t* op_payload,
+    int64_t* stats) {
+    std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
+    std::vector<uint8_t> gv, gh, ov, oh;
+    for (int64_t k = 0; k < njobs; ++k) {
+        const int64_t tlen = t_len[k];
+        const int64_t b = band[k];
+        const size_t cells = (size_t)(tlen * b);
+        if (gv.size() < cells) {
+            gv.resize(cells);
+            gh.resize(cells);
+            ov.resize(cells);
+            oh.resize(cells);
+        }
+        int64_t o3[3];
+        swipe_one(q_letters, qlen, bias, t_cat + t_off[k], tlen, d_begin[k],
+                  b, matrix32, (int32_t)go, (int32_t)ge, o3, gv.data(),
+                  gh.data(), ov.data(), oh.data(), Hbuf, Ebuf, c0buf, Fbuf);
+        out[3 * k] = o3[0];
+        out[3 * k + 1] = o3[1];
+        out[3 * k + 2] = o3[1] + d_begin[k] + o3[2];
+        int64_t* st = stats + 12 * k;
+        if (o3[0] <= 0) {
+            st[11] = 1;
+            st[10] = 0;
+            for (int z = 0; z < 10; ++z)
+                st[z] = 0;
+            continue;
+        }
+        st[11] = walk_one(q_letters, bias, t_cat + t_off[k], d_begin[k], b,
+                          matrix32, (int32_t)go, (int32_t)ge, o3[0], o3[1],
+                          out[3 * k + 2], gv.data(), gh.data(), ov.data(),
+                          oh.data(), op_codes + op_off[k],
+                          op_payload + op_off[k], st);
+    }
+}
 
 // Batched entry: njobs jobs over one query.  targets are concatenated in
 // t_cat with per-job offsets/lengths; per-job band geometry in d_begin/band.

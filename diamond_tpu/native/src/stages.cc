@@ -155,6 +155,44 @@ extern "C" int64_t motif_scan_block(
     return m;
 }
 
+// Stable LSD radix sort of (key, value) pairs by key, 8 bits per pass,
+// high zero-bytes skipped (native replacement of the seed-join argsort).
+extern "C" void sort_kv_u64(
+    uint64_t* keys, int64_t* vals, int64_t n,
+    uint64_t* tmp_k, int64_t* tmp_v, int32_t key_bytes) {
+    uint64_t* ka = keys;
+    int64_t* va = vals;
+    uint64_t* kb = tmp_k;
+    int64_t* vb = tmp_v;
+    int64_t count[256];
+    for (int32_t b = 0; b < key_bytes; ++b) {
+        const int shift = b * 8;
+        for (int i = 0; i < 256; ++i)
+            count[i] = 0;
+        for (int64_t i = 0; i < n; ++i)
+            ++count[(ka[i] >> shift) & 0xFF];
+        int64_t sum = 0;
+        for (int i = 0; i < 256; ++i) {
+            const int64_t c = count[i];
+            count[i] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t d = count[(ka[i] >> shift) & 0xFF]++;
+            kb[d] = ka[i];
+            vb[d] = va[i];
+        }
+        uint64_t* tk = ka; ka = kb; kb = tk;
+        int64_t* tv = va; va = vb; vb = tv;
+    }
+    if (ka != keys) {
+        for (int64_t i = 0; i < n; ++i) {
+            keys[i] = ka[i];
+            vals[i] = va[i];
+        }
+    }
+}
+
 // Whole-block spaced-seed extraction (native twin of
 // diamond_tpu/seed/shapes.py Shape.extract_seeds): one pass, no
 // temporaries.  keys/valid have n = L - shape_length + 1 entries; digit

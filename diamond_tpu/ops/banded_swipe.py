@@ -370,6 +370,11 @@ def _batch_native(query, bias, jobs, matrix32, gap_open, gap_extend,
                         count=B)
     go = gap_open + gap_extend
     ge = gap_extend
+    if traceback:
+        r = _tb_native(q8, bias, bias32, jobs, t_cat, t_off, t_len,
+                       d_begins, bands, matrix32, go, ge)
+        if r is not None:
+            return r
     masks = mask_off = None
     if traceback:
         sizes = t_len * bands
@@ -401,6 +406,49 @@ def _batch_native(query, bias, jobs, matrix32, gap_open, gap_extend,
             mv = [m[off:end].view(bool).reshape(shape) for m in masks]
             _traceback(res, query, t_let, d0, d1, matrix32, b64, go, ge,
                        mv[0], mv[1], mv[2], mv[3])
+        results.append(res)
+    return results
+
+
+_OP_CHARS = ("M", "S", "D", "I")
+
+
+def _tb_native(q8, bias, bias32, jobs, t_cat, t_off, t_len, d_begins, bands,
+               matrix32, go, ge):
+    """DP + traceback walk entirely in C++ (native/src/banded_swipe.cc
+    banded_swipe_tb_many); only the op streams cross the boundary.  A walk
+    failure (stats[:,11]==0, the rare shared-band spill tie) raises
+    RuntimeError exactly like the Python walk, so callers' fallback paths
+    are unchanged.  Returns a BandedResult list or None."""
+    from diamond_tpu import native
+
+    r = native.banded_swipe_tb_native(q8, bias32, t_cat, t_off, t_len,
+                                      d_begins, bands, matrix32, go, ge)
+    if r is None:
+        return None
+    out, stats, op_off, op_codes, op_payload = r
+    if not stats[:, 11].all():
+        raise RuntimeError("Traceback error.")
+    results = []
+    for k in range(len(jobs)):
+        res = BandedResult(score=int(out[k, 0]), max_col=int(out[k, 1]),
+                           max_row=int(out[k, 2]))
+        if res.score > 0:
+            st = stats[k]
+            n_ops = int(st[10])
+            lo = int(op_off[k])
+            codes = op_codes[lo : lo + n_ops][::-1]
+            pays = op_payload[lo : lo + n_ops][::-1]
+            res.transcript = [(_OP_CHARS[c], int(p))
+                              for c, p in zip(codes.tolist(), pays.tolist())]
+            res.query_range = (int(st[0]), int(st[1]))
+            res.subject_range = (int(st[2]), int(st[3]))
+            res.identities = int(st[4])
+            res.mismatches = int(st[5])
+            res.positives = int(st[6])
+            res.gap_openings = int(st[7])
+            res.gaps = int(st[8])
+            res.length = int(st[9])
         results.append(res)
     return results
 

@@ -161,7 +161,7 @@ class Pipeline:
         # persistent per-position query seed mask (SEED_MASK semantics)
         self.query_seed_mask = np.zeros(len(self.q.letters), dtype=bool)
 
-        hits = []  # (query_id, subject_gpos, seed_offset, score)
+        hits = []  # [N,4] int64 arrays: query_id, subject_gpos, seed_offset, score
         n_parts = cfg.seedp_count
         chunk_bounds = _partition(n_parts, cfg.index_chunks)
 
@@ -232,15 +232,18 @@ class Pipeline:
                     join, masked_pos = self._complexity_mask(join, shape)
                 if len(masked_pos):
                     self.query_seed_mask[masked_pos] = True
-                shape_hits.extend(self._stage12(join, shape, sid, chunk, lo, hi))
+                shape_hits.append(self._stage12(join, shape, sid, chunk, lo, hi))
+            shape_arr = (np.concatenate(shape_hits) if shape_hits
+                         else np.empty((0, 4), dtype=np.int64))
             if self.ranking_table is not None:
                 from diamond_tpu.align.global_ranking import update_table
 
-                update_table(self.ranking_table, shape_hits, self.q, self.t,
-                             cfg, self.q_base, self.t_base)
+                update_table(self.ranking_table,
+                             [tuple(r) for r in shape_arr.tolist()],
+                             self.q, self.t, cfg, self.q_base, self.t_base)
             else:
-                hits.extend(shape_hits)
-            statistics.inc("SEED_HITS", len(shape_hits))
+                hits.append(shape_arr)
+            statistics.inc("SEED_HITS", len(shape_arr))
 
         timer.finish()
         if self.ranking_table is not None:
@@ -342,12 +345,12 @@ class Pipeline:
                 s_pos=join.s_pos[join.s_start[:-1]])
         qp, sp = stages.expand_pairs(join)
         if len(qp) == 0:
-            return []
+            return np.empty((0, 4), dtype=np.int64)
         keep1 = stages.stage1_filter(self.q.letters, self.t.letters, qp, sp,
                                      cfg.hamming_filter_id)
         qp, sp = qp[keep1], sp[keep1]
         if len(qp) == 0:
-            return []
+            return np.empty((0, 4), dtype=np.int64)
 
         qidx, qoff = self.q.global_to_local(qp)
         qlens = self.q.lengths[qidx]
@@ -382,11 +385,8 @@ class Pipeline:
         # seeding and all linearized modes (reference stage2.h:101
         # skip_left_most)
         if cfg.traits.sketch or cfg.lin_stage1_target or cfg.minimizer_window:
-            out = []
-            for k in range(len(qp)):
-                out.append((int(qidx[k]), int(sp[k]), int(qoff[k]),
-                            min(int(scores[k]), 255)))
-            return out
+            return _hit_rows(qidx, sp, qoff, scores,
+                             np.arange(len(qp), dtype=np.int64))
         chunked = cfg.index_chunks > 1
         current = self._matcher(sid + 1)
         previous = self._matcher(sid) if sid > 0 else self._matcher(0)
@@ -396,13 +396,7 @@ class Pipeline:
             cfg.reduction, qp, sp, qoff.astype(np.int64), wl, wr,
             shape, sid, chunked, current, previous,
             part_lo, part_hi, cfg.seedp_mask, cfg.hamming_filter_id)
-        # hit scores saturate at 255 like the reference's uint8 SIMD window
-        # scores (stage2.h:113 DP::window_ungapped_best, hit.h score_)
-        out = []
-        for k in np.nonzero(keep3)[0]:
-            out.append((int(qidx[k]), int(sp[k]), int(qoff[k]),
-                        min(int(scores[k]), 255)))
-        return out
+        return _hit_rows(qidx, sp, qoff, scores, np.nonzero(keep3)[0])
 
     def _matcher(self, end_shape: int):
         key = ("pm", end_shape)
@@ -458,13 +452,29 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _extend_all(self, hits):
+        arr = (np.concatenate(hits) if hits
+               else np.empty((0, 4), dtype=np.int64))
         if self.cfg.translated:
             from diamond_tpu.align.extend import extend_query_translated
 
-            by_source: dict[int, list] = {}
-            for cid, sgpos, soff, score in hits:
-                by_source.setdefault(cid // 6, []).append(
-                    (sgpos, soff, score, cid % 6))
+            # stable sort by SOURCE id so within-source hit order stays the
+            # production order (byte-identical to the tuple-list driver)
+            src_all = arr[:, 0] // 6
+            order = np.argsort(src_all, kind="stable")
+            arr = arr[order]
+            src_all = src_all[order]
+            srcs_u = np.unique(src_all)
+            bounds = np.searchsorted(src_all,
+                                     np.append(srcs_u, np.iinfo(np.int64).max))
+            by_source: dict[int, np.ndarray] = {}
+            for k, src in enumerate(srcs_u.tolist()):
+                rows = arr[bounds[k] : bounds[k + 1]]
+                ctx_rows = np.empty((len(rows), 4), dtype=np.int64)
+                ctx_rows[:, 0] = rows[:, 1]
+                ctx_rows[:, 1] = rows[:, 2]
+                ctx_rows[:, 2] = rows[:, 3]
+                ctx_rows[:, 3] = rows[:, 0] % 6
+                by_source[src] = ctx_rows
             results = {}
             if self.cfg.frame_shift > 0:
                 # frameshift mode runs the legacy 3-frame pipeline
@@ -483,9 +493,13 @@ class Pipeline:
                 if m:
                     results[sidx] = m
             return results
-        by_query: dict[int, list] = {}
-        for qid, sgpos, soff, score in hits:
-            by_query.setdefault(qid, []).append((sgpos, soff, score))
+        order = np.argsort(arr[:, 0], kind="stable")
+        arr = arr[order]
+        qids_u = np.unique(arr[:, 0])
+        bounds = np.searchsorted(arr[:, 0],
+                                 np.append(qids_u, np.iinfo(np.int64).max))
+        by_query = {int(qid): arr[bounds[k] : bounds[k + 1], 1:4]
+                    for k, qid in enumerate(qids_u.tolist())}
         qids = sorted(by_query)
         from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
 
@@ -505,6 +519,19 @@ class Pipeline:
         for qid in qids:
             results[qid] = extend_query(qid, by_query[qid], self.ctx)
         return results
+
+
+def _hit_rows(qidx, sp, qoff, scores, idx) -> np.ndarray:
+    """[N,4] int64 hit rows (query_id, subject_gpos, seed_offset, score).
+
+    Scores saturate at 255 like the reference's uint8 SIMD window scores
+    (reference stage2.h:113 DP::window_ungapped_best, hit.h score_)."""
+    out = np.empty((len(idx), 4), dtype=np.int64)
+    out[:, 0] = qidx[idx]
+    out[:, 1] = sp[idx]
+    out[:, 2] = qoff[idx]
+    out[:, 3] = np.minimum(scores[idx], 255)
+    return out
 
 
 def _partition(total: int, parts: int):

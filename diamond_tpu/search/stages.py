@@ -99,12 +99,21 @@ def _csr_gather(first, counts, arr):
     return starts, arr[first[grp] + within]
 
 
+def _sorted_kv(keys, pos):
+    from diamond_tpu import native
+
+    r = native.sort_kv_native(keys, pos)
+    if r is not None:
+        return r
+    o = np.argsort(keys, kind="stable")
+    return keys[o], pos[o]
+
+
 def seed_join(q_keys, q_pos, s_keys, s_pos) -> SeedJoin:
-    """Sort-merge join (device-friendly replacement of the radix hash join)."""
-    qo = np.argsort(q_keys, kind="stable")
-    so = np.argsort(s_keys, kind="stable")
-    qk, qp = q_keys[qo], q_pos[qo]
-    sk, sp = s_keys[so], s_pos[so]
+    """Sort-merge join (device-friendly replacement of the radix hash join;
+    host path sorts with a native stable radix sort)."""
+    qk, qp = _sorted_kv(q_keys, q_pos)
+    sk, sp = _sorted_kv(s_keys, s_pos)
     # group boundaries on the sorted key arrays (the arrays are already
     # sorted, so run boundaries beat np.unique, which would sort again)
     def _firsts(k):
