@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from diamond_tpu.align.chain import chain, xdrop_ungapped
+from diamond_tpu.align.chaining_graph import chain_graph
 from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np, banded_swipe_np
 from diamond_tpu.stats import cbs as cbs_mod
 
@@ -195,7 +196,7 @@ class WorkTarget:
 
 def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hits,
                    cfg, query_comp=None, query_true_aa=0,
-                   full: bool = False) -> WorkTarget:
+                   full: bool = False, qlen: int | None = None) -> WorkTarget:
     """x-drop extension + chaining for one target
     (reference align/ungapped.cpp:62-150), plus per-target compositional
     matrix adjustment (reference WorkTarget ctor, ungapped.cpp:44-59).
@@ -226,10 +227,15 @@ def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hi
         return WorkTarget(block_id=block_id, hsps=None,
                           ungapped_score=ungapped_score, matrix=target_matrix)
     ungapped_score = max(h.score for h in hits)
-    segments = _extend_hits(query_letters[q_start:], use_bias,
-                            target_block.letters[t_start:], hits, m,
-                            cfg.xdrop_raw)
-    hsps = chain(segments)
+    qpad_v = query_letters[q_start:]
+    tpad_v = target_block.letters[t_start:]
+    segments = _extend_hits(qpad_v, use_bias, tpad_v, hits, m, cfg.xdrop_raw)
+    tlen_true = int(target_block.lengths[block_id])
+    if qlen is None:
+        qlen = len(query_letters) - q_start
+    hsps = chain_graph(segments, qpad_v, tpad_v, m, cfg.matrix.gap_open,
+                       cfg.matrix.gap_extend, query_len=qlen,
+                       subject_len=tlen_true)
     return WorkTarget(block_id=block_id, hsps=hsps,
                       ungapped_score=ungapped_score, matrix=target_matrix)
 
@@ -431,7 +437,7 @@ def extend_query_gen(query_id: int, query_hits, ctx):
             for t in chunk:
                 work = ungapped_stage(query_letters, q_start, bias, tblock,
                                       tids[t], groups[t], cfg, query_comp,
-                                      query_true_aa, full=full)
+                                      query_true_aa, full=full, qlen=qlen)
                 if (work.ungapped_score == 0) if full else (not work.hsps):
                     continue
                 tlen = int(tblock.lengths[tids[t]])
@@ -555,8 +561,13 @@ def _ungapped_stage_translated(contexts, tblock, block_id, seed_hits, cfg):
         if d.score > 0:
             fsegs.append(d)
     out = {}
+    tlen_true = int(tblock.lengths[block_id])
     for frame, fsegs in segs.items():
-        hsps = chain(fsegs)
+        hsps = chain_graph(fsegs, contexts[frame][2],
+                           tblock.letters[t_start:], m,
+                           cfg.matrix.gap_open, cfg.matrix.gap_extend,
+                           query_len=len(contexts[frame][0]),
+                           subject_len=tlen_true)
         if hsps:
             out[frame] = hsps
     return out, ungapped_score

@@ -5,8 +5,10 @@ partitions (reference src/align/align.cpp:203-269).  On TPU the analog is
 batching: this driver advances the extension coroutines of a whole wave of
 queries in lockstep, pools every coroutine's score-only banded-DP jobs
 into one device mega-batch per round (ops/swipe_device.DeviceDP), and
-feeds the results back.  Traceback and adjusted-matrix jobs stay on the
-host C++ path (the survivor set is tiny — SURVEY §7 traceback strategy).
+pools the traceback jobs into one cross-query native C++ batch
+(banded_swipe_tb_multi) — one host call per wave round instead of one per
+query.  Adjusted-matrix jobs keep their per-job host path (each carries
+its own 32x32 matrix).
 
 Output is collected per query id, so ordering (and therefore the byte
 output) is identical to the serial driver.
@@ -17,15 +19,95 @@ import numpy as np
 
 from diamond_tpu.align.extend import (DpRequest, _run_dp_jobs,
                                       extend_query_gen)
-from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
+from diamond_tpu.ops.banded_swipe import (banded_swipe_batch_np,
+                                          results_from_tb)
 from diamond_tpu.ops.swipe_device import DeviceDP, job_fits_device
 
 
-def _execute_round(reqs: dict, mat, device: DeviceDP):
+class _WaveState:
+    """Per-wave scratch: the block-aligned int32 bias array consumed by
+    the cross-query native traceback batch."""
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+        self.bias_all = None
+        self.filled = set()
+
+    def fill_bias(self, qid, bias):
+        if qid in self.filled:
+            return
+        self.filled.add(qid)
+        if self.bias_all is None:
+            self.bias_all = np.zeros(len(self.ctx.query_block.letters),
+                                     dtype=np.int32)
+        qs = int(self.ctx.query_block.starts[qid])
+        self.bias_all[qs : qs + len(bias)] = bias
+
+
+def _tb_multi(items, mat, state):
+    """One native DP+traceback call for the std jobs of every traceback
+    request in the round.  items: [(qid, req, std_idx, out_list)].
+    Returns a set of qids whose batch failed (caller responds None)."""
+    from diamond_tpu import native
+
+    qblock = state.ctx.query_block
+    jobs_flat = []   # (qid, k, tgt, d0, d1, use_bias)
+    for qid, req, std_idx, _out in items:
+        if req.bias is not None:
+            state.fill_bias(qid, req.bias)
+        for k in std_idx:
+            t, d0, d1 = req.jobs[k]
+            jobs_flat.append((qid, k, t, d0, d1, req.bias is not None))
+    n = len(jobs_flat)
+    if n == 0:
+        return set()
+    t_len = np.fromiter((len(j[2]) for j in jobs_flat), dtype=np.int64,
+                        count=n)
+    t_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(t_len[:-1], out=t_off[1:])
+    t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+    for k, j in enumerate(jobs_flat):
+        t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(j[2],
+                                                           dtype=np.int8)
+    q_off = np.fromiter((int(qblock.starts[j[0]]) for j in jobs_flat),
+                        dtype=np.int64, count=n)
+    q_len = np.fromiter((int(qblock.lengths[j[0]]) for j in jobs_flat),
+                        dtype=np.int64, count=n)
+    use_bias = np.fromiter((j[5] for j in jobs_flat), dtype=np.uint8,
+                           count=n)
+    d_begins = np.fromiter((j[3] for j in jobs_flat), dtype=np.int64,
+                           count=n)
+    bands = np.fromiter((j[4] - j[3] for j in jobs_flat), dtype=np.int64,
+                        count=n)
+    bias_base = state.bias_all if use_bias.any() else None
+    if bias_base is None and use_bias.any():
+        bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
+    r = native.banded_swipe_tb_multi_native(
+        qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
+        t_len, d_begins, bands, mat.matrix32, mat.gap_open + mat.gap_extend,
+        mat.gap_extend)
+    if r is None:
+        return None  # native unavailable: caller uses the per-query path
+    ok = r[1][:, 11] != 0
+    failed = {jobs_flat[k][0] for k in np.nonzero(~ok)[0]}
+    results = results_from_tb(r)
+    by_req = {}
+    for (qid, k, *_rest), res in zip(jobs_flat, results):
+        by_req.setdefault(qid, []).append((k, res))
+    for qid, req, std_idx, out in items:
+        if qid in failed:
+            continue
+        for k, res in by_req.get(qid, []):
+            out[k] = res
+    return failed
+
+
+def _execute_round(reqs: dict, mat, device: DeviceDP, state: _WaveState):
     """Execute one round of DpRequests; returns {qid: response}."""
     responses = {}
     dev_requests = []   # (query, bias, jobs) triples for the device
     dev_scatter = []    # (qid, [job indices])
+    tb_items = []       # (qid, req, std_idx, out)
     for qid, r in reqs.items():
         out = [None] * len(r.jobs)
         responses[qid] = out
@@ -33,18 +115,24 @@ def _execute_round(reqs: dict, mat, device: DeviceDP):
             continue
         std = [k for k, (tid, *_rest) in enumerate(r.job_meta)
                if tid not in r.tgt_matrices]
-        adj = [k for k in range(len(r.jobs)) if k not in set(std)]
+        std_set = set(std)
+        adj = [k for k in range(len(r.jobs)) if k not in std_set]
         if r.traceback:
-            # host, with trace masks (C++ batch); on a traceback tie error
-            # the coroutine falls back to the per-job oracle
-            try:
-                res = _run_dp_jobs(r.q, r.bias, r.jobs, r.job_meta,
-                                   r.tgt_matrices, mat, True)
-            except RuntimeError:
+            failed = False
+            for k in adj:
+                tm = r.tgt_matrices[r.job_meta[k][0]]
+                try:
+                    res = banded_swipe_batch_np(r.q, None, [r.jobs[k]], tm,
+                                                mat.gap_open, mat.gap_extend,
+                                                traceback=True)
+                except RuntimeError:
+                    failed = True
+                    break
+                out[k] = res[0]
+            if failed:
                 responses[qid] = None
                 continue
-            for k, v in enumerate(res):
-                out[k] = v
+            tb_items.append((qid, r, std, out))
             continue
         small = [k for k in std
                  if job_fits_device(len(r.jobs[k][0]), r.jobs[k][1],
@@ -67,6 +155,20 @@ def _execute_round(reqs: dict, mat, device: DeviceDP):
         if small:
             dev_requests.append((r.q, r.bias, [r.jobs[k] for k in small]))
             dev_scatter.append((qid, small))
+    if tb_items:
+        failed = _tb_multi(tb_items, mat, state)
+        if failed is None:
+            # no native library: per-request host fallback
+            for qid, r, _std, _out in tb_items:
+                try:
+                    responses[qid] = _run_dp_jobs(r.q, r.bias, r.jobs,
+                                                  r.job_meta, r.tgt_matrices,
+                                                  mat, True)
+                except RuntimeError:
+                    responses[qid] = None
+        else:
+            for qid in failed:
+                responses[qid] = None
     if dev_requests:
         results = device.run_many(dev_requests)
         for (qid, idx), res in zip(dev_scatter, results):
@@ -83,6 +185,7 @@ def extend_wave(ctx, by_query, qids, device: DeviceDP | None = None):
     mat = ctx.cfg.matrix
     if device is None:
         device = DeviceDP(mat.matrix32, mat.gap_open, mat.gap_extend)
+    state = _WaveState(ctx)
     gens = {}
     pending = {}
     results = {}
@@ -100,7 +203,7 @@ def extend_wave(ctx, by_query, qids, device: DeviceDP | None = None):
 
     while pending:
         current, pending = pending, {}
-        responses = _execute_round(current, mat, device)
+        responses = _execute_round(current, mat, device, state)
         for qid in current:
             step(qid, responses[qid])
 

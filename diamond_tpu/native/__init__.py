@@ -151,6 +151,15 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
         cdll.banded_swipe_tb_many.restype = None
+        cdll.banded_swipe_tb_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        cdll.banded_swipe_tb_multi.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -318,6 +327,37 @@ def banded_swipe_tb_native(q_letters, bias32, t_cat, t_off, t_len,
     bias_p = bias32.ctypes.data if bias32 is not None else None
     l.banded_swipe_tb_many(
         q_letters.ctypes.data, qlen, bias_p,
+        t_cat.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+        d_begins.ctypes.data, bands.ctypes.data, njobs,
+        matrix32.ctypes.data, go, ge, out.ctypes.data,
+        op_off.ctypes.data, op_codes.ctypes.data, op_payload.ctypes.data,
+        stats.ctypes.data)
+    return out, stats, op_off, op_codes, op_payload
+
+
+def banded_swipe_tb_multi_native(q_base, bias_base, q_off, q_len, use_bias,
+                                 t_cat, t_off, t_len, d_begins, bands,
+                                 matrix32, go: int, ge: int):
+    """Cross-query batched banded SWIPE + traceback walk (each job has its
+    own query offset into q_base); same outputs as banded_swipe_tb_native
+    or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    njobs = len(t_off)
+    caps = t_len + q_len + 2
+    op_off = np.zeros(njobs + 1, dtype=np.int64)
+    np.cumsum(caps, out=op_off[1:])
+    op_codes = np.empty(int(op_off[-1]), dtype=np.int8)
+    op_payload = np.empty(int(op_off[-1]), dtype=np.int32)
+    out = np.empty((njobs, 3), dtype=np.int64)
+    stats = np.empty((njobs, 12), dtype=np.int64)
+    bias_p = bias_base.ctypes.data if bias_base is not None else None
+    l.banded_swipe_tb_multi(
+        q_base.ctypes.data, bias_p, q_off.ctypes.data, q_len.ctypes.data,
+        use_bias.ctypes.data,
         t_cat.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
         d_begins.ctypes.data, bands.ctypes.data, njobs,
         matrix32.ctypes.data, go, ge, out.ctypes.data,

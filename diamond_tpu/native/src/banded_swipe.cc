@@ -286,6 +286,57 @@ extern "C" void banded_swipe_tb_many(
     }
 }
 
+// Multi-query batched DP + traceback walk: like banded_swipe_tb_many but
+// each job k addresses its own query at q_base + q_off[k] (the wave
+// driver's cross-query host batch; one call per wave round instead of
+// one per query).  bias_base is aligned with q_base; use_bias[k] selects
+// per job.
+extern "C" void banded_swipe_tb_multi(
+    const int8_t* q_base, const int32_t* bias_base,
+    const int64_t* q_off, const int64_t* q_len, const uint8_t* use_bias,
+    const int8_t* t_cat, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* d_begin, const int64_t* band, int64_t njobs,
+    const int32_t* matrix32, int64_t go, int64_t ge, int64_t* out,
+    const int64_t* op_off, int8_t* op_codes, int32_t* op_payload,
+    int64_t* stats) {
+    std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
+    std::vector<uint8_t> gv, gh, ov, oh;
+    for (int64_t k = 0; k < njobs; ++k) {
+        const int64_t tlen = t_len[k];
+        const int64_t b = band[k];
+        const size_t cells = (size_t)(tlen * b);
+        if (gv.size() < cells) {
+            gv.resize(cells);
+            gh.resize(cells);
+            ov.resize(cells);
+            oh.resize(cells);
+        }
+        const int8_t* q = q_base + q_off[k];
+        const int32_t* bias =
+            (use_bias[k] && bias_base) ? bias_base + q_off[k] : nullptr;
+        int64_t o3[3];
+        swipe_one(q, q_len[k], bias, t_cat + t_off[k], tlen, d_begin[k], b,
+                  matrix32, (int32_t)go, (int32_t)ge, o3, gv.data(),
+                  gh.data(), ov.data(), oh.data(), Hbuf, Ebuf, c0buf, Fbuf);
+        out[3 * k] = o3[0];
+        out[3 * k + 1] = o3[1];
+        out[3 * k + 2] = o3[1] + d_begin[k] + o3[2];
+        int64_t* st = stats + 12 * k;
+        if (o3[0] <= 0) {
+            st[11] = 1;
+            st[10] = 0;
+            for (int z = 0; z < 10; ++z)
+                st[z] = 0;
+            continue;
+        }
+        st[11] = walk_one(q, bias, t_cat + t_off[k], d_begin[k], b, matrix32,
+                          (int32_t)go, (int32_t)ge, o3[0], o3[1],
+                          out[3 * k + 2], gv.data(), gh.data(), ov.data(),
+                          oh.data(), op_codes + op_off[k],
+                          op_payload + op_off[k], st);
+    }
+}
+
 // Batched entry: njobs jobs over one query.  targets are concatenated in
 // t_cat with per-job offsets/lengths; per-job band geometry in d_begin/band.
 // out: [njobs, 3] (score, max_col, max_row_band).  When mask_off is

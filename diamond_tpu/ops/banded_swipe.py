@@ -156,12 +156,8 @@ def banded_swipe_np(query: np.ndarray, target: np.ndarray, d_begin: int, d_end: 
 def backward_stats_np(query, target, d_begin, d_end, matrix32, bias,
                       gap_open: int, gap_extend: int, cell_i: int,
                       cell_j: int):
-    """Mismatch/gap-open stat propagation of the reference's reversed pass
-    (reference dp/swipe/cell_update.h:102-141, stat_cell.h BackwardCell,
-    swipe_wrapper.cpp:364-430): ties keep the already-held stats, so the
-    effective priority is diagonal > horizontal gap > vertical gap, the
-    opposite of the trace-mask walk.  Returns (score, mismatch, gapopen) at
-    the pinned cell (the forward alignment's start, in reversed coords)."""
+    """DEPRECATED prior attempt kept for reference; see
+    backward_stats_pass_np for the verified semantics."""
     qlen, tlen = len(query), len(target)
     band = d_end - d_begin
     go = gap_open + gap_extend
@@ -264,6 +260,102 @@ def backward_stats_np(query, target, d_begin, d_end, matrix32, bias,
         Ev[: band - 1] = nEv[1:]; Em[: band - 1] = nEm[1:]; Eg[: band - 1] = nEg[1:]
         Ev[band - 1 :] = 0; Em[band - 1 :] = 0; Eg[band - 1 :] = 0
     return out
+
+
+def backward_stats_pass_np(query, bias, target, send, d_begin, d_end,
+                           matrix32, gap_open: int, gap_extend: int):
+    """Mismatch/gap-open counts from the reference's reversed stats pass
+    (reference dp/swipe/swipe_wrapper.cpp:364-430 recompute_reversed,
+    stat_cell.h BackwardCell, cell_update.h:102-141 swipe_cell_update).
+
+    The reversed DP runs the normal banded local SWIPE over the REVERSED
+    query (full length) and the REVERSED target prefix [0, send), with
+    band [qlen - send - (d_end-1), qlen - send - d_begin + 1) (rev_diag of
+    the forward band).  Stats ride the cells; at every set_max a TIE takes
+    the CANDIDATE's stats (blend mask v==x — stat_cell.h:266-272), so the
+    effective priority is vertical gap > horizontal gap > diagonal, and
+    gap-open beats gap-extension on equality (update_open then set_max).
+    A cell clamped to 0 has its stats zeroed (update_open zero_mask).
+    Best cell = first column strictly improving, last row attaining the
+    column max.  Returns (best, mismatch, gapopen) at the best cell.
+
+    query/bias/target are FORWARD arrays; reversal happens via indexing.
+    Python oracle of native/src/backward_stats.cc."""
+    qlen = len(query)
+    go = gap_open + gap_extend
+    ge = gap_extend
+    band = d_end - d_begin
+    d0 = qlen - send - (d_end - 1)
+    tlen = send
+    NEGB = -(10 ** 9)
+
+    # cell = [value, mismatch, gapopen]
+    H = [[0, 0, 0] for _ in range(band)]
+    E = [[0, 0, 0] for _ in range(band + 1)]
+    best = 0
+    best_mm = 0
+    best_go = 0
+
+    for j in range(tlen):
+        i_lo = j + d0
+        r_lo = max(0, -i_lo)
+        r_hi = min(band, qlen - i_lo)
+        Hn = [[0, 0, 0] for _ in range(band)]
+        En = [[0, 0, 0] for _ in range(band)]
+        if r_lo >= r_hi:
+            H = Hn
+            E = En + [[0, 0, 0]]
+            continue
+        tL = int(target[send - 1 - j])
+        V = [0, 0, 0]  # vertical gap, reset per column
+        cb = 0
+        cbr = r_lo
+        for r in range(r_lo, r_hi):
+            i = i_lo + r
+            qL = int(query[qlen - 1 - i])
+            sc = int(matrix32[qL & 31, tL & 31])
+            if bias is not None:
+                sc += int(bias[qlen - 1 - i])
+            ident = 1 if qL == tL else 0
+            cv = H[r][0] + sc
+            cmm = H[r][1] + (1 - ident)
+            cgo = H[r][2]
+            e = E[r]
+            if e[0] >= cv:          # tie -> horizontal gap wins
+                cv, cmm, cgo = e[0], e[1], e[2]
+            if V[0] >= cv:          # tie -> vertical gap wins
+                cv, cmm, cgo = V[0], V[1], V[2]
+            if cv < 0:
+                cv = 0
+            if cv >= cb:            # last row attaining the column max
+                cb = cv
+                cbr = r
+            # gap updates (open beats extension on equality)
+            ev = e[0] - ge
+            vv = V[0] - ge
+            ov = cv - go
+            omm, ogo = cmm, cgo + 1
+            if cv == 0:             # zero cell resets its stats
+                cmm = 0
+                cgo = 0
+            if ov >= ev:
+                En[r] = [ov, omm, ogo]
+            else:
+                En[r] = [ev, e[1], e[2]]
+            if ov >= vv:
+                V = [ov, omm, ogo]
+            else:
+                V = [vv, V[1], V[2]]
+            Hn[r] = [cv, cmm, cgo]
+        if cb > best:
+            best = cb
+            best_mm = Hn[cbr][1]
+            best_go = Hn[cbr][2]
+        H = Hn
+        # horizontal predecessor moves down one row next column
+        E = En[1:] + [[0, 0, 0], [0, 0, 0]]
+        E = E[: band + 1]
+    return best, best_mm, best_go
 
 
 def _traceback(res, query, target, d_begin, d_end, matrix32, bias, go, ge,
@@ -413,6 +505,42 @@ def _batch_native(query, bias, jobs, matrix32, gap_open, gap_extend,
 _OP_CHARS = ("M", "S", "D", "I")
 
 
+class Transcript:
+    """Lazy edit transcript backed by the native walk's op arrays (stored
+    in walk order = reversed alignment).  Expands to ("M",1)/("S",letter)/
+    ("D",letter)/("I",run) tuples only when a consumer iterates — the
+    default -f6 output needs just the counts, so most transcripts are
+    never expanded."""
+
+    __slots__ = ("codes", "payloads")
+
+    def __init__(self, codes, payloads):
+        self.codes = codes
+        self.payloads = payloads
+
+    def _expand(self):
+        return [(_OP_CHARS[c], p)
+                for c, p in zip(self.codes[::-1].tolist(),
+                                self.payloads[::-1].tolist())]
+
+    def __iter__(self):
+        return iter(self._expand())
+
+    def __len__(self):
+        return len(self.codes)
+
+    def __bool__(self):
+        return len(self.codes) > 0
+
+    def __eq__(self, other):
+        if other is None:
+            return False
+        return self._expand() == list(other)
+
+    def __repr__(self):
+        return f"Transcript({self._expand()!r})"
+
+
 def _tb_native(q8, bias, bias32, jobs, t_cat, t_off, t_len, d_begins, bands,
                matrix32, go, ge):
     """DP + traceback walk entirely in C++ (native/src/banded_swipe.cc
@@ -426,21 +554,28 @@ def _tb_native(q8, bias, bias32, jobs, t_cat, t_off, t_len, d_begins, bands,
                                       d_begins, bands, matrix32, go, ge)
     if r is None:
         return None
-    out, stats, op_off, op_codes, op_payload = r
-    if not stats[:, 11].all():
+    if not r[1][:, 11].all():
         raise RuntimeError("Traceback error.")
+    return results_from_tb(r)
+
+
+def results_from_tb(r, idx=None):
+    """BandedResult list from a native tb-batch output tuple
+    (out, stats, op_off, op_codes, op_payload); idx selects a subset of
+    jobs (None = all)."""
+    out, stats, op_off, op_codes, op_payload = r
+    if idx is None:
+        idx = range(len(out))
     results = []
-    for k in range(len(jobs)):
+    for k in idx:
         res = BandedResult(score=int(out[k, 0]), max_col=int(out[k, 1]),
                            max_row=int(out[k, 2]))
         if res.score > 0:
             st = stats[k]
             n_ops = int(st[10])
             lo = int(op_off[k])
-            codes = op_codes[lo : lo + n_ops][::-1]
-            pays = op_payload[lo : lo + n_ops][::-1]
-            res.transcript = [(_OP_CHARS[c], int(p))
-                              for c, p in zip(codes.tolist(), pays.tolist())]
+            res.transcript = Transcript(op_codes[lo : lo + n_ops],
+                                        op_payload[lo : lo + n_ops])
             res.query_range = (int(st[0]), int(st[1]))
             res.subject_range = (int(st[2]), int(st[3]))
             res.identities = int(st[4])

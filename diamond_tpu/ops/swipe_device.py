@@ -10,15 +10,20 @@ query profile.  One pallas_call then serves the banded DP of an entire
 wave of queries (the reference's per-thread `align_queries` partition,
 src/align/align.cpp:203-269, becomes a device mega-batch).
 
-Scheduling: jobs are grouped per query by padded band, then bucketed
-across queries by (padded target length, padded band) so one kernel
-compilation serves each bucket; results are scattered back to
-(request, job) order.  Scores are exact int32 (same math as the numpy
-oracle ops/banded_swipe.py; see tests/test_swipe_pallas.py and
-tests/test_device.py for parity).
+Compile-shape discipline: the jit signature is (T, band, G, tile_b), so
+T and band are pow2-quantized, G is drawn from a fixed pow2 ladder (big
+batches split into G_CAP-sized calls), and targets ship per fixed-size call.  All
+pallas calls of a run_many dispatch asynchronously before any result is
+read back, so host packing overlaps device compute.  A persistent XLA
+compilation cache (JAX_COMPILATION_CACHE_DIR or /tmp) amortizes the
+remaining compiles across processes.
+
+Scores are exact int32 (same math as the numpy oracle
+ops/banded_swipe.py; see tests/test_swipe_pallas.py, tests/test_device.py).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -33,10 +38,32 @@ NEG = -(2 ** 20)
 
 # Per-job cell cap for the device path: jobs above this (huge full-matrix
 # bands) fall back to the host C++ batch.  Bounded by VMEM: the H/E
-# scratch is 2 * tile_b * band * 4 bytes and t_idx is T * tile_b * 4.
+# scratch is 2 * tile_b * band * 4 bytes and t_idx is T * tile_b bytes.
 MAX_DEVICE_T = 8192
 MAX_DEVICE_BAND = 2048
 MAX_DEVICE_CELLS = 4 << 20
+
+G_CAP = 64  # tiles per pallas call; larger batches loop at this size
+
+_cache_set = False
+
+
+def _ensure_compile_cache():
+    """Persistent XLA compilation cache so kernel shapes compile once per
+    machine, not once per process."""
+    global _cache_set
+    if _cache_set:
+        return
+    _cache_set = True
+    try:
+        d = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           f"/tmp/diamond_tpu_xla_cache_{os.getuid()}")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 def _prefix_max_shift(g, band):
@@ -64,11 +91,11 @@ def _make_kernel(T: int, band: int, go: int, ge: int):
 
         def col_step(j, carry):
             best, maxcol, maxrow = carry
-            letters = t_idx_ref[j, :]                         # [TB]
+            letters = t_idx_ref[j, :]                         # [TB] int32
             # fp32 one-hot matmul: exact for |score| < 2^24 incl. the NEG
             # sentinel (bf16 would truncate it)
             onehot = (letters[:, None] == lane32).astype(jnp.float32)
-            prof = profile_ref[0, pl.ds(j, band), :]          # [band, 32]
+            prof = profile_ref[pl.ds(j, band), :]             # [band, 32]
             scores = jax.lax.dot_general(
                 onehot, prof.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -111,31 +138,35 @@ def _make_kernel(T: int, band: int, go: int, ge: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("go", "ge", "band", "tile_b", "interpret"))
+@partial(jax.jit,
+         static_argnames=("go", "ge", "band", "T", "tile_b", "interpret"))
 def banded_swipe_pallas_multi(t_idx, band_mask, profiles, go: int, ge: int,
-                              band: int, tile_b: int = 128,
+                              band: int, T: int, tile_b: int = 32,
                               interpret: bool = False):
     """Multi-query banded SWIPE.
 
-    t_idx [T, G*tile_b] int32 shifted target letters (column-major);
-    band_mask [G*tile_b, band] int32; profiles [G, T + band, 32] int32 —
-    tile g's column j reads profile rows [j, j+band) of profiles[g].
+    t_idx [G*T, tile_b] int32 shifted target letters (tile g's columns are
+    rows [g*T, (g+1)*T)); band_mask [G*tile_b, band] int32; profiles
+    [G*(T+band), 32] int32 — tile g's column j reads profile rows
+    [g*(T+band)+j, ...+j+band).
     Returns (best [B], max_col [B], max_rowband [B]), B = G*tile_b.
     """
-    T, B = t_idx.shape
-    G = B // tile_b
-    assert B % tile_b == 0 and profiles.shape[0] == G
+    GT, _tb = t_idx.shape
+    T_pb = T + band
+    G = GT // T
+    B = G * tile_b
+    assert _tb == tile_b and profiles.shape[0] == G * T_pb
     kernel = _make_kernel(T, band, go, ge)
     out_shape = [jax.ShapeDtypeStruct((G * 8, tile_b // 8), jnp.int32)] * 3
     out = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((T, tile_b), lambda i: (0, i),
+            pl.BlockSpec((T, tile_b), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, band), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T + band, 32), lambda i: (i, 0, 0),
+            pl.BlockSpec((T_pb, 32), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((8, tile_b // 8), lambda i: (i, 0),
@@ -183,7 +214,8 @@ class DeviceDP:
     """
 
     def __init__(self, matrix32, gap_open: int, gap_extend: int,
-                 tile_b: int = 128, interpret: bool = False):
+                 tile_b: int = 32, interpret: bool = False):
+        _ensure_compile_cache()
         self.matrix32 = matrix32
         self.go = gap_open + gap_extend
         self.ge = gap_extend
@@ -193,7 +225,7 @@ class DeviceDP:
     def run_many(self, requests):
         out = [[None] * len(jobs) for _, _, jobs in requests]
         # per-call profile cache: one profile per request, reused by every
-        # tile of that request (ids are stable for the call's lifetime)
+        # tile of that request
         self._profiles = {}
         # group jobs per request by padded band
         groups: list[_Group] = []
@@ -206,20 +238,42 @@ class DeviceDP:
         # bucket groups by kernel shape
         buckets: dict[tuple, list[_Group]] = {}
         for g in groups:
-            # share T across the bucket: quantized already by pad_pow2
             buckets.setdefault((g.T, g.band), []).append(g)
+        # dispatch ALL calls first (async), then read back
+        pending = []
         for (T, band), grps in buckets.items():
-            self._run_bucket(T, band, grps, requests, out)
+            pending.extend(self._dispatch_bucket(T, band, grps, requests))
+        for dev_out, tiles, tile_b in pending:
+            best, mc, mr = (np.asarray(o) for o in dev_out)
+            for gnum, (g, lo, hi) in enumerate(tiles):
+                base = gnum * tile_b
+                for k in range(lo, hi):
+                    row = base + k - lo
+                    j_true = int(mc[row]) - g.shifts[k]
+                    i_true = int(mc[row]) - g.C + int(mr[row])
+                    out[g.req][g.idx[k]] = (int(best[row]), j_true, i_true)
+        self._profiles = {}
         return out
 
-    def _run_bucket(self, T, band, grps, requests, out):
+    def _dispatch_bucket(self, T, band, grps, requests):
         tile_b = self.tile_b
-        # tiles: (group, slice into group's job list)
         tiles = []
         for g in grps:
             for lo in range(0, len(g.jobs), tile_b):
                 tiles.append((g, lo, min(lo + tile_b, len(g.jobs))))
-        G = len(tiles)
+        # fixed pow2 call sizes for compile reuse
+        pending = []
+        pos = 0
+        while pos < len(tiles):
+            n_left = len(tiles) - pos
+            G = G_CAP if n_left >= G_CAP else pad_pow2(n_left, 1)
+            chunk = tiles[pos : pos + min(G, n_left)]
+            pos += len(chunk)
+            pending.append(self._launch(T, band, G, chunk, requests))
+        return pending
+
+    def _launch(self, T, band, G, tiles, requests):
+        tile_b = self.tile_b
         B = G * tile_b
         t_idx = np.full((B, T), 31, dtype=np.int32)
         band_mask = np.zeros((B, band), dtype=np.int32)
@@ -243,17 +297,11 @@ class DeviceDP:
             i1 = min(qlen, lo_q + T + band)
             if i1 > i0:
                 profiles[gnum, i0 - lo_q : i1 - lo_q] = prof[i0:i1]
-        best, mc, mr = banded_swipe_pallas_multi(
-            jnp.asarray(np.ascontiguousarray(t_idx.T)),
-            jnp.asarray(band_mask), jnp.asarray(profiles),
-            self.go, self.ge, band, tile_b, self.interpret)
-        best = np.asarray(best)
-        mc = np.asarray(mc)
-        mr = np.asarray(mr)
-        for gnum, (g, lo, hi) in enumerate(tiles):
-            base = gnum * tile_b
-            for k in range(lo, hi):
-                row = base + k - lo
-                j_true = int(mc[row]) - g.shifts[k]
-                i_true = int(mc[row]) - g.C + int(mr[row])
-                out[g.req][g.idx[k]] = (int(best[row]), j_true, i_true)
+        t2 = np.ascontiguousarray(
+            t_idx.reshape(G, tile_b, T).swapaxes(1, 2)).reshape(G * T,
+                                                                tile_b)
+        dev_out = banded_swipe_pallas_multi(
+            jnp.asarray(t2), jnp.asarray(band_mask),
+            jnp.asarray(profiles.reshape(G * (T + band), 32)),
+            self.go, self.ge, band, T, tile_b, self.interpret)
+        return dev_out, tiles, tile_b
