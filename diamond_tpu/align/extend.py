@@ -895,6 +895,87 @@ def _filters_active(cfg) -> bool:
             or cfg.subject_cover > 0 or getattr(cfg, "no_self_hits", False))
 
 
+MAX_SWIPE_DP = 1_000_000  # reference --max-swipe-dp default (config.cpp:595)
+
+
+def _banded_cols(qlen: int, tlen: int, d_begin: int, d_end: int) -> int:
+    """reference dp/dp.h:47-52 DpTarget::banded_cols."""
+    pos = max(d_end - 1, 0) - (d_end - 1)
+    j1 = min(qlen - 1 - d_begin, tlen - 1) + 1
+    return j1 - pos
+
+
+def apply_reversed_stats(survivors, q, use_bias, mat, matrices=None):
+    """Set mismatches_stats/gap_openings_stats on each surviving Hsp from
+    the reference's reversed BackwardCell pass (reference
+    swipe_wrapper.cpp:364-430 recompute_reversed): stats-only formats on
+    LARGE matrices (dp_size > --max-swipe-dp, reference
+    swipe_wrapper.cpp:77-97 bin()) report these counts, whose
+    cooptimal-path tie resolution differs from the forward trace-mask
+    walk; small matrices run the trace-mask walk even for stats-only
+    formats, so the walk's counts stand.  survivors: [(hsp,
+    target_letters, block_id)].  Native batch with Python-oracle
+    fallback; a reversed best that misses the forward score keeps the
+    walk's counts (defensive — should not happen)."""
+    if not survivors:
+        return
+    qlen = len(q)
+    survivors = [
+        (h, t, bid) for h, t, bid in survivors
+        if (_banded_cols(qlen, len(t), h.d_begin, h.d_end)
+            * (h.d_end - h.d_begin)) > MAX_SWIPE_DP]
+    if not survivors:
+        return
+    from diamond_tpu import native
+    from diamond_tpu.ops.banded_swipe import backward_stats_pass_np
+
+    matrices = matrices or {}
+    std = [(h, t) for h, t, bid in survivors if bid not in matrices]
+    adj = [(h, t, bid) for h, t, bid in survivors if bid in matrices]
+    go, ge = mat.gap_open, mat.gap_extend
+    if std and native.lib() is not None:
+        n = len(std)
+        q8 = np.ascontiguousarray(q, dtype=np.int8)
+        bias32 = (np.ascontiguousarray(use_bias, dtype=np.int32)
+                  if use_bias is not None else None)
+        q_off = np.zeros(n, dtype=np.int64)
+        q_len = np.full(n, len(q), dtype=np.int64)
+        ub = np.full(n, 1 if use_bias is not None else 0, dtype=np.uint8)
+        send = np.fromiter((h.subject_range[1] for h, _ in std),
+                           dtype=np.int64, count=n)
+        t_len = send
+        t_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(t_len[:-1], out=t_off[1:])
+        t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+        for k, (h, t) in enumerate(std):
+            t_cat[t_off[k] : t_off[k] + t_len[k]] = \
+                np.asarray(t[: t_len[k]], dtype=np.int8)
+        d0 = np.fromiter((h.d_begin for h, _ in std), dtype=np.int64,
+                         count=n)
+        d1 = np.fromiter((h.d_end for h, _ in std), dtype=np.int64, count=n)
+        res = native.backward_stats_native(q8, bias32, q_off, q_len, ub,
+                                           t_cat, t_off, send, d0, d1,
+                                           mat.matrix32, go + ge, ge)
+        if res is not None:
+            for k, (h, _) in enumerate(std):
+                if int(res[k, 0]) == h.score:
+                    h.mismatches_stats = int(res[k, 1])
+                    h.gap_openings_stats = int(res[k, 2])
+            std = []
+    for h, t in std:
+        r = backward_stats_pass_np(q, use_bias, t, h.subject_range[1],
+                                   h.d_begin, h.d_end, mat.matrix32, go, ge)
+        if r[0] == h.score:
+            h.mismatches_stats = r[1]
+            h.gap_openings_stats = r[2]
+    for h, t, bid in adj:
+        r = backward_stats_pass_np(q, None, t, h.subject_range[1],
+                                   h.d_begin, h.d_end, matrices[bid], go, ge)
+        if r[0] == h.score:
+            h.mismatches_stats = r[1]
+            h.gap_openings_stats = r[2]
+
+
 def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                      matrices=None, query_id=None, band_hsps=None):
     cfg = ctx.cfg
@@ -922,6 +1003,7 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                      first_hsp.d_begin, first_hsp.d_end))
         job_meta.append((block_id, tlen))
     batch_res = yield DpRequest(q, use_bias, jobs, job_meta, matrices, True)
+    survivors = []  # (hsp, target_letters, block_id)
     for k, (block_id, first_hsp) in enumerate(aligned):
         tlen = int(tblock.lengths[block_id])
         if batch_res is not None:
@@ -947,16 +1029,11 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                 t_title=tblock.ids[block_id], q_seq=q,
                 t_seq=jobs[k][0]):
             continue
-        # KNOWN DELTA: the reference reports mismatch/gapopen for stats-only
-        # formats from a reversed BackwardCell pass (swipe_wrapper.cpp:
-        # 364-430) whose cooptimal-path tie resolution coincides with this
-        # forward traceback in 2069/2071 golden lines; the remaining two
-        # (one tie-rich 1.9k-residue pair) differ by one gap placement.
-        # _reverse_pass_stats/backward_stats_np implement candidate
-        # semantics but none reproduces all lines yet.
+        survivors.append((h, jobs[k][0], block_id))
         m = Match(target_block_id=block_id, hsp=[h])
         m.set_filter()
         out.append(m)
+    apply_reversed_stats(survivors, q, use_bias, mat, matrices)
     if filt and band_hsps:
         # best surviving hsp per target (max_hsps == 1)
         best: dict[int, Match] = {}

@@ -160,6 +160,13 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
         cdll.banded_swipe_tb_multi.restype = None
+        cdll.backward_stats_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        cdll.backward_stats_many.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -364,6 +371,28 @@ def banded_swipe_tb_multi_native(q_base, bias_base, q_off, q_len, use_bias,
         op_off.ctypes.data, op_codes.ctypes.data, op_payload.ctypes.data,
         stats.ctypes.data)
     return out, stats, op_off, op_codes, op_payload
+
+
+def backward_stats_native(q_base, bias_base, q_off, q_len, use_bias, t_cat,
+                          t_off, send, d_begins, d_ends, matrix32,
+                          go_pen: int, ge: int):
+    """Batched reversed stats pass; returns [njobs, 3] int64
+    (best, mismatch, gapopen) or None.  go_pen is the TOTAL cost of a
+    length-1 gap (open + extend)."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    njobs = len(t_off)
+    out = np.empty((njobs, 3), dtype=np.int64)
+    bias_p = bias_base.ctypes.data if bias_base is not None else None
+    l.backward_stats_many(
+        q_base.ctypes.data, bias_p, q_off.ctypes.data, q_len.ctypes.data,
+        use_bias.ctypes.data, t_cat.ctypes.data, t_off.ctypes.data,
+        send.ctypes.data, d_begins.ctypes.data, d_ends.ctypes.data, njobs,
+        matrix32.ctypes.data, go_pen, ge, out.ctypes.data)
+    return out
 
 
 def stage1_filter_native(q_letters, s_letters, qp, sp, hamming_id: int):

@@ -338,11 +338,11 @@ def backward_stats_pass_np(query, bias, target, send, d_begin, d_end,
             if cv == 0:             # zero cell resets its stats
                 cmm = 0
                 cgo = 0
-            if ov >= ev:
+            if ov >= ev:            # tie -> open wins
                 En[r] = [ov, omm, ogo]
             else:
                 En[r] = [ev, e[1], e[2]]
-            if ov >= vv:
+            if ov >= vv:            # tie -> open wins
                 V = [ov, omm, ogo]
             else:
                 V = [vv, V[1], V[2]]

@@ -108,28 +108,16 @@ def test_blastp_mid_sens_golden():
 @pytest.mark.slow
 def test_blastp_more_sensitive_golden():
     """diamond-test-blastp-more-sensitive (16 shapes, banded-slow, gapped
-    filter).  Known delta: the reference reports mismatch/gapopen from its
-    reversed BackwardCell stats pass, which on one tie-rich 1.9k-residue
-    pair (XP_015783916.1 / XP_026225122.1) picks a cooptimal path one gap
-    placement away from the forward traceback — 2 of 2071 lines differ in
-    the mismatch column only.
+    filter), byte-identical including the mismatch/gapopen columns from
+    the reversed BackwardCell stats pass (reference
+    swipe_wrapper.cpp:364-430).
 
     The query-indexed (--algo 1) and target-parallel goldens are
     byte-identical files to this golden in the reference tree, so this test
     covers those configurations' output contract as well."""
     lines = run_blastp(f"{TD}/data.faa", f"{TD}/data.faa",
                        sensitivity="more-sensitive", index_chunks=1)
-    g = golden("diamond-test-blastp-more-sensitive.out")
-    assert len(lines) == len(g)
-    diffs = [(a, b) for a, b in zip(lines, g) if a != b]
-    allowed = {("XP_015783916.1", "XP_026225122.1"),
-               ("XP_026225122.1", "XP_015783916.1")}
-    assert len(diffs) <= 2
-    for a, b in diffs:
-        fa, fb = a.split("\t"), b.split("\t")
-        assert (fa[0], fa[1]) in allowed
-        # only mismatch/gapopen columns may differ
-        assert fa[:4] == fb[:4] and fa[6:] == fb[6:]
+    assert lines == golden("diamond-test-blastp-more-sensitive.out")
 
 
 @pytest.mark.slow
