@@ -999,7 +999,11 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
     for block_id, first_hsp in aligned:
         tlen = int(tblock.lengths[block_id])
         t_start = int(tblock.starts[block_id])
-        jobs.append((tblock.letters[t_start : t_start + tlen],
+        # the round-1 best cell pins the alignment end: columns past it
+        # cannot change the walk (first-column-strictly-greater keeps the
+        # earlier cooptimal end), so the traceback DP stops there
+        t_cut = min(tlen, int(first_hsp.subject_range[1])) or tlen
+        jobs.append((tblock.letters[t_start : t_start + t_cut],
                      first_hsp.d_begin, first_hsp.d_end))
         job_meta.append((block_id, tlen))
     batch_res = yield DpRequest(q, use_bias, jobs, job_meta, matrices, True)
@@ -1024,12 +1028,14 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                 positives=r.positives, gap_openings=r.gap_openings,
                 gaps=r.gaps, length=r.length, transcript=r.transcript,
                 backtraced=True)
+        t_start = int(tblock.starts[block_id])
+        t_full = tblock.letters[t_start : t_start + tlen]
         if filt and not hsp_passes_filters(
                 h, qlen, tlen, cfg, q_title=q_title,
                 t_title=tblock.ids[block_id], q_seq=q,
-                t_seq=jobs[k][0]):
+                t_seq=t_full):
             continue
-        survivors.append((h, jobs[k][0], block_id))
+        survivors.append((h, t_full, block_id))
         m = Match(target_block_id=block_id, hsp=[h])
         m.set_filter()
         out.append(m)

@@ -102,12 +102,70 @@ def _tb_multi(items, mat, state):
     return failed
 
 
-def _execute_round(reqs: dict, mat, device: DeviceDP, state: _WaveState):
+def _score_multi(items, mat, state):
+    """One native score-only DP call for the host-routed std jobs of every
+    request in the round.  items: [(qid, req, ks, out)].  Returns False if
+    the native library is unavailable (caller falls back per request)."""
+    from diamond_tpu import native
+
+    if native.lib() is None:
+        return False
+    qblock = state.ctx.query_block
+    jobs_flat = []
+    for qid, req, ks, _out in items:
+        if req.bias is not None:
+            state.fill_bias(qid, req.bias)
+        for k in ks:
+            t, d0, d1 = req.jobs[k]
+            jobs_flat.append((qid, k, t, d0, d1, req.bias is not None))
+    n = len(jobs_flat)
+    if n == 0:
+        return True
+    t_len = np.fromiter((len(j[2]) for j in jobs_flat), dtype=np.int64,
+                        count=n)
+    t_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(t_len[:-1], out=t_off[1:])
+    t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+    for k, j in enumerate(jobs_flat):
+        t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(j[2],
+                                                           dtype=np.int8)
+    q_off = np.fromiter((int(qblock.starts[j[0]]) for j in jobs_flat),
+                        dtype=np.int64, count=n)
+    q_len = np.fromiter((int(qblock.lengths[j[0]]) for j in jobs_flat),
+                        dtype=np.int64, count=n)
+    use_bias = np.fromiter((j[5] for j in jobs_flat), dtype=np.uint8,
+                           count=n)
+    d_begins = np.fromiter((j[3] for j in jobs_flat), dtype=np.int64,
+                           count=n)
+    bands = np.fromiter((j[4] - j[3] for j in jobs_flat), dtype=np.int64,
+                        count=n)
+    bias_base = state.bias_all if use_bias.any() else None
+    if bias_base is None and use_bias.any():
+        bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
+    res = native.banded_swipe_score_multi_native(
+        qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
+        t_len, d_begins, bands, mat.matrix32, mat.gap_open + mat.gap_extend,
+        mat.gap_extend)
+    if res is None:
+        return False
+    by_req = {}
+    for (qid, k, *_rest), row in zip(jobs_flat, res):
+        by_req.setdefault(qid, []).append((k, (int(row[0]), int(row[1]),
+                                               int(row[2]))))
+    for qid, req, ks, out in items:
+        for k, v in by_req.get(qid, []):
+            out[k] = v
+    return True
+
+
+def _execute_round(reqs: dict, mat, device: DeviceDP | None,
+                   state: _WaveState):
     """Execute one round of DpRequests; returns {qid: response}."""
     responses = {}
     dev_requests = []   # (query, bias, jobs) triples for the device
     dev_scatter = []    # (qid, [job indices])
     tb_items = []       # (qid, req, std_idx, out)
+    score_items = []    # (qid, req, host_std_idx, out)
     for qid, r in reqs.items():
         out = [None] * len(r.jobs)
         responses[qid] = out
@@ -134,18 +192,16 @@ def _execute_round(reqs: dict, mat, device: DeviceDP, state: _WaveState):
                 continue
             tb_items.append((qid, r, std, out))
             continue
-        small = [k for k in std
-                 if job_fits_device(len(r.jobs[k][0]), r.jobs[k][1],
-                                    r.jobs[k][2])]
+        if device is not None:
+            small = [k for k in std
+                     if job_fits_device(len(r.jobs[k][0]), r.jobs[k][1],
+                                        r.jobs[k][2])]
+        else:
+            small = []
         small_set = set(small)
         large = [k for k in std if k not in small_set]
         if large:
-            res = banded_swipe_batch_np(r.q, r.bias,
-                                        [r.jobs[k] for k in large],
-                                        mat.matrix32, mat.gap_open,
-                                        mat.gap_extend, traceback=False)
-            for k, v in zip(large, res):
-                out[k] = v
+            score_items.append((qid, r, large, out))
         for k in adj:
             tm = r.tgt_matrices[r.job_meta[k][0]]
             res = banded_swipe_batch_np(r.q, None, [r.jobs[k]], tm,
@@ -155,6 +211,14 @@ def _execute_round(reqs: dict, mat, device: DeviceDP, state: _WaveState):
         if small:
             dev_requests.append((r.q, r.bias, [r.jobs[k] for k in small]))
             dev_scatter.append((qid, small))
+    if score_items and not _score_multi(score_items, mat, state):
+        for qid, r, ks, out in score_items:
+            res = banded_swipe_batch_np(r.q, r.bias,
+                                        [r.jobs[k] for k in ks],
+                                        mat.matrix32, mat.gap_open,
+                                        mat.gap_extend, traceback=False)
+            for k, v in zip(ks, res):
+                out[k] = v
     if tb_items:
         failed = _tb_multi(tb_items, mat, state)
         if failed is None:
@@ -178,13 +242,13 @@ def _execute_round(reqs: dict, mat, device: DeviceDP, state: _WaveState):
 
 
 def extend_wave(ctx, by_query, qids, device: DeviceDP | None = None):
-    """Extend all queries with cross-query device batching.
+    """Extend all queries with cross-query batching: device=None runs
+    everything through the cross-query native host batches (the wave
+    structure amortizes per-call overhead either way).
 
     Returns {qid: [Match, ...]} — byte-identical to the serial
     extend_query loop (exact int32 device scores, same ordering)."""
     mat = ctx.cfg.matrix
-    if device is None:
-        device = DeviceDP(mat.matrix32, mat.gap_open, mat.gap_extend)
     state = _WaveState(ctx)
     gens = {}
     pending = {}

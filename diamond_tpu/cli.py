@@ -62,7 +62,7 @@ def build_parser():
         sp.add_argument("--no-self-hits", action="store_true")
         sp.add_argument("--freq-masking", action="store_true")
         sp.add_argument("--dbsize", type=int, default=0)
-        sp.add_argument("--compress", type=int, default=0)
+        sp.add_argument("--compress", default="0")  # 0, 1 (gzip), zstd
         # accepted for drop-in compatibility; behavior already canonical
         sp.add_argument("--algo", default=None)
         sp.add_argument("--header", nargs="*", default=None)
@@ -342,6 +342,7 @@ def cmd_blastp(args):
     write_results(out, args.outfmt, results, qb, tb, cfg.matrix,
                   taxonomy=taxonomy, db_path=args.db,
                   max_evalue=cfg.max_evalue,
+                  hauser=_cbs_hauser(cfg.comp_based_stats),
                   invocation=" ".join(sys.argv))
     if out is not sys.stdout:
         out.close()
@@ -410,15 +411,23 @@ def _self_test():
 
 
 def _open_out(args):
-    """--compress 1 gzips the output stream (reference config.cpp
-    'compress' option)."""
+    """--compress output stream: 0=none, 1=gzip, zstd (reference
+    config.cpp:151-158,298)."""
     if args.out == "-":
         return sys.stdout
-    if getattr(args, "compress", 0) == 1:
+    comp = str(getattr(args, "compress", 0) or 0)
+    if comp == "1":
         import gzip
 
         return gzip.open(args.out + ("" if args.out.endswith(".gz")
                                      else ".gz"), "wt")
+    if comp == "zstd":
+        from diamond_tpu.utils.zstdio import zstd_open
+
+        return zstd_open(args.out + ("" if args.out.endswith(".zst")
+                                     else ".zst"), "wt")
+    if comp not in ("0", "none", ""):
+        raise SystemExit(f"Invalid compression algorithm: {comp}")
     return open(args.out, "w")
 
 
@@ -523,9 +532,15 @@ def _global_ranking_search(cfg, qb, tb, queries=None):
     return extend_ranked(table, contexts_fn, biases_fn, tb, oid2block, cfg)
 
 
+def _cbs_hauser(mode) -> bool:
+    from diamond_tpu.stats import cbs
+
+    return cbs.hauser(mode)
+
+
 def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
                   db_path="", max_evalue=0.001, invocation="",
-                  program="blastp", **fmt_kw):
+                  program="blastp", quals=None, hauser=True, **fmt_kw):
     """Dispatch on -f format code (reference output/output_format.cpp:148)."""
     from diamond_tpu.output.tabular import (format_results, render_paf,
                                             render_pairwise)
@@ -542,7 +557,8 @@ def write_results(out, outfmt, results, qb, tb, matrix, taxonomy=None,
     elif code in ("6", "tab"):
         fields = _parse_fields(outfmt)
         for line in format_results(results, qb, tb, fields, matrix=matrix,
-                                   taxonomy=taxonomy, **fmt_kw):
+                                   taxonomy=taxonomy, quals=quals,
+                                   hauser=hauser, **fmt_kw):
             out.write(line + "\n")
     elif code in ("0", "pairwise"):
         out.write(render_pairwise(results, qb, tb, matrix))
@@ -649,7 +665,15 @@ def cmd_blastx(args):
         # reference run/config.cpp: matrix adjust needs untranslated queries
         raise SystemExit("This mode of composition based stats is not "
                          "supported for translated searches.")
-    qrecs = list(read_seqs(args.query))
+    from diamond_tpu.data.fasta import read_fastq_full, sniff_format
+
+    quals = None
+    if sniff_format(args.query) == "fastq":
+        full = list(read_fastq_full(args.query))
+        qrecs = [(i, s) for i, s, _ in full]
+        quals = [q for _, _, q in full]
+    else:
+        qrecs = list(read_seqs(args.query))
     tb, taxonomy = load_block(args.db, with_taxonomy=True)
     tb, taxonomy, db_letters = apply_taxon_filter(tb, taxonomy,
                                                    args.taxonlist,
@@ -702,6 +726,8 @@ def cmd_blastx(args):
                   taxonomy=taxonomy, db_path=args.db,
                   max_evalue=cfg.max_evalue, invocation=" ".join(sys.argv),
                   program="blastx", dna_lens=queries.dna_lens,
+                  quals=quals,
+                  hauser=_cbs_hauser(cfg.comp_based_stats),
                   query_names=[i.split()[0] for i in queries.source_ids])
     if out is not sys.stdout:
         out.close()

@@ -17,12 +17,10 @@ def _open_raw(path: str) -> io.BufferedReader:
     if magic[:2] == b"\x1f\x8b":
         return gzip.open(path, "rb")  # type: ignore[return-value]
     if magic[:4] == b"\x28\xb5\x2f\xfd":
-        try:
-            import zstandard  # noqa: F401
+        f.close()
+        from diamond_tpu.utils.zstdio import zstd_open
 
-            return zstandard.open(path, "rb")  # type: ignore
-        except ImportError as e:
-            raise RuntimeError("zstd input requires the zstandard module") from e
+        return zstd_open(path, "rb")  # type: ignore[return-value]
     return f
 
 
@@ -68,6 +66,22 @@ def _reopen_as_fastq(path: str) -> Iterator[Tuple[str, bytes]]:
 
 def read_fastq(path: str) -> Iterator[Tuple[str, bytes]]:
     yield from _reopen_as_fastq(path)
+
+
+def read_fastq_full(path: str):
+    """Yield (id, sequence bytes, quality str) — quality retained for the
+    qqual/full_qqual output fields (reference blast_tab_format.cpp)."""
+    with _open_raw(path) as f:
+        while True:
+            header = f.readline().rstrip()
+            if not header:
+                return
+            seq = f.readline().rstrip()
+            f.readline()
+            qual = f.readline().rstrip()
+            if not header.startswith(b"@"):
+                raise ValueError("Malformed FASTQ record")
+            yield header[1:].decode(), seq, qual.decode()
 
 
 def sniff_format(path: str) -> str:

@@ -160,6 +160,17 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
         cdll.banded_swipe_tb_multi.restype = None
+        cdll.banded_swipe_score_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
+        cdll.banded_swipe_score_multi.restype = None
+        cdll.banded_swipe_score_lanes.argtypes = \
+            cdll.banded_swipe_score_multi.argtypes
+        cdll.banded_swipe_score_lanes.restype = None
         cdll.backward_stats_many.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
@@ -167,6 +178,29 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         cdll.backward_stats_many.restype = None
+        cdll.seed_complexity_keep.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_void_p]
+        cdll.seed_complexity_keep.restype = None
+        cdll.stage12_pipeline.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_void_p]
+        cdll.stage12_pipeline.restype = ctypes.c_int64
         _lib = cdll
     except Exception:
         _lib = None
@@ -342,6 +376,28 @@ def banded_swipe_tb_native(q_letters, bias32, t_cat, t_off, t_len,
     return out, stats, op_off, op_codes, op_payload
 
 
+def banded_swipe_score_multi_native(q_base, bias_base, q_off, q_len,
+                                    use_bias, t_cat, t_off, t_len, d_begins,
+                                    bands, matrix32, go: int, ge: int):
+    """Cross-query batched score-only banded SWIPE; [njobs, 3] int64
+    (score, max_col, max_row) in true per-job coordinates, or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    njobs = len(t_off)
+    out = np.empty((njobs, 3), dtype=np.int64)
+    bias_p = bias_base.ctypes.data if bias_base is not None else None
+    fn = l.banded_swipe_score_lanes  # lane-parallel fast path
+    fn(q_base.ctypes.data, bias_p, q_off.ctypes.data, q_len.ctypes.data,
+       use_bias.ctypes.data,
+       t_cat.ctypes.data, t_off.ctypes.data, t_len.ctypes.data,
+       d_begins.ctypes.data, bands.ctypes.data, njobs,
+       matrix32.ctypes.data, go, ge, out.ctypes.data)
+    return out
+
+
 def banded_swipe_tb_multi_native(q_base, bias_base, q_off, q_len, use_bias,
                                  t_cat, t_off, t_len, d_begins, bands,
                                  matrix32, go: int, ge: int):
@@ -371,6 +427,73 @@ def banded_swipe_tb_multi_native(q_base, bias_base, q_off, q_len, use_bias,
         op_off.ctypes.data, op_codes.ctypes.data, op_payload.ctypes.data,
         stats.ctypes.data)
     return out, stats, op_off, op_codes, op_payload
+
+
+def seed_complexity_keep_native(keys, weight: int, base: int, lnfact,
+                                cut: float):
+    """Per-group reduced-alphabet entropy keep mask; bool array or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty(len(keys), dtype=np.uint8)
+    l.seed_complexity_keep(keys.ctypes.data, len(keys), int(weight),
+                           int(base), lnfact.ctypes.data, float(cut),
+                           out.ctypes.data)
+    return out.view(bool)
+
+
+def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
+                            group_keep, group_lo, group_hi, q_block_starts,
+                            cutoff_per_query, window_per_query,
+                            clamp255, hamming_id, matrix32, self_search,
+                            s_block_starts, do_leftmost, reduction, shape,
+                            first_shape, chunked, current_matcher,
+                            previous_matcher, part_lo, part_hi, seedp_mask,
+                            out_rows):
+    """Fused stage1+stage2+left-most over a join-group slice; writes
+    [m, 4] hit rows into out_rows and returns m, or None."""
+    l = lib()
+    if l is None:
+        return None
+    import numpy as np
+
+    pos64 = getattr(shape, "_pos64", None)
+    if pos64 is None:
+        pos64 = np.ascontiguousarray(shape.positions, dtype=np.int64)
+        shape._pos64 = pos64
+
+    def m_args(m):
+        if m is None or m.empty:
+            return None, 0, 0, 1
+        return m.table.ctypes.data, int(m.suffix_mask), int(m.min_len), 0
+
+    ct, csm, cml, cem = m_args(current_matcher)
+    pt, psm, pml, pem = m_args(previous_matcher)
+    return l.stage12_pipeline(
+        q_letters.ctypes.data, s_letters.ctypes.data,
+        q_seed_mask.ctypes.data,
+        join.q_start.ctypes.data, join.q_pos.ctypes.data,
+        join.s_start.ctypes.data, join.s_pos.ctypes.data,
+        group_keep.ctypes.data if group_keep is not None else None,
+        int(group_lo), int(group_hi),
+        q_block_starts.ctypes.data, len(q_block_starts),
+        cutoff_per_query.ctypes.data, window_per_query.ctypes.data,
+        int(bool(clamp255)),
+        int(hamming_id), matrix32.ctypes.data,
+        int(bool(self_search)), s_block_starts.ctypes.data,
+        len(s_block_starts),
+        int(bool(do_leftmost)),
+        reduction.map.ctypes.data, int(reduction.size),
+        ctypes.c_uint64(shape.mask), pos64.ctypes.data, int(shape.weight),
+        int(shape.length),
+        int(bool(first_shape)), int(bool(chunked)),
+        ct, ctypes.c_uint64(csm), cml, cem,
+        pt, ctypes.c_uint64(psm), pml, pem,
+        int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
+        out_rows.ctypes.data)
 
 
 def backward_stats_native(q_base, bias_base, q_off, q_len, use_bias, t_cat,

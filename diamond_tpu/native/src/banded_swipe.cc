@@ -286,6 +286,29 @@ extern "C" void banded_swipe_tb_many(
     }
 }
 
+// Multi-query batched score-only DP (the wave driver's cross-query host
+// batch; one call per wave round).
+extern "C" void banded_swipe_score_multi(
+    const int8_t* q_base, const int32_t* bias_base,
+    const int64_t* q_off, const int64_t* q_len, const uint8_t* use_bias,
+    const int8_t* t_cat, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* d_begin, const int64_t* band, int64_t njobs,
+    const int32_t* matrix32, int64_t go, int64_t ge, int64_t* out) {
+    std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
+    for (int64_t k = 0; k < njobs; ++k) {
+        const int8_t* q = q_base + q_off[k];
+        const int32_t* bias =
+            (use_bias[k] && bias_base) ? bias_base + q_off[k] : nullptr;
+        int64_t o3[3];
+        swipe_one(q, q_len[k], bias, t_cat + t_off[k], t_len[k], d_begin[k],
+                  band[k], matrix32, (int32_t)go, (int32_t)ge, o3, nullptr,
+                  nullptr, nullptr, nullptr, Hbuf, Ebuf, c0buf, Fbuf);
+        out[3 * k] = o3[0];
+        out[3 * k + 1] = o3[1];
+        out[3 * k + 2] = o3[1] + d_begin[k] + o3[2];
+    }
+}
+
 // Multi-query batched DP + traceback walk: like banded_swipe_tb_many but
 // each job k addresses its own query at q_base + q_off[k] (the wave
 // driver's cross-query host batch; one call per wave round instead of

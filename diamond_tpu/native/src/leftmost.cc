@@ -94,6 +94,240 @@ extern "C" void leftmost_verify(
                             hamming_filter_id);
 }
 
+namespace {
+
+// Single-hit left-most filter core (body of left_most_filter_many below).
+inline uint8_t left_most_one(
+    const int8_t* q_letters, const int8_t* s_letters,
+    const uint8_t* q_seed_mask,
+    const int8_t* reduction_map, int64_t reduction_size,
+    int64_t qp, int64_t sp, int64_t seed_offset,
+    int64_t wl0, int64_t wr0,
+    uint64_t shape_mask, const int64_t* shape_positions,
+    int32_t shape_weight, int64_t shape_length,
+    int32_t first_shape, int32_t chunked,
+    const uint8_t* cur_table, uint64_t cur_suffix_mask, int32_t cur_min_len,
+    int32_t cur_empty,
+    const uint8_t* prev_table, uint64_t prev_suffix_mask,
+    int32_t prev_min_len, int32_t prev_empty,
+    int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
+    int32_t hamming_filter_id) {
+    const int64_t interval_mod = seed_offset % 32;
+    int64_t overhang = wl0 - interval_mod;
+    if (overhang < 0)
+        overhang = 0;
+    const int64_t seed_off = wl0 - overhang;
+    const int64_t win_len0 = wl0 + wr0 - overhang;
+    int64_t d = seed_off - 16;
+    if (d < 0)
+        d = 0;
+    int64_t wl = seed_off < 16 ? seed_off : 16;
+    int64_t qs = qp - seed_off + d;
+    int64_t ss = sp - seed_off + d;
+    int64_t window = win_len0 - d;
+    if (window > wl + 1 + 32)
+        window = wl + 1 + 32;
+    int64_t first_after = window;
+    int64_t last_before = -1;
+    for (int64_t o = 0; o < window; ++o) {
+        if (s_letters[ss + o] == DELIMITER) {
+            if (o >= wl) {
+                first_after = o;
+                break;
+            }
+            last_before = o;
+        }
+    }
+    const int64_t dd = last_before >= 0 ? last_before + 1 : 0;
+    qs += dd;
+    ss += dd;
+    wl -= dd;
+    window = first_after - dd;
+    uint64_t match_mask = 0, smask = 0;
+    for (int64_t o = 0; o < window; ++o) {
+        const int ql = q_letters[qs + o] & 31;
+        const int sl = s_letters[ss + o] & 31;
+        const bool aaq =
+            ql != MASK_LETTER && ql != DELIMITER && ql != STOP_LETTER;
+        const bool aas =
+            sl != MASK_LETTER && sl != DELIMITER && sl != STOP_LETTER;
+        if (aaq && aas && reduction_map[ql] == reduction_map[sl])
+            match_mask |= 1ull << o;
+        if (q_seed_mask[qs + o])
+            smask |= 1ull << o;
+    }
+    const uint64_t query_seed_mask = ~smask;
+    const int64_t len_left = wl + shape_length - 1;
+    const uint64_t bits_left = (1ull << len_left) - 1;
+    const uint64_t mm_left = match_mask & bits_left;
+    const uint64_t qm_left = query_seed_mask & bits_left;
+    const uint64_t left_hit =
+        matcher_hit(mm_left, len_left, cur_table, cur_suffix_mask,
+                    cur_min_len, cur_empty) & qm_left;
+    if (first_shape && !chunked) {
+        return left_hit == 0
+                   ? 1
+                   : (uint8_t)!verify_one(
+                         q_letters, s_letters, qs, ss, left_hit, mm_left, 1,
+                         shape_mask, shape_positions, shape_weight,
+                         reduction_map, reduction_size, chunked, part_lo,
+                         part_hi, seedp_mask, hamming_filter_id);
+    }
+    const int64_t len_right = window - wl - 1;
+    const uint64_t shift = (uint64_t)(wl + 1);
+    const uint64_t mm_right = (match_mask >> shift) & 0xFFFFFFFFull;
+    const uint64_t qm_right = (query_seed_mask >> shift) & 0xFFFFFFFFull;
+    const uint8_t* r_table = chunked ? cur_table : prev_table;
+    const uint64_t r_sm = chunked ? cur_suffix_mask : prev_suffix_mask;
+    const int32_t r_ml = chunked ? cur_min_len : prev_min_len;
+    const int32_t r_empty = chunked ? cur_empty : prev_empty;
+    const uint64_t right_hit =
+        matcher_hit(mm_right, len_right, r_table, r_sm, r_ml, r_empty) &
+        qm_right;
+    uint8_t keep = 1;
+    if (left_hit)
+        keep &= (uint8_t)!verify_one(
+            q_letters, s_letters, qs, ss, left_hit, mm_left, 1, shape_mask,
+            shape_positions, shape_weight, reduction_map, reduction_size,
+            chunked, part_lo, part_hi, seedp_mask, hamming_filter_id);
+    if (keep && right_hit)
+        keep &= (uint8_t)!verify_one(
+            q_letters, s_letters, qs + (int64_t)shift, ss + (int64_t)shift,
+            right_hit, mm_right, 0, shape_mask, shape_positions,
+            shape_weight, reduction_map, reduction_size, chunked, part_lo,
+            part_hi, seedp_mask, hamming_filter_id);
+    return keep;
+}
+
+}  // namespace
+
+// Fused stage-1 fingerprint filter -> stage-2 ungapped window score ->
+// left-most dedup over a seed-join CSR slice (native form of
+// diamond_tpu/search/pipeline.py _stage12; reference hot loops 1+2,
+// src/search/hamming/kernel.h:29-75 and stage2.h:74-154).  One pass per
+// candidate pair with early exits — no intermediate pair arrays exist.
+// Emits kept hits as [qidx, spos_global, qoff_local, min(score,255)]
+// rows; returns the row count.
+extern "C" int64_t stage12_pipeline(
+    const int8_t* q_letters, const int8_t* s_letters,
+    const uint8_t* q_seed_mask,
+    const int64_t* q_start, const int64_t* q_pos,
+    const int64_t* s_start, const int64_t* s_pos,
+    const uint8_t* group_keep,  // optional per-group skip mask
+    int64_t group_lo, int64_t group_hi,
+    const int64_t* q_block_starts, int64_t n_queries,
+    const int32_t* cutoff_per_query, const int64_t* window_per_query,
+    int32_t clamp255,
+    int32_t hamming_id, const int32_t* matrix32,
+    int32_t self_search,
+    const int64_t* s_block_starts, int64_t n_targets,
+    int32_t do_leftmost,
+    const int8_t* reduction_map, int64_t reduction_size,
+    uint64_t shape_mask, const int64_t* shape_positions,
+    int32_t shape_weight, int64_t shape_length,
+    int32_t first_shape, int32_t chunked,
+    const uint8_t* cur_table, uint64_t cur_suffix_mask, int32_t cur_min_len,
+    int32_t cur_empty,
+    const uint8_t* prev_table, uint64_t prev_suffix_mask,
+    int32_t prev_min_len, int32_t prev_empty,
+    int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
+    int64_t* out_rows) {
+    int64_t m = 0;
+    for (int64_t g = group_lo; g < group_hi; ++g) {
+        if (group_keep && !group_keep[g])
+            continue;
+        for (int64_t qi = q_start[g]; qi < q_start[g + 1]; ++qi) {
+            const int64_t qp = q_pos[qi];
+            // query id via binary search over ascending block starts
+            int64_t lo = 0, hi = n_queries;
+            while (lo + 1 < hi) {
+                const int64_t mid = (lo + hi) / 2;
+                if (q_block_starts[mid] <= qp)
+                    lo = mid;
+                else
+                    hi = mid;
+            }
+            const int64_t qidx = lo;
+            const int64_t qoff = qp - q_block_starts[qidx];
+            const int32_t cutoff = cutoff_per_query[qidx];
+            const int64_t window = window_per_query[qidx];
+            const int8_t* q = q_letters + qp;
+            // query-side delimiter clip (shared by stage 2 and left-most)
+            int64_t wleft = 0;
+            while (wleft < window && q[-wleft - 1] != DELIMITER)
+                ++wleft;
+            int64_t wright = 0;
+            while (wright < window && q[wright] != DELIMITER)
+                ++wright;
+            for (int64_t si = s_start[g]; si < s_start[g + 1]; ++si) {
+                const int64_t sp = s_pos[si];
+                const int8_t* s = s_letters + sp;
+                // stage 1: fingerprint identity
+                int32_t ident = 0;
+                for (int o = -16; o < 32; ++o)
+                    ident += (q[o] & 31) == (s[o] & 31);
+                if (ident < hamming_id)
+                    continue;
+                // stage 2: best ungapped segment on the seed diagonal
+                int64_t st = 0, bestsc = 0;
+                for (int64_t o = -wleft; o < wright; ++o) {
+                    st += matrix32[(q[o] & 31) * 32 + (s[o] & 31)];
+                    if (st < 0)
+                        st = 0;
+                    else if (clamp255 && st > 255)
+                        st = 255;
+                    if (st > bestsc)
+                        bestsc = st;
+                }
+                if (bestsc <= cutoff)
+                    continue;
+                if (self_search) {
+                    int64_t lo2 = 0, hi2 = n_targets;
+                    while (lo2 + 1 < hi2) {
+                        const int64_t mid = (lo2 + hi2) / 2;
+                        if (s_block_starts[mid] <= sp)
+                            lo2 = mid;
+                        else
+                            hi2 = mid;
+                    }
+                    if (lo2 == qidx)
+                        continue;
+                }
+                if (do_leftmost) {
+                    // left-most uses the 48-window clip regardless of the
+                    // per-query stage-2 window
+                    int64_t wl48 = wleft, wr48 = wright;
+                    if (window != 48) {
+                        wl48 = 0;
+                        while (wl48 < 48 && q[-wl48 - 1] != DELIMITER)
+                            ++wl48;
+                        wr48 = 0;
+                        while (wr48 < 48 && q[wr48] != DELIMITER)
+                            ++wr48;
+                    }
+                    if (!left_most_one(
+                            q_letters, s_letters, q_seed_mask, reduction_map,
+                            reduction_size, qp, sp, qoff, wl48, wr48,
+                            shape_mask, shape_positions, shape_weight,
+                            shape_length, first_shape, chunked, cur_table,
+                            cur_suffix_mask, cur_min_len, cur_empty,
+                            prev_table, prev_suffix_mask, prev_min_len,
+                            prev_empty, part_lo, part_hi, seedp_mask,
+                            hamming_id))
+                        continue;
+                }
+                int64_t* row = out_rows + 4 * m;
+                row[0] = qidx;
+                row[1] = sp;
+                row[2] = qoff;
+                row[3] = bestsc > 255 ? 255 : bestsc;
+                ++m;
+            }
+        }
+    }
+    return m;
+}
+
 extern "C" void left_most_filter_many(
     const int8_t* q_letters, const int8_t* s_letters,
     const uint8_t* q_seed_mask,

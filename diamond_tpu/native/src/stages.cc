@@ -155,6 +155,27 @@ extern "C" int64_t motif_scan_block(
     return m;
 }
 
+// Reduced-alphabet seed-complexity filter (native twin of
+// diamond_tpu/search/stages.py complexity_mask; reference
+// seed_complexity.cpp:37-51): keep[g] = 1 iff the multinomial entropy of
+// the seed key's bucket counts is >= cut.
+extern "C" void seed_complexity_keep(
+    const uint64_t* keys, int64_t n, int32_t weight, int64_t base,
+    const double* lnfact, double cut, uint8_t* keep) {
+    for (int64_t g = 0; g < n; ++g) {
+        uint64_t k = keys[g];
+        int32_t counts[64] = {0};
+        for (int32_t i = 0; i < weight; ++i) {
+            ++counts[k % (uint64_t)base];
+            k /= (uint64_t)base;
+        }
+        double e = lnfact[weight];
+        for (int64_t b = 0; b < base; ++b)
+            e -= lnfact[counts[b]];
+        keep[g] = e >= cut;
+    }
+}
+
 // Stable LSD radix sort of (key, value) pairs by key, 8 bits per pass,
 // high zero-bytes skipped (native replacement of the seed-join argsort).
 extern "C" void sort_kv_u64(

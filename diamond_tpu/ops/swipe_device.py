@@ -32,18 +32,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from diamond_tpu.ops.swipe_jax import make_profile, pad_band, pad_pow2
+from diamond_tpu.ops.swipe_jax import pad_band, pad_pow2
 
 NEG = -(2 ** 20)
 
 # Per-job cell cap for the device path: jobs above this (huge full-matrix
-# bands) fall back to the host C++ batch.  Bounded by VMEM: the H/E
-# scratch is 2 * tile_b * band * 4 bytes and t_idx is T * tile_b bytes.
-MAX_DEVICE_T = 8192
-MAX_DEVICE_BAND = 2048
-MAX_DEVICE_CELLS = 4 << 20
+# bands) fall back to the host C++ batch.  Bounded by VMEM: the t_idx
+# block pads tile_b to 128 lanes, so its footprint is T*128*4 bytes
+# (double-buffered), plus the (T+band, 32->128-lane) profile block —
+# T=4096 with band<=512 stays under the ~16 MB scoped VMEM limit.
+MAX_DEVICE_T = 4096
+MAX_DEVICE_BAND = 512
+MAX_DEVICE_CELLS = 2 << 20
 
-G_CAP = 64  # tiles per pallas call; larger batches loop at this size
+G_CAP = 128  # tiles per pallas call; larger batches loop at this size
+
+
+def _min_device_cells() -> int:
+    """Cost-based routing threshold: a job goes to the device only when its
+    padded cell count is at least this (smaller jobs run faster on the
+    host C++ path once per-dispatch latency is counted — on this
+    time-shared tunneled chip a kernel launch costs ~1s wall, so the
+    default favors big-band work like --swipe and wide sensitive bands;
+    co-located TPU hosts should set DIAMOND_TPU_DP_MIN_CELLS lower, 0
+    sends every job to the chip)."""
+    v = os.environ.get("DIAMOND_TPU_DP_MIN_CELLS")
+    if v is not None and v != "":
+        return int(v)
+    return 256 * 1024
 
 _cache_set = False
 
@@ -140,22 +156,37 @@ def _make_kernel(T: int, band: int, go: int, ge: int):
 
 @partial(jax.jit,
          static_argnames=("go", "ge", "band", "T", "tile_b", "interpret"))
-def banded_swipe_pallas_multi(t_idx, band_mask, profiles, go: int, ge: int,
+def banded_swipe_pallas_multi(t_idx8, band_mask8, q_let8, q_bias8, q_valid8,
+                              matrix32, go: int, ge: int,
                               band: int, T: int, tile_b: int = 32,
                               interpret: bool = False):
-    """Multi-query banded SWIPE.
+    """Multi-query banded SWIPE with on-device profile construction.
 
-    t_idx [G*T, tile_b] int32 shifted target letters (tile g's columns are
-    rows [g*T, (g+1)*T)); band_mask [G*tile_b, band] int32; profiles
-    [G*(T+band), 32] int32 — tile g's column j reads profile rows
-    [g*(T+band)+j, ...+j+band).
-    Returns (best [B], max_col [B], max_rowband [B]), B = G*tile_b.
+    Host->device transfer is int8 only: t_idx8 [G*T, tile_b] shifted
+    target letters (tile g's columns are rows [g*T, (g+1)*T)); band_mask8
+    [G*tile_b, band]; q_let8/q_bias8/q_valid8 [G*(T+band)] query letters /
+    Hauser bias / in-query flags per profile row (tile g's column j reads
+    rows [g*(T+band)+j, ..+j+band)).  The int32 profile
+    (matrix row + bias, NEG outside the query) is built here with a
+    one-hot MXU matmul, so the 32x-wider profile never crosses the host
+    boundary.  Returns (best [B], max_col [B], max_rowband [B]),
+    B = G*tile_b.
     """
-    GT, _tb = t_idx.shape
+    GT, _tb = t_idx8.shape
     T_pb = T + band
     G = GT // T
     B = G * tile_b
-    assert _tb == tile_b and profiles.shape[0] == G * T_pb
+    assert _tb == tile_b and q_let8.shape[0] == G * T_pb
+    lanes = jnp.arange(32, dtype=jnp.int32)[None, :]
+    onehot = (q_let8.astype(jnp.int32)[:, None] == lanes).astype(jnp.float32)
+    prof = jax.lax.dot_general(
+        onehot, matrix32.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    prof = prof + q_bias8.astype(jnp.int32)[:, None]
+    profiles = jnp.where(q_valid8.astype(jnp.int32)[:, None] != 0, prof, NEG)
+    t_idx = t_idx8.astype(jnp.int32)
+    band_mask = band_mask8.astype(jnp.int32)
     kernel = _make_kernel(T, band, go, ge)
     out_shape = [jax.ShapeDtypeStruct((G * 8, tile_b // 8), jnp.int32)] * 3
     out = pl.pallas_call(
@@ -184,8 +215,10 @@ def banded_swipe_pallas_multi(t_idx, band_mask, profiles, go: int, ge: int,
 def job_fits_device(tgt_len: int, d0: int, d1: int) -> bool:
     band = pad_band(d1 - d0)
     T = pad_pow2(tgt_len + max(0, -d0), 16)
+    cells = T * band
     return (T <= MAX_DEVICE_T and band <= MAX_DEVICE_BAND
-            and T * band <= MAX_DEVICE_CELLS)
+            and cells <= MAX_DEVICE_CELLS
+            and cells >= _min_device_cells())
 
 
 class _Group:
@@ -217,6 +250,8 @@ class DeviceDP:
                  tile_b: int = 32, interpret: bool = False):
         _ensure_compile_cache()
         self.matrix32 = matrix32
+        self._m32 = jnp.asarray(np.ascontiguousarray(matrix32,
+                                                     dtype=np.int32))
         self.go = gap_open + gap_extend
         self.ge = gap_extend
         self.tile_b = tile_b
@@ -224,9 +259,6 @@ class DeviceDP:
 
     def run_many(self, requests):
         out = [[None] * len(jobs) for _, _, jobs in requests]
-        # per-call profile cache: one profile per request, reused by every
-        # tile of that request
-        self._profiles = {}
         # group jobs per request by padded band
         groups: list[_Group] = []
         for r, (_, _, jobs) in enumerate(requests):
@@ -252,7 +284,6 @@ class DeviceDP:
                     j_true = int(mc[row]) - g.shifts[k]
                     i_true = int(mc[row]) - g.C + int(mr[row])
                     out[g.req][g.idx[k]] = (int(best[row]), j_true, i_true)
-        self._profiles = {}
         return out
 
     def _dispatch_bucket(self, T, band, grps, requests):
@@ -275,33 +306,39 @@ class DeviceDP:
     def _launch(self, T, band, G, tiles, requests):
         tile_b = self.tile_b
         B = G * tile_b
-        t_idx = np.full((B, T), 31, dtype=np.int32)
-        band_mask = np.zeros((B, band), dtype=np.int32)
-        profiles = np.full((G, T + band, 32), NEG, dtype=np.int32)
+        T_pb = T + band
+        t_idx = np.full((B, T), 31, dtype=np.int8)
+        band_mask = np.zeros((B, band), dtype=np.int8)
+        q_let = np.zeros((G, T_pb), dtype=np.int8)
+        q_bias = np.zeros((G, T_pb), dtype=np.int8)
+        q_valid = np.zeros((G, T_pb), dtype=np.int8)
         for gnum, (g, lo, hi) in enumerate(tiles):
             base = gnum * tile_b
             for k in range(lo, hi):
                 t, d0, d1 = g.jobs[k]
                 s = g.shifts[k]
                 row = base + k - lo
-                t_idx[row, s : s + len(t)] = np.asarray(t, dtype=np.int32) & 31
+                t_idx[row, s : s + len(t)] = np.asarray(t, dtype=np.int8) & 31
                 band_mask[row, : d1 - d0] = 1
             query, bias, _ = requests[g.req]
-            prof = self._profiles.get(g.req)
-            if prof is None:
-                prof = make_profile(query, bias, self.matrix32, len(query))
-                self._profiles[g.req] = prof
             qlen = len(query)
-            lo_q = -g.C
+            lo_q = -g.C  # profile row j maps to query index lo_q + j
             i0 = max(0, lo_q)
-            i1 = min(qlen, lo_q + T + band)
+            i1 = min(qlen, lo_q + T_pb)
             if i1 > i0:
-                profiles[gnum, i0 - lo_q : i1 - lo_q] = prof[i0:i1]
+                q_let[gnum, i0 - lo_q : i1 - lo_q] = \
+                    np.asarray(query[i0:i1], dtype=np.int8) & 31
+                q_valid[gnum, i0 - lo_q : i1 - lo_q] = 1
+                if bias is not None:
+                    q_bias[gnum, i0 - lo_q : i1 - lo_q] = \
+                        np.asarray(bias[i0:i1], dtype=np.int8)
         t2 = np.ascontiguousarray(
             t_idx.reshape(G, tile_b, T).swapaxes(1, 2)).reshape(G * T,
                                                                 tile_b)
         dev_out = banded_swipe_pallas_multi(
             jnp.asarray(t2), jnp.asarray(band_mask),
-            jnp.asarray(profiles.reshape(G * (T + band), 32)),
-            self.go, self.ge, band, T, tile_b, self.interpret)
+            jnp.asarray(q_let.reshape(G * T_pb)),
+            jnp.asarray(q_bias.reshape(G * T_pb)),
+            jnp.asarray(q_valid.reshape(G * T_pb)),
+            self._m32, self.go, self.ge, band, T, tile_b, self.interpret)
         return dev_out, tiles, tile_b

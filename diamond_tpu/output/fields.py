@@ -29,6 +29,8 @@ class FieldContext:
     matrix: object = None   # ScoreMatrix
     taxonomy: object = None
     dna_len: int = 0
+    qual: str | None = None  # FASTQ quality string (full query)
+    hauser: bool = True      # CBS mode uses Hauser bias (self-aln scores)
 
 
 def _aligned_seqs(hsp, q, t, gapped: bool):
@@ -186,10 +188,94 @@ def render_field(f: str, hsp, ctx: FieldContext) -> str:
         return _btop(hsp, ctx.query, ctx.target)
     if f == "cigar":
         return _cigar(hsp)
+    if f == "sallseqid":
+        return ";".join(_first_id(t) for t in _split_header(ctx.target_title))
+    if f == "salltitles":
+        return "<>".join(_split_header(ctx.target_title))
+    if f == "qqual":
+        # quality for the aligned part of the (source) query (reference
+        # blast_tab_format.cpp QQual)
+        if not ctx.qual:
+            return "*"
+        if ctx.dna_len:
+            from diamond_tpu.data.translate import absolute_interval
+
+            a, b = absolute_interval(qr[0], qr[1], hsp.frame, ctx.dna_len)
+        else:
+            a, b = qr
+        return ctx.qual[a:b]
+    if f == "full_qqual":
+        return ctx.qual or "*"
+    if f == "full_qseq_mate":
+        # paired query files are not loaded; the reference prints '*'
+        # when config.query_file.size() != 2 (blast_tab_format.cpp:558)
+        return "*"
+    if f == "qseq_translated":
+        return _aligned_seqs(hsp, ctx.query, ctx.target, False)[0]
+    if f == "approx_pident":
+        from diamond_tpu.cluster.realign import approx_id
+
+        import numpy as np
+
+        ident = (qr[1] - qr[0] == sr[1] - sr[0]
+                 and np.array_equal(
+                     np.asarray(ctx.query)[qr[0]:qr[1]] & 31,
+                     np.asarray(ctx.target)[sr[0]:sr[1]] & 31))
+        aid = 100.0 if ident else approx_id(hsp.score, qr[1] - qr[0],
+                                            sr[1] - sr[0])
+        return format_double(aid)
+    if f == "normalized_bitscore":
+        # %lf like the reference TextBuffer::print_d (text_buffer.h:231)
+        s = max(_self_aln_bitscore(ctx.query, ctx.matrix, ctx.hauser),
+                _self_aln_bitscore(ctx.target, ctx.matrix, ctx.hauser))
+        return f"{hsp.bit_score / s:.6f}"
+    if f == "normalized_bitscore_query":
+        return (f"{hsp.bit_score / _self_aln_bitscore(ctx.query, ctx.matrix, ctx.hauser):.6f}")
     if f in ("staxids", "sscinames", "skingdoms", "sskingdoms", "sphylums",
              "slineages"):
         return _taxon_field(f, ctx)
     raise ValueError(f"Unsupported output field: {f}")
+
+
+def _split_header(title: str) -> list:
+    """Split a FASTA header on the NCBI separators '\\x01' and ' >'
+    (reference util/sequence/sequence.cpp:38 FASTA_HEADER_SEP)."""
+    import re
+
+    return re.split("\x01| >", title)
+
+
+def _first_id(title: str) -> str:
+    """Leading token up to the id delimiters (reference
+    sequence.cpp:37)."""
+    import re
+
+    return re.split("[ \a\b\f\n\r\t\v\x01]", title, 1)[0]
+
+
+def _self_aln_bitscore(seq, matrix, hauser: bool) -> float:
+    """Self-alignment bit score (reference dp/ungapped_align.cpp:259-281
+    self_score + Block::compute_self_aln, block.cpp:188-196): Kadane over
+    the diagonal self scores, with the Hauser bias under CBS mode 1.
+    Byte-verified against the reference for protein queries (the
+    clustering use case); translated-query frames can differ from the
+    reference, whose value reflects its soft-masked frame letters."""
+    import numpy as np
+
+    q = np.asarray(seq).astype(np.int64) & 31
+    d = matrix.matrix32[q, q].astype(np.int64)
+    if hauser:
+        from diamond_tpu.stats.cbs import hauser_correction
+
+        _, i8 = hauser_correction(seq, matrix.matrix32,
+                                  matrix.background_scores)
+        d = d + np.asarray(i8, dtype=np.int64)
+    best = 0
+    run = 0
+    for v in d.tolist():
+        run = max(run + v, 0)
+        best = max(best, run)
+    return float(matrix.bitscore(best))
 
 
 def _taxon_field(f: str, ctx: FieldContext) -> str:

@@ -77,7 +77,8 @@ def format_match_line(query_name: str, target_name: str, hsp, fields=None,
 
 
 def format_results(results: dict, query_block, target_block, fields=None,
-                   dna_lens=None, query_names=None, matrix=None, taxonomy=None):
+                   dna_lens=None, query_names=None, matrix=None, taxonomy=None,
+                   quals=None, hauser=True):
     """Yield output lines in query order (ReorderQueue semantics)."""
     from diamond_tpu.output.fields import FieldContext, render_field
 
@@ -110,7 +111,8 @@ def format_results(results: dict, query_block, target_block, fields=None,
                     qnum=qid, snum=m.target_block_id, hsp_num=hn + 1,
                     query=query_block.seq(cid),
                     target=target_block.seq(m.target_block_id),
-                    matrix=matrix, taxonomy=taxonomy, dna_len=dl)
+                    matrix=matrix, taxonomy=taxonomy, dna_len=dl,
+                    qual=quals[qid] if quals else None, hauser=hauser)
                 yield "\t".join(render_field(f, hsp, ctx) for f in fields)
 
 

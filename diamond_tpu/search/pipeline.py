@@ -226,13 +226,16 @@ class Pipeline:
                 ti = (t_parts >= lo) & (t_parts < hi)
                 join = stages.seed_join(q_keys_f[qi], q_pos_f[qi],
                                         t_keys[ti], t_pos[ti])
+                group_keep = None
                 if cfg.freq_masking and not cfg.lin_stage1_target:
                     join, masked_pos = self._frequent_seed_mask(join)
                 else:
-                    join, masked_pos = self._complexity_mask(join, shape)
+                    join, masked_pos, group_keep = \
+                        self._complexity_keep(join, shape)
                 if len(masked_pos):
                     self.query_seed_mask[masked_pos] = True
-                shape_hits.append(self._stage12(join, shape, sid, chunk, lo, hi))
+                shape_hits.append(self._stage12(join, shape, sid, chunk,
+                                                lo, hi, group_keep))
             shape_arr = (np.concatenate(shape_hits) if shape_hits
                          else np.empty((0, 4), dtype=np.int64))
             if self.ranking_table is not None:
@@ -331,7 +334,100 @@ class Pipeline:
         _, masked = _csr_gather(join.q_start[idx], counts, join.q_pos)
         return kept, masked
 
-    def _stage12(self, join, shape, sid, chunk, part_lo, part_hi):
+    def _per_query_cutoffs(self):
+        """Per-query stage-2 cutoff and window arrays (the short-query
+        rules of reference stage2.h:41-61, precomputed once per block)."""
+        if hasattr(self, "_pq_cut"):
+            return self._pq_cut, self._pq_win
+        cfg = self.cfg
+        qlens = np.asarray(self.q.lengths, dtype=np.int64)
+        cut = self._cutoff_table(qlens).astype(np.int32)
+        cut = np.where(qlens <= 60,
+                       np.int32(cfg.matrix.rawscore(25.0)), cut)
+        win = np.full(len(qlens), 48, dtype=np.int64)
+        if cfg.translated:
+            short85 = (qlens > 60) & (qlens <= 85)
+            if short85.any():
+                cut = np.where(short85,
+                               self._cutoff_table_short(qlens).astype(np.int32),
+                               cut)
+            win = np.where(qlens <= 85, qlens, win)
+        self._pq_cut = np.ascontiguousarray(cut)
+        self._pq_win = np.ascontiguousarray(win)
+        return self._pq_cut, self._pq_win
+
+    def _stage12_native(self, join, shape, sid, part_lo, part_hi,
+                        skip_lm: bool, group_keep=None):
+        """Fused native stage1+2+left-most over the join (one pass per
+        candidate pair, no intermediate arrays; native/src/leftmost.cc
+        stage12_pipeline).  Returns [N,4] hit rows or None."""
+        from diamond_tpu import native
+
+        if native.lib() is None:
+            return None
+        cfg = self.cfg
+        n_groups = len(join.keys)
+        if n_groups == 0:
+            return np.empty((0, 4), dtype=np.int64)
+        cut, win = self._per_query_cutoffs()
+        chunked = cfg.index_chunks > 1
+        current = self._matcher(sid + 1)
+        previous = self._matcher(sid) if sid > 0 else self._matcher(0)
+        q_counts = np.diff(join.q_start)
+        s_counts = np.diff(join.s_start)
+        cum = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(q_counts * s_counts, out=cum[1:])
+        CAP = 1 << 21
+        buf = getattr(self, "_s12_buf", None)
+        if buf is None:
+            buf = self._s12_buf = np.empty((CAP, 4), dtype=np.int64)
+        outs = []
+        g0 = 0
+        while g0 < n_groups:
+            g1 = int(np.searchsorted(cum, cum[g0] + CAP, side="right")) - 1
+            if g1 <= g0:
+                g1 = g0 + 1
+            pairs = int(cum[g1] - cum[g0])
+            b = buf if pairs <= CAP else np.empty((pairs, 4), dtype=np.int64)
+            m = native.stage12_pipeline_native(
+                self.q.letters, self.t.letters, self.query_seed_mask, join,
+                group_keep, g0, g1, self.q.starts, cut, win, True,
+                cfg.hamming_filter_id, cfg.matrix.matrix32,
+                cfg.self_search, self.t.starts, not skip_lm,
+                cfg.reduction, shape, sid == 0, chunked, current, previous,
+                part_lo, part_hi, cfg.seedp_mask, b)
+            if m:
+                outs.append(b[:m].copy())
+            g0 = g1
+        if not outs:
+            return np.empty((0, 4), dtype=np.int64)
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def _complexity_keep(self, join, shape):
+        """Seed-complexity filter as a per-group keep mask (native fast
+        path avoids rebuilding the join CSR; the fused stage-1/2 pass
+        skips dropped groups).  Returns (join, masked_positions, keep)."""
+        from diamond_tpu import native
+        from diamond_tpu.search.stages import _LNFACT, _csr_gather
+
+        cfg = self.cfg
+        if not len(join.keys):
+            return join, np.zeros(0, dtype=np.int64), None
+        keep = native.seed_complexity_keep_native(
+            join.keys, shape.weight, cfg.reduction.size, _LNFACT,
+            cfg.seed_complexity_cut)
+        if keep is None:
+            join2, masked = self._complexity_mask(join, shape)
+            return join2, masked, None
+        if keep.all():
+            return join, np.zeros(0, dtype=np.int64), None
+        didx = np.nonzero(~keep)[0]
+        counts = np.diff(join.q_start)[didx]
+        _, masked = _csr_gather(join.q_start[didx], counts, join.q_pos)
+        return join, masked, keep
+
+    def _stage12(self, join, shape, sid, chunk, part_lo, part_hi,
+                 group_keep=None):
         cfg = self.cfg
         if cfg.lin_stage1_target and len(join.keys):
             # linearized stage 1: one target occurrence per seed — the first
@@ -343,6 +439,16 @@ class Pipeline:
                 keys=join.keys, q_start=join.q_start, q_pos=join.q_pos,
                 s_start=np.arange(len(join.keys) + 1, dtype=np.int64),
                 s_pos=join.s_pos[join.s_start[:-1]])
+        skip_lm = bool(cfg.traits.sketch or cfg.lin_stage1_target
+                       or cfg.minimizer_window)
+        r = self._stage12_native(join, shape, sid, part_lo, part_hi, skip_lm,
+                                 group_keep)
+        if r is not None:
+            return r
+        if group_keep is not None:
+            from diamond_tpu.search.stages import _filter_groups
+
+            join = _filter_groups(join, group_keep)
         qp, sp = stages.expand_pairs(join)
         if len(qp) == 0:
             return np.empty((0, 4), dtype=np.int64)
@@ -504,7 +610,7 @@ class Pipeline:
         from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
 
         if qids and device_dp_enabled():
-            # TPU-first: cross-query batched DP on the accelerator
+            # TPU-first: cross-query batched DP, big-band jobs on the chip
             from diamond_tpu.align.wave import extend_wave
             from diamond_tpu.ops.swipe_device import DeviceDP
 
@@ -515,6 +621,12 @@ class Pipeline:
         if self.cfg.threads > 1 and len(qids) > 1 and _can_fork():
             return _extend_parallel(self.ctx, by_query, qids,
                                     self.cfg.threads)
+        if qids:
+            # host-only wave: cross-query native DP batches (one call per
+            # round instead of one per query)
+            from diamond_tpu.align.wave import extend_wave
+
+            return extend_wave(self.ctx, by_query, qids, None)
         results = {}
         for qid in qids:
             results[qid] = extend_query(qid, by_query[qid], self.ctx)

@@ -90,8 +90,10 @@ def test_device_golden_blastp_on_tpu():
     from tests.test_golden_e2e import golden, run_blastp
 
     os.environ["DIAMOND_TPU_DEVICE_DP"] = "1"
+    os.environ["DIAMOND_TPU_DP_MIN_CELLS"] = "0"  # route every job on-chip
     try:
         lines = run_blastp(f"{TD}/data.faa", f"{TD}/data.faa")
     finally:
         os.environ.pop("DIAMOND_TPU_DEVICE_DP", None)
+        os.environ.pop("DIAMOND_TPU_DP_MIN_CELLS", None)
     assert lines == golden("diamond-test-blastp-default.out")
