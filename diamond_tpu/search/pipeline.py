@@ -75,6 +75,23 @@ def mask_block(block: Block, masker: Tantan):
         block.letters[s : s + L] = np.where(prob >= masker.p_mask, MASK_LETTER, seq)
 
 
+def mask_block_seg(block: Block):
+    """Hard NCBI-SEG masking in place (--masking seg; reference
+    masking.cpp:172-193, lib/blast/blast_seg.cpp)."""
+    if getattr(block, "_seg_masked", False):
+        return
+    block._seg_masked = True
+    if block.unmasked is None:
+        block.save_unmasked()
+    from diamond_tpu.masking.seg import seg_mask_ranges
+
+    for i in range(len(block)):
+        s = int(block.starts[i])
+        L = int(block.lengths[i])
+        for b, e in seg_mask_ranges(block.letters[s : s + L]):
+            block.letters[s + b : s + e] = MASK_LETTER
+
+
 def motif_mask_ranges(block: Block):
     """Global-position motif mask ranges per sequence.
 
@@ -151,6 +168,12 @@ class Pipeline:
             mask_block(self.t, masker)
             if not self.same_block:
                 mask_block(self.q, masker)
+            timer.finish()
+        elif cfg.masking == "seg":
+            # --masking seg: SEG on the TARGET only, queries unmasked
+            # (reference run/config.cpp:128-129)
+            timer.go("Masking sequences (SEG)")
+            mask_block_seg(self.t)
             timer.finish()
 
         # motif soft-mask ranges computed once on the masked block

@@ -52,3 +52,24 @@ def test_extended_golden(name, kw):
         fa, fb = a.split("\t"), b.split("\t")
         assert (fa[0], fa[1]) in KNOWN_PAIR
         assert fa[:4] == fb[:4] and fa[6:] == fb[6:]
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
+                    reason="set RUN_EXTENDED_GOLDENS=1 (several min)")
+def test_seg_masking():
+    """--masking seg: NCBI SEG on the target block only (reference
+    run/config.cpp:128-129, lib/blast/blast_seg.cpp); byte-identical to
+    the reference binary on the data.faa self-search."""
+    import io
+    from contextlib import redirect_stdout
+
+    from diamond_tpu.cli import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
+              "--masking", "seg"])
+    lines = buf.getvalue().splitlines()
+    with open(os.path.join(os.path.dirname(__file__), "goldens",
+                           "seg-masking-data.out")) as f:
+        assert lines == f.read().splitlines()
