@@ -36,6 +36,8 @@ def build_parser():
         sp.add_argument("--top", type=float, default=None)
         sp.add_argument("--max-hsps", type=int, default=1)
         sp.add_argument("--matrix", default="BLOSUM62")
+        sp.add_argument("--custom-matrix", default=None,
+                        help="file containing custom scoring matrix")
         sp.add_argument("--gapopen", type=int, default=-1)
         sp.add_argument("--gapextend", type=int, default=-1)
         sp.add_argument("--comp-based-stats", type=int, default=1)
@@ -286,7 +288,7 @@ def cmd_blastp(args):
     if args.dbsize:
         db_letters = args.dbsize  # --dbsize overrides e-value stats
     cfg = SearchConfig(
-        matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
+        matrix=_make_matrix(args),
         sensitivity=args.sensitivity,
         comp_based_stats=args.comp_based_stats,
         max_evalue=args.evalue,
@@ -530,6 +532,20 @@ def _global_ranking_search(cfg, qb, tb, queries=None):
         return out
 
     return extend_ranked(table, contexts_fn, biases_fn, tb, oid2block, cfg)
+
+
+def _make_matrix(args):
+    from diamond_tpu.stats.score_matrix import ScoreMatrix, custom_matrix
+
+    if getattr(args, "custom_matrix", None):
+        if args.gapopen < 0 or args.gapextend < 0:
+            raise SystemExit("Custom scoring matrices require setting the "
+                             "--gapopen and --gapextend options.")
+        if args.comp_based_stats >= 2:
+            raise SystemExit("This mode of composition based stats is not "
+                             "supported with a custom matrix.")
+        return custom_matrix(args.custom_matrix, args.gapopen, args.gapextend)
+    return ScoreMatrix(args.matrix, args.gapopen, args.gapextend)
 
 
 def _cbs_hauser(mode) -> bool:

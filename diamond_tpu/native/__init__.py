@@ -201,6 +201,11 @@ def lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_void_p]
         cdll.stage12_pipeline.restype = ctypes.c_int64
+        cdll.sw_islands.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        cdll.sw_islands.restype = ctypes.c_int64
         _lib = cdll
     except Exception:
         _lib = None
@@ -427,6 +432,22 @@ def banded_swipe_tb_multi_native(q_base, bias_base, q_off, q_len, use_bias,
         op_off.ctypes.data, op_codes.ctypes.data, op_payload.ctypes.data,
         stats.ctypes.data)
     return out, stats, op_off, op_codes, op_payload
+
+
+def sw_islands_native(q8, t8, matrix20, go: int, ge: int):
+    """SW island decomposition scores for the Gumbel simulation; int32
+    array of per-island best scores or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    cap = len(q8) * len(t8) // 4 + 1024
+    out = np.empty(cap, dtype=np.int32)
+    m20 = np.ascontiguousarray(matrix20, dtype=np.int32)
+    n = l.sw_islands(q8.ctypes.data, len(q8), t8.ctypes.data, len(t8),
+                     m20.ctypes.data, go, ge, out.ctypes.data, cap)
+    return out[:n].copy()
 
 
 def seed_complexity_keep_native(keys, weight: int, base: int, lnfact,

@@ -105,6 +105,122 @@ def _padded(scores: np.ndarray, n: int, stop_match_score: int = 1, bias: int = 0
     return out
 
 
+def parse_custom_matrix(path: str, mask_score: int):
+    """Parse a custom scoring matrix file (reference
+    score_matrix.cpp:110-155 custom_scores): a header row of letters,
+    then one row per letter; unspecified pairs get mask_score, and the
+    SUPER_HARD_MASK letter scores min_score against everything."""
+    from diamond_tpu.constants.alphabet import AMINO_ACID_COUNT, encode
+
+    scores = np.full((AMINO_ACID_COUNT, AMINO_ACID_COUNT), mask_score,
+                     dtype=np.int64)
+    pos = None
+    n = 0
+    min_score = None
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            if pos is None:
+                pos = [int(encode(ch)[0]) for ch in line.split()]
+                continue
+            if n >= len(pos):
+                break
+            toks = line.split()
+            row_letter = int(encode(toks[0])[0])
+            if row_letter != pos[n]:
+                raise ValueError("Invalid custom scoring matrix file format.")
+            for i, tok in enumerate(toks[1 : len(pos) + 1]):
+                v = int(tok)
+                scores[pos[n], pos[i]] = v
+                min_score = v if min_score is None else min(min_score, v)
+            n += 1
+    if min_score is not None:
+        from diamond_tpu.constants.alphabet import SUPER_HARD_MASK
+
+        scores[:, SUPER_HARD_MASK] = min_score
+        scores[SUPER_HARD_MASK, :] = min_score
+    return scores
+
+
+def custom_matrix(path: str, gap_open: int, gap_extend: int,
+                  stop_match_score: int = 1, seed: int = 1):
+    """ScoreMatrix for a --custom-matrix file (reference
+    score_matrix.cpp:156-192): scores from the file, BLOSUM62 background
+    frequencies, and gapped Gumbel/FSC parameters estimated by the
+    island-method simulation (stats/alp.py — the ALP initGapped
+    replacement).  Parameters are cached per (file, penalties)."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from diamond_tpu.constants.alphabet import AMINO_ACID_COUNT, TRUE_AA
+    from diamond_tpu.stats import evalue as ev
+
+    if gap_open < 0 or gap_extend < 0:
+        raise ValueError("--custom-matrix requires explicit --gapopen and "
+                         "--gapextend")
+    scores = parse_custom_matrix(path, -gap_extend)
+    m = ScoreMatrix.__new__(ScoreMatrix)
+    m.name = "custom"
+    m._data = None
+    m.gap_open = gap_open
+    m.gap_extend = gap_extend
+    m.frame_shift = 0
+    m.stop_match_score = stop_match_score
+    m.db_letters = 0
+    m.scale = 1
+    n = AMINO_ACID_COUNT
+    m.matrix32 = _padded(scores.ravel(), n, stop_match_score)
+    m.matrix8 = m.matrix32.astype(np.int8)
+    m.matrix16 = m.matrix32.astype(np.int16)
+    aa = m.matrix32[:n, :n]
+    iu = np.triu_indices(n, k=1)
+    m.low_score = int(np.int8(aa[iu].min()))
+    m.high_score = int(np.int8(aa[np.triu_indices(n)].max()))
+    m.bias = -m.low_score
+    m.matrix8u = _padded(scores.ravel(), n, stop_match_score,
+                         bias=m.bias).astype(np.uint8)
+    bg = np.asarray(MATRICES["BLOSUM62"]["background_freqs"],
+                    dtype=np.float64)[:TRUE_AA]
+    bg = bg / bg.sum()
+    m.background_freqs = bg
+    m.joint_probs = None
+    m.freq_ratios = None
+    m.background_scores = m.matrix32[:TRUE_AA, :TRUE_AA].astype(
+        np.float64) @ bg
+    probs, lo, hi = matrix_score_probs(m.matrix32[:TRUE_AA, :TRUE_AA],
+                                       bg, bg)
+    m.ideal_lambda = karlin_lambda(probs, lo, hi)
+    m.ungapped_lambda = m.ideal_lambda
+    m.matrix32_scaled = None  # CBS matrix adjust unsupported (no ratios)
+
+    with open(path, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"diamond_tpu_alp_{os.getuid()}")
+    os.makedirs(cache, exist_ok=True)
+    key = os.path.join(cache, f"{h}_{gap_open}_{gap_extend}_{seed}.json")
+    if os.path.exists(key):
+        with open(key) as f:
+            d = json.load(f)
+        m.gumbel = ev.GumbelParams(**d)
+    else:
+        from diamond_tpu.stats.alp import gapped_params
+
+        m20 = np.ascontiguousarray(m.matrix32[:TRUE_AA, :TRUE_AA],
+                                   dtype=np.int32)
+        m.gumbel = gapped_params(m20, bg, gap_open, gap_extend, seed=seed)
+        with open(key, "w") as f:
+            json.dump(m.gumbel.__dict__, f)
+    m.ln_k = m.gumbel.ln_k
+    m._ungapped = None
+    m._gapped = None
+    return m
+
+
 class ScoreMatrix:
     """A named scoring matrix with gap penalties and Gumbel statistics."""
 

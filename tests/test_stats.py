@@ -5,6 +5,8 @@ Golden values come from the reference's committed regression outputs
 pin down the exact raw score -> bitscore/e-value mapping including the
 Hauser composition bias.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -154,3 +156,27 @@ def test_evalue_vs_bitscore_consistency(blosum62):
     for s in [50, 100, 300, 879]:
         b = m.bitscore(s)
         assert m.rawscore(b) == s
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
+                    reason="set RUN_EXTENDED_GOLDENS=1 (~1 min simulation)")
+def test_custom_matrix_params():
+    """--custom-matrix Gumbel parameters from the island-method simulation
+    (stats/alp.py) agree with the reference's ALP values within
+    simulation tolerance.  Fixture: BLOSUM62 written as a custom file;
+    the reference binary's ALP run reports Lambda=0.2724 K=0.0498
+    (vs 0.267/0.041 in the precomputed table — ALP itself deviates)."""
+    import numpy as np
+
+    from diamond_tpu.constants.alphabet import AMINO_ACID_ALPHABET
+    from diamond_tpu.stats.alp import island_lambda_k
+    from diamond_tpu.stats.score_matrix import MATRICES, ScoreMatrix
+
+    m = ScoreMatrix("BLOSUM62")
+    bg = np.asarray(MATRICES["BLOSUM62"]["background_freqs"],
+                    dtype=np.float64)[:20]
+    bg = bg / bg.sum()
+    m20 = np.ascontiguousarray(m.matrix32[:20, :20], dtype=np.int32)
+    lam, K = island_lambda_k(m20, bg, 11, 1, seed=1)
+    assert abs(lam - 0.2724) / 0.2724 < 0.05
+    assert 0.015 < K < 0.15
