@@ -45,6 +45,8 @@ def build_parser():
         sp.add_argument("--motif-masking", type=int, default=None)
         sp.add_argument("--index-chunks", "-c", type=int, default=None)
         sp.add_argument("--block-size", "-b", type=float, default=None)
+        sp.add_argument("--memory-limit", "-M", default=None,
+                        help="memory limit (e.g. 16G) -> derives -b/-c")
         sp.add_argument("--daa-build-version", type=int, default=0)
         sp.add_argument("--no-auto-append", action="store_true")
         sp.add_argument("--global-ranking", "-g", type=int, default=0)
@@ -144,6 +146,9 @@ def build_parser():
         sp.add_argument("--mcl-expansion", type=int, default=2)
         sp.add_argument("--mcl-inflation", type=float, default=2.0)
         sp.add_argument("--mcl-max-iterations", type=int, default=100)
+        sp.add_argument("--multiprocessing", action="store_true")
+        sp.add_argument("--parallel-tmpdir", default=None)
+        sp.add_argument("--block-size", "-b", type=float, default=None)
         sp.add_argument("--mcl-nonsymmetric", action="store_true")
 
     sp = sub.add_parser("getseq", help="Extract sequences from database")
@@ -220,6 +225,11 @@ def build_parser():
     for cmd in ("reassign", "recluster"):
         sub.add_parser(cmd, help=f"{cmd} (disabled, matching the reference)")
 
+    for cmd in ("roc", "rocid"):
+        sub.add_parser(cmd, help=f"{cmd} (deprecated, matching the reference)")
+    sp = sub.add_parser("prepdb", help="prepdb (deprecated no-op)")
+    sp.add_argument("--db", "-d", required=False)
+
     sp = sub.add_parser("makeidx", help="Build seed index for --target-indexed")
     sp.add_argument("--db", "-d", required=True)
     sens = sp.add_mutually_exclusive_group()
@@ -278,6 +288,7 @@ def cmd_blastp(args):
 
     validate_filters(args)
     validate_global_ranking(args)
+    _apply_memory_limit(args)
     if args.block_size is not None:
         return cmd_blastp_blocked(args)
     qb = load_block(args.query)
@@ -532,6 +543,38 @@ def _global_ranking_search(cfg, qb, tb, queries=None):
         return out
 
     return extend_ranked(table, contexts_fn, biases_fn, tb, oid2block, cfg)
+
+
+def _parse_memory(v: str) -> int:
+    v = str(v).strip()
+    mult = 1
+    if v and v[-1] in "GgMmKk":
+        mult = {"g": 1 << 30, "m": 1 << 20, "k": 1 << 10}[v[-1].lower()]
+        v = v[:-1]
+    return int(float(v) * mult)
+
+
+def _apply_memory_limit(args):
+    """-M/--memory-limit derives block size and index chunks when not
+    explicitly given (reference basic/config.cpp:97-130 block_size)."""
+    ml = getattr(args, "memory_limit", None)
+    if not ml:
+        return
+    import os
+
+    from diamond_tpu.search.config import block_size as _bs
+
+    db_letters = 0
+    try:
+        db_letters = os.path.getsize(args.db)
+    except OSError:
+        pass
+    b, c = _bs(_parse_memory(ml), db_letters, args.sensitivity, False,
+               args.threads)
+    if args.block_size is None:
+        args.block_size = b
+    if args.index_chunks is None:
+        args.index_chunks = c
 
 
 def _make_matrix(args):
@@ -859,6 +902,14 @@ def _dispatch(args):
         from diamond_tpu.tools_cmds import cmd_greedy_vertex_cover
 
         cmd_greedy_vertex_cover(args)
+    elif args.command in ("roc", "rocid"):
+        # reference run/main.cpp:156-161
+        raise SystemExit(f"Deprecated command: {args.command}")
+    elif args.command == "prepdb":
+        # reference run/main.cpp:168-172
+        print("Warning: prepdb is deprecated since v2.1.14 and no longer "
+              "needed to use BLAST databases. No action was taken.",
+              file=sys.stderr)
     elif args.command in ("reassign", "recluster"):
         # reference main.cpp:182-193: temporarily removed upstream
         ver = "v2.2.1" if args.command == "reassign" else "v2.1.25"

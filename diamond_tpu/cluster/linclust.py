@@ -170,15 +170,29 @@ def _lin_round_edges(block: Block, rep_oids, orig_oids, step: str, cfg):
     # cluster/helpers.cpp:159-162 soft_masking="tantan", masking="0")
     masker = Tantan(mat.matrix32)
     soft = []
-    for i in range(len(sub)):
-        s = int(sub.starts[i])
-        L = int(sub.lengths[i])
-        prob = masker.repeat_prob(sub.letters[s : s + L])
-        mask = prob >= masker.p_mask
-        if mask.any():
-            d = np.diff(np.concatenate([[0], mask.view(np.int8), [0]]))
-            for b, e in zip(np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]):
-                soft.append((s + int(b), s + int(e)))
+    from diamond_tpu import native
+
+    probs_all = native.tantan_repeat_prob_many(
+        sub.letters, sub.starts, sub.lengths, masker.ratios,
+        float(masker.p_repeat), float(masker.p_repeat_end),
+        float(masker.repeat_growth))
+    if probs_all is not None:
+        # one block-wide pass; run-extraction over the global mask
+        mask_all = probs_all >= masker.p_mask
+        d = np.diff(np.concatenate([[0], mask_all.view(np.int8), [0]]))
+        for b, e in zip(np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]):
+            soft.append((int(b), int(e)))
+    else:
+        for i in range(len(sub)):
+            s = int(sub.starts[i])
+            L = int(sub.lengths[i])
+            prob = masker.repeat_prob(sub.letters[s : s + L])
+            mask = prob >= masker.p_mask
+            if mask.any():
+                d = np.diff(np.concatenate([[0], mask.view(np.int8), [0]]))
+                for b, e in zip(np.nonzero(d == 1)[0],
+                                np.nonzero(d == -1)[0]):
+                    soft.append((s + int(b), s + int(e)))
     motif = motif_mask_ranges(sub) if cfg.motif_masking else []
     motif = soft + motif
     lengths = sub.lengths

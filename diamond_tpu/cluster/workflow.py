@@ -114,14 +114,16 @@ def cluster_block(block: Block, steps, matrix_name: str = "BLOSUM62",
                              approx_id, threads, mutual_cover)
         g = EdgeGraph(len(reps), edges)
         local = greedy_vertex_cover(g)
-        # compose: member sequences of this round map to global centroids
+        # compose via one vectorized remap (old centroid -> new centroid);
+        # the per-member scan this replaces was O(n * members)
+        remap = np.arange(n, dtype=np.int64)
         new_reps = []
         for li, rep_li in enumerate(local):
             gi = reps[li]
-            g_rep = reps[rep_li]
+            remap[gi] = reps[rep_li]
             if rep_li == li:
                 new_reps.append(gi)
-            assignment[assignment == gi] = g_rep
+        assignment = remap[assignment]
         reps = new_reps
     return assignment
 
@@ -130,6 +132,9 @@ def run_cluster(args):
     """CLI entry for cluster/linclust/deepclust."""
     from diamond_tpu.data.dmnd import is_dmnd, read_dmnd
     from diamond_tpu.data.fasta import read_seqs
+
+    if getattr(args, "multiprocessing", False):
+        return _run_cluster_multinode(args)
 
     if is_dmnd(args.db):
         ids, dseqs = read_dmnd(args.db)
@@ -212,3 +217,38 @@ def _write_reps(args, seqs, titles, rep_ids):
                 seq_str = decode(s) if not isinstance(s, (str, bytes)) \
                     else (s.decode() if isinstance(s, bytes) else s)
                 f.write(f">{sid}\n{seq_str}\n")
+
+
+def _run_cluster_multinode(args):
+    """--multiprocessing --parallel-tmpdir: out-of-core multi-worker
+    clustering (reference cluster/multinode); each invocation is one
+    worker."""
+    import sys
+
+    from diamond_tpu.cluster.multinode import multinode_cluster
+    from diamond_tpu.data.dmnd import is_dmnd, read_dmnd
+    from diamond_tpu.data.fasta import read_seqs
+    from diamond_tpu.tools_cmds import decode
+
+    if not getattr(args, "parallel_tmpdir", None):
+        raise SystemExit("--multiprocessing requires --parallel-tmpdir")
+    if args.out == "-":
+        raise SystemExit("--multiprocessing requires -o FILE")
+    if is_dmnd(args.db):
+        ids, dseqs = read_dmnd(args.db)
+        records = [(i, decode(s & 31)) for i, s in zip(ids, dseqs)]
+    else:
+        records = [(i, s.decode() if isinstance(s, bytes) else s)
+                   for i, s in read_seqs(args.db)]
+    approx_id = args.approx_id if args.approx_id is not None else 0.0
+    if args.command == "deepclust":
+        approx_id = 0.0
+    steps = getattr(args, "cluster_steps", None) or \
+        cluster_steps(approx_id, linear=args.command == "linclust")
+    bs = getattr(args, "block_size", None)
+    max_letters = int(bs * 1e9) if bs else 50_000_000
+    multinode_cluster(records, args.out, steps, args.parallel_tmpdir,
+                      max_letters=max_letters,
+                      member_cover=args.member_cover, approx_id=approx_id,
+                      mutual_cover=getattr(args, "mutual_cover", None),
+                      reps_out=getattr(args, "reps", None))

@@ -58,6 +58,40 @@ def seedp_bits(reduction_size: int, weight: int, threads: int, index_chunks: int
     return max(space.bit_length() - 32, (threads * 4 * index_chunks - 1).bit_length(), 8)
 
 
+def block_size(memory_limit: int, db_letters: int, sensitivity: str,
+               lin: bool, thread_count: int):
+    """Memory-limit (-M) -> (block size in Gletters, index chunks)
+    (reference basic/config.cpp:97-130)."""
+    from diamond_tpu.seed.shapes import SHAPE_CODES, Shape
+
+    AVG_SEQ_LENGTH_EST = 200.0
+    m = memory_limit / 1e9
+    traits = TRAITS[sensitivity]
+    sketch = traits.sketch
+    minimizer = 0  # per-sensitivity minimizer windows are not used
+    max_c = 1 if (minimizer > 0 or sketch > 0) else (16 if lin else 4)
+    weight = Shape(SHAPE_CODES[sensitivity][0]).weight
+    rank = SENS_RANK[sensitivity]
+    max_b = 32768.0 if lin else (
+        12.0 if rank <= SENS_RANK["default"]
+        else (6.0 if rank <= SENS_RANK["more-sensitive"] else 1.6))
+    c = 0
+    while True:
+        c += 1
+        seeds_per_letter = (sketch / AVG_SEQ_LENGTH_EST
+                            if sketch > 0 else 1.0) / c
+        if minimizer > 0:
+            seeds_per_letter /= minimizer / 2.0
+        bits = seedp_bits(traits.reduction.size, weight, thread_count, c)
+        hash_join_factor = 1.0 + thread_count / ((1 << bits) / c)
+        seed_array_entry_size = 18.0 * hash_join_factor
+        b = m / (seed_array_entry_size * seeds_per_letter + 2.0)
+        if not (round(b * 1e9) < db_letters and b < max_b and c < max_c):
+            break
+    b = min(b, max_b)
+    return max(b, 0.001), c
+
+
 @dataclass
 class SearchConfig:
     matrix: ScoreMatrix
