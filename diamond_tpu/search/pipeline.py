@@ -449,6 +449,47 @@ class Pipeline:
         _, masked = _csr_gather(join.q_start[didx], counts, join.q_pos)
         return join, masked, keep
 
+    def _stage12_device(self, join, shape, sid, part_lo, part_hi,
+                        skip_lm: bool, group_keep=None):
+        """Stage 1+2 on the accelerator (ops/stage12_jax; the two seeding
+        hot loops of SURVEY §7), left-most dedup on host.  Byte-identical
+        to the fused native pass (same pair order, exact integer ops)."""
+        from diamond_tpu.ops.stage12_jax import Stage12Device
+        from diamond_tpu.search.stages import _filter_groups
+
+        cfg = self.cfg
+        if group_keep is not None:
+            join = _filter_groups(join, group_keep)
+        qp, sp = stages.expand_pairs(join)
+        if len(qp) == 0:
+            return np.empty((0, 4), dtype=np.int64)
+        dev = getattr(self, "_s12_dev", None)
+        if dev is None:
+            dev = self._s12_dev = Stage12Device(cfg.matrix.matrix32)
+        qidx, qoff = self.q.global_to_local(qp)
+        cut, win = self._per_query_cutoffs()
+        keep, scores = dev.run(self.q.letters, self.t.letters, qp, sp,
+                               win[qidx], cut[qidx],
+                               cfg.hamming_filter_id)
+        if cfg.self_search:
+            sidx, _ = self.t.global_to_local(sp)
+            keep &= ~(sidx == qidx)
+        qp, sp, scores = qp[keep], sp[keep], scores[keep]
+        qidx, qoff = qidx[keep], qoff[keep]
+        if skip_lm or len(qp) == 0:
+            return _hit_rows(qidx, sp, qoff, scores,
+                             np.arange(len(qp), dtype=np.int64))
+        chunked = cfg.index_chunks > 1
+        current = self._matcher(sid + 1)
+        previous = self._matcher(sid) if sid > 0 else self._matcher(0)
+        wl, wr = stages.clip_window(self.q.letters, qp, 48)
+        keep3 = left_most_filter_batch(
+            self.q.letters, self.t.letters, self.query_seed_mask,
+            cfg.reduction, qp, sp, qoff.astype(np.int64), wl, wr,
+            shape, sid, chunked, current, previous,
+            part_lo, part_hi, cfg.seedp_mask, cfg.hamming_filter_id)
+        return _hit_rows(qidx, sp, qoff, scores, np.nonzero(keep3)[0])
+
     def _stage12(self, join, shape, sid, chunk, part_lo, part_hi,
                  group_keep=None):
         cfg = self.cfg
@@ -464,6 +505,11 @@ class Pipeline:
                 s_pos=join.s_pos[join.s_start[:-1]])
         skip_lm = bool(cfg.traits.sketch or cfg.lin_stage1_target
                        or cfg.minimizer_window)
+        import os
+
+        if os.environ.get("DIAMOND_TPU_STAGE12"):
+            return self._stage12_device(join, shape, sid, part_lo, part_hi,
+                                        skip_lm, group_keep)
         r = self._stage12_native(join, shape, sid, part_lo, part_hi, skip_lm,
                                  group_keep)
         if r is not None:

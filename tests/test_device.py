@@ -97,3 +97,48 @@ def test_device_golden_blastp_on_tpu():
         os.environ.pop("DIAMOND_TPU_DEVICE_DP", None)
         os.environ.pop("DIAMOND_TPU_DP_MIN_CELLS", None)
     assert lines == golden("diamond-test-blastp-default.out")
+
+
+def test_stage12_device_parity():
+    """Device stage-1/2 (ops/stage12_jax) vs the native fused pass on
+    random pairs: exact keep/score parity (runs on any backend)."""
+    from diamond_tpu import native
+    from diamond_tpu.ops.stage12_jax import Stage12Device
+
+    m = ScoreMatrix("BLOSUM62")
+    rng = np.random.default_rng(2)
+    L = 100_000
+    letters = rng.integers(0, 20, L + 512).astype(np.int8)
+    letters[:256] = 31
+    letters[-256:] = 31
+    # sprinkle delimiters so the clip logic is exercised
+    letters[rng.integers(300, L, 200)] = 31
+    N = 5000
+    qp = rng.integers(300, L, N).astype(np.int64)
+    sp = rng.integers(300, L, N).astype(np.int64)
+    win = np.full(N, 48, np.int64)
+    cut = np.full(N, 19, np.int32)
+    dev = Stage12Device(m.matrix32)
+    k, s = dev.run(letters, letters, qp, sp, win, cut, 11)
+    kn = native.stage1_filter_native(letters, letters, qp, sp, 11)
+    if kn is None:
+        pytest.skip("native library unavailable")
+    sn = native.stage2_scores_native(letters, letters, qp, sp, m.matrix32,
+                                     48, True)
+    keep_n = kn & (sn > cut)
+    assert (k == keep_n).all()
+    assert (s[k] == np.minimum(sn, 255)[k]).all()
+
+
+@pytest.mark.skipif(_tpu_device() is None, reason="no TPU attached")
+@pytest.mark.slow
+def test_stage12_device_golden_on_tpu():
+    """data.faa self-search with stage-1/2 on the chip: byte-identical."""
+    from tests.test_golden_e2e import golden, run_blastp
+
+    os.environ["DIAMOND_TPU_STAGE12"] = "1"
+    try:
+        lines = run_blastp(f"{TD}/data.faa", f"{TD}/data.faa")
+    finally:
+        os.environ.pop("DIAMOND_TPU_STAGE12", None)
+    assert lines == golden("diamond-test-blastp-default.out")
