@@ -184,7 +184,12 @@ class Pipeline:
         # persistent per-position query seed mask (SEED_MASK semantics)
         self.query_seed_mask = np.zeros(len(self.q.letters), dtype=bool)
 
-        hits = []  # [N,4] int64 arrays: query_id, subject_gpos, seed_offset, score
+        from diamond_tpu.search.hit_buffer import HitBuffer
+
+        # seed hits spill to disk-binned temp files over the memory cap
+        # (reference search/hit_buffer.cpp:34-235)
+        hits = HitBuffer(len(self.q),
+                         contexts=6 if cfg.translated else 1)
         n_parts = cfg.seedp_count
         chunk_bounds = _partition(n_parts, cfg.index_chunks)
 
@@ -275,7 +280,13 @@ class Pipeline:
         if self.ranking_table is not None:
             return None
         timer.go("Computing alignments")
-        res = self._extend_all(hits)
+        hits.finish()
+        if hits.spilled:
+            res = {}
+            for rows in hits.bins():
+                res.update(self._extend_all([rows]))
+        else:
+            res = self._extend_all(hits.mem)
         timer.finish()
         statistics.inc("ALIGNED", len(res) if res else 0)
         return res

@@ -101,3 +101,31 @@ def test_verbose_tracing():
     assert "Masking sequences" in r.stderr
     assert "Total time" in r.stderr
     assert "SEED_HITS" in r.stderr
+
+
+def test_hit_buffer_spill_roundtrip():
+    """Disk-binned hit spill preserves per-query production order
+    (reference search/hit_buffer.cpp contract)."""
+    import numpy as np
+
+    from diamond_tpu.search.hit_buffer import HitBuffer
+
+    rng = np.random.default_rng(0)
+    buf = HitBuffer(n_queries=100, n_bins=4, cap_rows=500)
+    chunks = []
+    for _ in range(20):
+        n = int(rng.integers(50, 200))
+        arr = np.empty((n, 4), dtype=np.int64)
+        arr[:, 0] = rng.integers(0, 100, n)
+        arr[:, 1:] = rng.integers(0, 1000, (n, 3))
+        chunks.append(arr.copy())
+        buf.append(arr)
+    buf.finish()
+    assert buf.spilled
+    got = np.concatenate(list(buf.bins()))
+    ref = np.concatenate(chunks)
+    # per query id, row order must equal production order
+    for q in range(100):
+        a = got[got[:, 0] == q]
+        b = ref[ref[:, 0] == q]
+        assert np.array_equal(a, b), q
