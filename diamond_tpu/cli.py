@@ -84,7 +84,16 @@ def build_parser():
         # align/full_db.cpp); --mesh N runs its scoring round sharded over
         # an N-device jax mesh (framework extension; 0 = single device)
         sp.add_argument("--swipe", action="store_true")
+        # --mesh N also shards the standard blastp/blastx device DP
+        # mega-batches (search/pipeline._extend_all -> DeviceDP(mesh=...))
         sp.add_argument("--mesh", dest="mesh", type=int, default=0)
+        # multi-host bring-up (jax.distributed): all three, or the
+        # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+        # env vars
+        sp.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (jax.distributed)")
+        sp.add_argument("--num-procs", type=int, default=None)
+        sp.add_argument("--proc-id", type=int, default=None)
         sens = sp.add_mutually_exclusive_group()
         for flag, name in [("--faster", "faster"), ("--fast", "fast"),
                            ("--mid-sensitive", "mid-sensitive"),
@@ -288,6 +297,7 @@ def cmd_blastp(args):
 
     validate_filters(args)
     validate_global_ranking(args)
+    _init_distributed(args)
     _apply_memory_limit(args)
     if args.block_size is not None:
         return cmd_blastp_blocked(args)
@@ -554,6 +564,16 @@ def _parse_memory(v: str) -> int:
     return int(float(v) * mult)
 
 
+def _init_distributed(args):
+    """Join a multi-host JAX runtime when --coordinator (or the
+    JAX_COORDINATOR_ADDRESS env) is given; no-op otherwise."""
+    from diamond_tpu.utils.device import init_distributed
+
+    init_distributed(getattr(args, "coordinator", None),
+                     getattr(args, "num_procs", None),
+                     getattr(args, "proc_id", None))
+
+
 def _apply_memory_limit(args):
     """-M/--memory-limit derives block size and index chunks when not
     explicitly given (reference basic/config.cpp:97-130 block_size)."""
@@ -720,6 +740,7 @@ def cmd_blastx(args):
                          "alignment mode (option -F).")
     validate_filters(args)
     validate_global_ranking(args)
+    _init_distributed(args)
     if args.comp_based_stats >= 2:
         # reference run/config.cpp: matrix adjust needs untranslated queries
         raise SystemExit("This mode of composition based stats is not "

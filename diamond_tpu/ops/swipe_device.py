@@ -212,6 +212,29 @@ def banded_swipe_pallas_multi(t_idx8, band_mask8, q_let8, q_bias8, q_valid8,
     return tuple(o.reshape(B) for o in out)
 
 
+def banded_swipe_pallas_sharded(mesh, t_idx8, band_mask8, q_let8, q_bias8,
+                                q_valid8, matrix32, go: int, ge: int,
+                                band: int, T: int, tile_b: int = 32,
+                                interpret: bool = False):
+    """Mesh-sharded multi-query banded SWIPE: tiles split across the
+    mesh's 'db' axis (G divisible by the device count); each device runs
+    the pallas kernel over its tile shard (the reference's multi-process
+    DB sharding, double_indexed.cpp:346-396, as ICI-parallel tiles)."""
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(ti, bm, ql, qb, qv):
+        return banded_swipe_pallas_multi(ti, bm, ql, qb, qv, matrix32,
+                                         go, ge, band, T, tile_b, interpret)
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("db", None), P("db", None), P("db"), P("db"), P("db")),
+        out_specs=(P("db"), P("db"), P("db")),
+        check_vma=False,
+    )
+    return fn(t_idx8, band_mask8, q_let8, q_bias8, q_valid8)
+
+
 def job_fits_device(tgt_len: int, d0: int, d1: int) -> bool:
     band = pad_band(d1 - d0)
     T = pad_pow2(tgt_len + max(0, -d0), 16)
@@ -247,8 +270,9 @@ class DeviceDP:
     """
 
     def __init__(self, matrix32, gap_open: int, gap_extend: int,
-                 tile_b: int = 32, interpret: bool = False):
+                 tile_b: int = 32, interpret: bool = False, mesh=None):
         _ensure_compile_cache()
+        self.mesh = mesh  # jax Mesh: tiles shard over its 'db' axis
         self.matrix32 = matrix32
         self._m32 = jnp.asarray(np.ascontiguousarray(matrix32,
                                                      dtype=np.int32))
@@ -295,9 +319,11 @@ class DeviceDP:
         # fixed pow2 call sizes for compile reuse
         pending = []
         pos = 0
+        g_min = self.mesh.devices.size if self.mesh is not None else 1
         while pos < len(tiles):
             n_left = len(tiles) - pos
-            G = G_CAP if n_left >= G_CAP else pad_pow2(n_left, 1)
+            G = G_CAP if n_left >= G_CAP else max(pad_pow2(n_left, 1),
+                                                  g_min)
             chunk = tiles[pos : pos + min(G, n_left)]
             pos += len(chunk)
             pending.append(self._launch(T, band, G, chunk, requests))
@@ -335,10 +361,20 @@ class DeviceDP:
         t2 = np.ascontiguousarray(
             t_idx.reshape(G, tile_b, T).swapaxes(1, 2)).reshape(G * T,
                                                                 tile_b)
-        dev_out = banded_swipe_pallas_multi(
-            jnp.asarray(t2), jnp.asarray(band_mask),
-            jnp.asarray(q_let.reshape(G * T_pb)),
-            jnp.asarray(q_bias.reshape(G * T_pb)),
-            jnp.asarray(q_valid.reshape(G * T_pb)),
-            self._m32, self.go, self.ge, band, T, tile_b, self.interpret)
+        if self.mesh is not None:
+            dev_out = banded_swipe_pallas_sharded(
+                self.mesh, jnp.asarray(t2), jnp.asarray(band_mask),
+                jnp.asarray(q_let.reshape(G * T_pb)),
+                jnp.asarray(q_bias.reshape(G * T_pb)),
+                jnp.asarray(q_valid.reshape(G * T_pb)),
+                self._m32, self.go, self.ge, band, T, tile_b,
+                self.interpret)
+        else:
+            dev_out = banded_swipe_pallas_multi(
+                jnp.asarray(t2), jnp.asarray(band_mask),
+                jnp.asarray(q_let.reshape(G * T_pb)),
+                jnp.asarray(q_bias.reshape(G * T_pb)),
+                jnp.asarray(q_valid.reshape(G * T_pb)),
+                self._m32, self.go, self.ge, band, T, tile_b,
+                self.interpret)
         return dev_out, tiles, tile_b

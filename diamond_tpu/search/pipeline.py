@@ -695,8 +695,16 @@ class Pipeline:
             from diamond_tpu.ops.swipe_device import DeviceDP
 
             mat = self.cfg.matrix
+            mesh = None
+            if getattr(self.cfg, "mesh_devices", 0):
+                # --mesh N: shard each device mega-batch's tiles over the
+                # 'db' mesh axis (the reference's multi-process DB split,
+                # double_indexed.cpp:346-396, as ICI-parallel shards)
+                from diamond_tpu.parallel.sharded import make_mesh
+
+                mesh = make_mesh(self.cfg.mesh_devices)
             device = DeviceDP(mat.matrix32, mat.gap_open, mat.gap_extend,
-                              interpret=dp_interpret())
+                              interpret=dp_interpret(), mesh=mesh)
             return extend_wave(self.ctx, by_query, qids, device)
         if self.cfg.threads > 1 and len(qids) > 1 and _can_fork():
             return _extend_parallel(self.ctx, by_query, qids,

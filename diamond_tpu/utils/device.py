@@ -40,3 +40,36 @@ def device_dp_enabled() -> bool:
 
 def dp_interpret() -> bool:
     return bool(os.environ.get("DIAMOND_TPU_DP_INTERPRET"))
+
+
+_distributed_up = False
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host bring-up: jax.distributed.initialize so every host of a
+    TPU pod slice joins one runtime and jax.devices() spans the slice
+    (the reference's --mp multi-node file coordination,
+    src/util/parallel/multiprocessing.cpp, replaced by the JAX
+    coordination service — ICI/DCN collectives instead of a shared
+    filesystem).  Arguments come from --coordinator/--num-procs/--proc-id
+    or the standard JAX_COORDINATOR_ADDRESS etc. env vars; with neither
+    present this is a no-op (single-host).  Idempotent."""
+    global _distributed_up
+    if _distributed_up:
+        return True
+    if coordinator is None and not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return False
+    import jax
+
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+    _distributed_up = True
+    return True

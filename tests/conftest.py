@@ -9,6 +9,14 @@ import os
 # jax.devices("cpu") / make_mesh(platform="cpu"); the device-count flag
 # below must be set before the first backend initialization.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The device engine auto-enables when a TPU owns the default backend
+# (utils/device.py).  On this host the chip sits behind a ~1.4 s/call
+# tunnel AND is a single device shared by the pytest process and the CLI
+# subprocesses the golden tests spawn — routing every golden's DP through
+# it serializes the suite into tens of minutes.  Default the kill-switch
+# ON for tests; the on-hardware tests (tests/test_device.py) explicitly
+# opt back in per-test.
+os.environ.setdefault("DIAMOND_TPU_DEVICE_DP", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

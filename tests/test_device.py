@@ -73,6 +73,21 @@ def test_device_scheduler_interpret():
     _check(m, reqs, dev.run_many(reqs))
 
 
+def test_device_scheduler_mesh_sharded():
+    """--mesh N path: mega-batch tiles shard_map'ed over the 'db' axis of
+    an 8-device virtual CPU mesh (conftest.py XLA_FLAGS), exact parity
+    with the oracle."""
+    from diamond_tpu.parallel.sharded import make_mesh
+
+    mesh = make_mesh(platform="cpu")
+    if mesh.devices.size < 2:
+        pytest.skip("needs a multi-device CPU mesh")
+    m, reqs = _random_requests(seed=5, n_queries=5, max_jobs=30)
+    dev = DeviceDP(m.matrix32, m.gap_open, m.gap_extend, tile_b=8,
+                   interpret=True, mesh=mesh)
+    _check(m, reqs, dev.run_many(reqs))
+
+
 @pytest.mark.skipif(_tpu_device() is None, reason="no TPU attached")
 def test_device_kernel_vs_oracle_on_tpu():
     """Pallas kernel on the real chip: irregular bands/lengths vs oracle."""
@@ -89,13 +104,18 @@ def test_device_golden_blastp_on_tpu():
     from diamond_tpu.align.wave import extend_wave  # noqa: F401
     from tests.test_golden_e2e import golden, run_blastp
 
+    saved = {k: os.environ.get(k) for k in ("DIAMOND_TPU_DEVICE_DP",
+                                            "DIAMOND_TPU_DP_MIN_CELLS")}
     os.environ["DIAMOND_TPU_DEVICE_DP"] = "1"
     os.environ["DIAMOND_TPU_DP_MIN_CELLS"] = "0"  # route every job on-chip
     try:
         lines = run_blastp(f"{TD}/data.faa", f"{TD}/data.faa")
     finally:
-        os.environ.pop("DIAMOND_TPU_DEVICE_DP", None)
-        os.environ.pop("DIAMOND_TPU_DP_MIN_CELLS", None)
+        for k, v in saved.items():  # restore (conftest pins the "0"
+            if v is None:           # kill-switch for the rest of the suite)
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     assert lines == golden("diamond-test-blastp-default.out")
 
 
