@@ -1,40 +1,395 @@
-// Lane-parallel score-only banded SWIPE (native transplant of the
+// Banded SWIPE score-only host kernels (native transplants of the
 // framework's own batched formulation, ops/banded_swipe.py
-// banded_swipe_batch_np): consecutive jobs sharing one query batch into
-// LANES-wide groups, so the column loop's per-row ops vectorize across
-// lanes (the serial lazy-F chain of the scalar kernel becomes
-// independent per lane).  Unlike the TPU kernel, no uniform-band target
-// shift is used — profile lookups are per-lane scalar gathers, so each
-// lane keeps its own diagonal origin and T stays the max target length
-// of the group.  Exact int32 parity with the numpy twin (the oracle).
+// banded_swipe_batch_np — NOT the reference's striped SWIPE code; the
+// lazy-F prefix-max banded recurrence is this repo's own design, see
+// reference src/dp/swipe/banded_swipe.h only for the role it plays).
+//
+// Two engines behind one entry point:
+//
+// 1. striped16 (AVX-512BW): intra-job parallelism — the band COLUMN is
+//    the vector (32 int16 lanes/register).  All cells of a column share
+//    one target letter, so substitution scores are CONTIGUOUS masked
+//    loads from a transposed profile profT[letter][query_pos] — no
+//    gathers.  The serial vertical lazy-F chain becomes a log-depth
+//    in-register prefix max over A[r] = cur[r] + r*ge (5 permute+max
+//    steps per 32 lanes) with a scalar carry between 32-lane chunks.
+//    Saturating int16 arithmetic is exact while scores stay under
+//    OVF16; jobs that reach it (or band > MAX_BAND16) fall back to:
+//
+// 2. lanes_i32: inter-job parallelism — 16 consecutive same-query jobs
+//    as int32 lanes, one fused pass per column (the v1 engine; exact
+//    for any int32 score).
+//
+// Both produce bit-identical (score, max_col, max_row) to the numpy
+// oracle, including its tie rules: per-row `>=` keeps the highest row
+// of a column max, per-column `>` keeps the first column.
 
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#define DTPU_STRIPED16 1
+#endif
 
 namespace {
 
 constexpr int LANES = 16;
 constexpr int32_t NEGB = -1000000000;
 
-struct Prof {
-    std::vector<int32_t> rows;  // [qlen][32]
+// ---------- shared profile caches ----------
+
+struct ProfT32 {
+    std::vector<int32_t> flat;  // [32][qlen] letter-major
     int64_t q_off = -1;
     int64_t qlen = 0;
     int use_bias = -1;
 };
 
-void build_prof(Prof& p, const int8_t* q, int64_t qlen, const int32_t* bias,
-                const int32_t* matrix32) {
-    p.rows.resize((size_t)qlen * 32);
+void build_profT32(ProfT32& p, const int8_t* q, int64_t qlen,
+                   const int32_t* bias, const int32_t* matrix32) {
+    p.flat.resize((size_t)32 * qlen);
     for (int64_t i = 0; i < qlen; ++i) {
         const int32_t* mrow = matrix32 + (q[i] & 31) * 32;
-        int32_t* out = p.rows.data() + i * 32;
         const int32_t b = bias ? bias[i] : 0;
         for (int c = 0; c < 32; ++c)
-            out[c] = mrow[c] + b;
+            p.flat[(size_t)c * qlen + i] = mrow[c] + b;
     }
 }
+
+// ---------- engine 2: int32 16-job lanes (exact fallback) ----------
+
+void score_lanes_i32(const int8_t* q_base, const int32_t* bias_base,
+                     const int64_t* q_off, const int64_t* q_len,
+                     const uint8_t* use_bias, const int8_t* t_cat,
+                     const int64_t* t_off, const int64_t* t_len,
+                     const int64_t* d_begin, const int64_t* band_arr,
+                     int64_t njobs, const int32_t* matrix32, int32_t go,
+                     int32_t ge, int64_t* out) {
+    ProfT32 prof;
+    std::vector<int32_t> H, E;
+    int64_t k0 = 0;
+    while (k0 < njobs) {
+        int64_t k1 = k0 + 1;
+        while (k1 < njobs && k1 - k0 < LANES && q_off[k1] == q_off[k0]
+               && use_bias[k1] == use_bias[k0])
+            ++k1;
+        const int L = (int)(k1 - k0);
+        const int64_t qoff = q_off[k0];
+        const int64_t qlen64 = q_len[k0];
+        const int32_t qlen = (int32_t)qlen64;
+        if (prof.q_off != qoff || prof.qlen != qlen64
+            || prof.use_bias != (int)use_bias[k0]) {
+            build_profT32(prof, q_base + qoff, qlen64,
+                          use_bias[k0] && bias_base ? bias_base + qoff
+                                                    : nullptr,
+                          matrix32);
+            prof.q_off = qoff;
+            prof.qlen = qlen64;
+            prof.use_bias = use_bias[k0];
+        }
+        const int32_t* profT = prof.flat.data();
+        int64_t band = 0, T = 0;
+        alignas(64) int32_t base[LANES] = {0};
+        alignas(64) int32_t blen[LANES] = {0};
+        alignas(64) int32_t tlen_l[LANES] = {0};
+        alignas(64) int32_t prow[LANES];
+        const int8_t* tp[LANES] = {nullptr};
+        for (int l = 0; l < L; ++l) {
+            const int64_t k = k0 + l;
+            if (band_arr[k] > band)
+                band = band_arr[k];
+            if (t_len[k] > T)
+                T = t_len[k];
+            base[l] = (int32_t)d_begin[k];
+            blen[l] = (int32_t)band_arr[k];
+            tlen_l[l] = (int32_t)t_len[k];
+            tp[l] = t_cat + t_off[k];
+        }
+        const size_t cells = (size_t)band * LANES;
+        H.assign(cells, 0);
+        E.assign(cells, 0);
+        alignas(64) int32_t best[LANES] = {0};
+        alignas(64) int32_t max_col[LANES] = {0};
+        alignas(64) int32_t max_row[LANES] = {0};
+        int32_t* __restrict__ Hd = H.data();
+        int32_t* __restrict__ Ed = E.data();
+
+        for (int64_t j = 0; j < T; ++j) {
+            for (int l = 0; l < LANES; ++l)
+                prow[l] = (tp[l] && j < tlen_l[l])
+                              ? (int32_t)(tp[l][j] & 31) * qlen
+                              : -1;
+            alignas(64) int32_t run[LANES];
+            alignas(64) int32_t prev_cur[LANES];
+            alignas(64) int32_t cb[LANES];
+            alignas(64) int32_t cbr[LANES];
+            for (int l = 0; l < LANES; ++l) {
+                run[l] = NEGB;
+                prev_cur[l] = 0;
+                cb[l] = 0;
+                cbr[l] = 0;
+            }
+            int32_t rg = 0;
+            for (int64_t r = 0; r < band; ++r) {
+                int32_t* __restrict__ h = Hd + r * LANES;
+                int32_t* __restrict__ e = Ed + r * LANES;
+                alignas(64) int32_t s[LANES];
+                alignas(64) int32_t cur[LANES];
+                alignas(64) int32_t fv[LANES];
+                const int32_t r32 = (int32_t)r;
+                for (int l = 0; l < LANES; ++l) {
+                    const int32_t qi = base[l] + r32;
+                    const bool valid = prow[l] >= 0 && r32 < blen[l]
+                                       && (uint32_t)qi < (uint32_t)qlen;
+                    s[l] = valid ? profT[prow[l] + qi] : NEGB;
+                }
+                for (int l = 0; l < LANES; ++l) {
+                    int32_t v = h[l] + s[l];
+                    if (e[l] > v)
+                        v = e[l];
+                    cur[l] = v > 0 ? v : 0;
+                }
+                if (r == 0) {
+                    for (int l = 0; l < LANES; ++l)
+                        fv[l] = 0;
+                } else {
+                    for (int l = 0; l < LANES; ++l) {
+                        const int32_t g = prev_cur[l] - go + rg;
+                        if (g > run[l])
+                            run[l] = g;
+                        const int32_t f = run[l] - rg;
+                        fv[l] = f > 0 ? f : 0;
+                    }
+                    rg += ge;
+                }
+                alignas(64) int32_t hn[LANES];
+                for (int l = 0; l < LANES; ++l) {
+                    int32_t v = cur[l];
+                    if (fv[l] > v)
+                        v = fv[l];
+                    if (s[l] <= NEGB / 2)
+                        v = 0;
+                    hn[l] = v;
+                    if (v >= cb[l]) {
+                        cb[l] = v;
+                        cbr[l] = r32;
+                    }
+                }
+                alignas(64) int32_t en[LANES];
+                for (int l = 0; l < LANES; ++l) {
+                    int32_t v = e[l] - ge;
+                    const int32_t o = hn[l] - go;
+                    if (o > v)
+                        v = o;
+                    en[l] = v > 0 ? v : 0;
+                }
+                if (r > 0)
+                    std::memcpy(Ed + (r - 1) * LANES, en,
+                                LANES * sizeof(int32_t));
+                for (int l = 0; l < LANES; ++l) {
+                    prev_cur[l] = cur[l];
+                    h[l] = hn[l];
+                }
+            }
+            std::memset(Ed + (band - 1) * LANES, 0, LANES * sizeof(int32_t));
+            for (int l = 0; l < L; ++l)
+                if (cb[l] > best[l]) {
+                    best[l] = cb[l];
+                    max_col[l] = (int32_t)j;
+                    max_row[l] = cbr[l];
+                }
+            for (int l = 0; l < LANES; ++l)
+                ++base[l];
+        }
+        for (int l = 0; l < L; ++l) {
+            const int64_t k = k0 + l;
+            out[3 * k] = best[l];
+            out[3 * k + 1] = max_col[l];
+            out[3 * k + 2] = max_col[l] + (int32_t)d_begin[k] + max_row[l];
+        }
+        k0 = k1;
+    }
+}
+
+#ifdef DTPU_STRIPED16
+
+// ---------- engine 1: int16 striped-band single-job kernel ----------
+
+constexpr int16_t NEG16 = -32768 / 2;       // dead-cell score marker
+// rerun-in-int32 threshold: any H >= 16384 could make a NEG16-marked
+// dead cell read positive, and any such H forces best >= 16384 > OVF16,
+// so results reported under OVF16 are exact
+constexpr int32_t OVF16 = 15000;
+constexpr int64_t MAX_BAND16 = 2048;        // r*ge + score headroom
+
+struct ProfT16 {
+    std::vector<int16_t> flat;  // [32][qlen]
+    int64_t q_off = -1;
+    int64_t qlen = 0;
+    int use_bias = -1;
+    bool ok = true;  // false if any |entry| too large for int16
+};
+
+void build_profT16(ProfT16& p, const int8_t* q, int64_t qlen,
+                   const int32_t* bias, const int32_t* matrix32) {
+    p.flat.resize((size_t)32 * qlen);
+    p.ok = true;
+    for (int64_t i = 0; i < qlen; ++i) {
+        const int32_t* mrow = matrix32 + (q[i] & 31) * 32;
+        const int32_t b = bias ? bias[i] : 0;
+        for (int c = 0; c < 32; ++c) {
+            const int32_t v = mrow[c] + b;
+            if (v > 1000 || v < -1000)
+                p.ok = false;
+            p.flat[(size_t)c * qlen + i] = (int16_t)v;
+        }
+    }
+}
+
+// in-register inclusive prefix max over 32 int16 lanes (lane i =
+// max(v[0..i])), NEG16-filling shifts
+struct Shifter {
+    __m512i idx[6];
+    __mmask32 msk[6];
+    __m512i neg;
+    Shifter() {
+        alignas(64) int16_t buf[32];
+        for (int step = 0, k = 1; k < 32; k <<= 1, ++step) {
+            for (int i = 0; i < 32; ++i)
+                buf[i] = (int16_t)(i >= k ? i - k : 0);
+            idx[step] = _mm512_load_si512(buf);
+            msk[step] = (__mmask32)(~0u << k);
+        }
+        neg = _mm512_set1_epi16(NEG16);
+    }
+    inline __m512i shift_fill(__m512i v, int step) const {
+        return _mm512_mask_permutexvar_epi16(neg, msk[step], idx[step], v);
+    }
+    inline __m512i prefix_max(__m512i v) const {
+        for (int s = 0; s < 5; ++s)
+            v = _mm512_max_epi16(v, shift_fill(v, s));
+        return v;
+    }
+};
+
+// one job; returns best<OVF16 ? 0 : 1 (1 = caller must rerun in int32)
+int swipe_striped16(const int16_t* profT, int64_t qlen, const int8_t* t,
+                    int64_t tlen, int64_t d0, int64_t band, int32_t go,
+                    int32_t ge, int64_t* out3) {
+    static thread_local Shifter SH;
+    const int nch = (int)((band + 31) / 32);
+    static thread_local std::vector<int16_t> state;
+    // layout: [1 scratch][E band][H band][per-chunk R,G vectors]
+    state.assign(1 + 2 * (size_t)nch * 32 + 2 * (size_t)nch * 32, 0);
+    int16_t* Ed = state.data() + 1;
+    int16_t* Hd = Ed + (size_t)nch * 32;
+    int16_t* Rv = Hd + (size_t)nch * 32;   // (32c+i)*ge
+    int16_t* Gv = Rv + (size_t)nch * 32;   // go + (32c+i-1)*ge
+    for (int c = 0; c < nch; ++c)
+        for (int i = 0; i < 32; ++i) {
+            const int32_t r = 32 * c + i;
+            Rv[32 * c + i] = (int16_t)(r * ge);
+            Gv[32 * c + i] = (int16_t)(go + (r - 1) * ge);
+        }
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i neg = _mm512_set1_epi16(NEG16);
+    const __m512i ge_v = _mm512_set1_epi16((int16_t)ge);
+    const __m512i go_v = _mm512_set1_epi16((int16_t)go);
+    int32_t best = 0, bc = 0, br = 0;
+    for (int64_t j = 0; j < tlen; ++j) {
+        const int16_t* prow = profT + (size_t)(t[j] & 31) * qlen;
+        const int64_t off = j + d0;  // qi = off + r
+        // valid rows: r in [rlo, rhi)
+        const int64_t rlo64 = off < 0 ? -off : 0;
+        int64_t rhi64 = qlen - off;
+        if (rhi64 > band)
+            rhi64 = band;
+        const int32_t rlo = (int32_t)(rlo64 < 0 ? 0 : rlo64);
+        const int32_t rhi = (int32_t)(rhi64 < 0 ? 0 : rhi64);
+        int16_t carry = NEG16;  // running max of A over previous chunks
+        __m512i colmax = zero;
+        for (int c = 0; c < nch; ++c) {
+            const int32_t rb = 32 * c;
+            // validity mask for this chunk
+            __mmask32 m;
+            if (rb >= rhi || rb + 32 <= rlo) {
+                m = 0;
+            } else {
+                uint32_t bits = ~0u;
+                if (rlo > rb)
+                    bits &= ~0u << (rlo - rb);
+                if (rhi < rb + 32)
+                    bits &= ~0u >> (rb + 32 - rhi);
+                m = (__mmask32)bits;
+            }
+            // s: contiguous masked load from the profile row
+            __m512i s = _mm512_mask_loadu_epi16(neg, m, prow + off + rb);
+            __m512i H = _mm512_loadu_si512(Hd + rb);
+            __m512i E = _mm512_loadu_si512(Ed + rb);
+            __m512i cur = _mm512_adds_epi16(H, s);
+            cur = _mm512_max_epi16(cur, E);
+            cur = _mm512_max_epi16(cur, zero);
+            // lazy-F via prefix max of A = cur + r*ge
+            __m512i A = _mm512_adds_epi16(cur,
+                                          _mm512_loadu_si512(Rv + rb));
+            __m512i incl = SH.prefix_max(A);
+            __m512i excl = SH.shift_fill(incl, 0);
+            if (c > 0)
+                excl = _mm512_max_epi16(excl, _mm512_set1_epi16(carry));
+            {   // accumulate the cross-chunk A carry
+                __m128i hi = _mm512_extracti32x4_epi32(incl, 3);
+                const int16_t top = (int16_t)_mm_extract_epi16(hi, 7);
+                if (top > carry)
+                    carry = top;
+            }
+            __m512i F = _mm512_subs_epi16(excl,
+                                          _mm512_loadu_si512(Gv + rb));
+            F = _mm512_max_epi16(F, zero);
+            __m512i hn = _mm512_max_epi16(cur, F);
+            hn = _mm512_maskz_mov_epi16(m, hn);  // dead cells -> 0
+            _mm512_storeu_si512(Hd + rb, hn);
+            colmax = _mm512_max_epi16(colmax, hn);
+            // E' (row r-1) = max(E-ge, hn-go, 0), fused shift via the
+            // -1 offset store (scratch slot in front absorbs r=0)
+            __m512i en = _mm512_max_epi16(_mm512_subs_epi16(E, ge_v),
+                                          _mm512_subs_epi16(hn, go_v));
+            en = _mm512_max_epi16(en, zero);
+            _mm512_storeu_si512((void*)(Ed + rb - 1), en);
+        }
+        Ed[band - 1] = 0;
+        // column max (hn >= 0 always, so unsigned minpos trick works)
+        __m256i m256 = _mm256_max_epi16(
+            _mm512_castsi512_si256(colmax),
+            _mm512_extracti64x4_epi64(colmax, 1));
+        __m128i m128 = _mm_max_epi16(_mm256_castsi256_si128(m256),
+                                     _mm256_extracti128_si256(m256, 1));
+        __m128i inv = _mm_sub_epi16(_mm_set1_epi16(0x7fff), m128);
+        const int32_t cm = 0x7fff - (_mm_extract_epi16(
+                               _mm_minpos_epu16(inv), 0));
+        if (cm > best) {
+            best = cm;
+            bc = (int32_t)j;
+            // last row attaining the column max (the oracle's per-row
+            // `>=` tie rule)
+            const __m512i cmv = _mm512_set1_epi16((int16_t)cm);
+            br = 0;
+            for (int c = 0; c < nch; ++c) {
+                const __mmask32 eq = _mm512_cmpeq_epi16_mask(
+                    _mm512_loadu_si512(Hd + 32 * c), cmv);
+                if (eq)
+                    br = 32 * c + (31 - __builtin_clz((uint32_t)eq));
+            }
+        }
+    }
+    out3[0] = best;
+    out3[1] = bc;
+    out3[2] = bc + d0 + br;
+    return best >= OVF16 ? 1 : 0;
+}
+
+#endif  // DTPU_STRIPED16
 
 }  // namespace
 
@@ -45,157 +400,59 @@ extern "C" void banded_swipe_score_lanes(
     const int64_t* d_begin, const int64_t* band_arr, int64_t njobs,
     const int32_t* matrix32, int64_t go64, int64_t ge64, int64_t* out) {
     const int32_t go = (int32_t)go64, ge = (int32_t)ge64;
-    Prof prof;
-    std::vector<int32_t> H, E, cur0, F, scores;
-    int64_t k0 = 0;
-    while (k0 < njobs) {
-        int64_t k1 = k0 + 1;
-        while (k1 < njobs && k1 - k0 < LANES && q_off[k1] == q_off[k0]
-               && use_bias[k1] == use_bias[k0])
-            ++k1;
-        const int L = (int)(k1 - k0);
-        const int64_t qoff = q_off[k0];
-        const int64_t qlen = q_len[k0];
-        if (prof.q_off != qoff || prof.qlen != qlen
-            || prof.use_bias != (int)use_bias[k0]) {
-            build_prof(prof, q_base + qoff, qlen,
-                       use_bias[k0] && bias_base ? bias_base + qoff
-                                                 : nullptr,
-                       matrix32);
+#ifdef DTPU_STRIPED16
+    ProfT16 prof;
+    std::vector<int64_t> redo;
+    for (int64_t k = 0; k < njobs; ++k) {
+        if (band_arr[k] > MAX_BAND16) {
+            redo.push_back(k);
+            continue;
+        }
+        const int64_t qoff = q_off[k];
+        if (prof.q_off != qoff || prof.qlen != q_len[k]
+            || prof.use_bias != (int)use_bias[k]) {
+            build_profT16(prof, q_base + qoff, q_len[k],
+                          use_bias[k] && bias_base ? bias_base + qoff
+                                                   : nullptr,
+                          matrix32);
             prof.q_off = qoff;
-            prof.qlen = qlen;
-            prof.use_bias = use_bias[k0];
+            prof.qlen = q_len[k];
+            prof.use_bias = use_bias[k];
         }
-        int64_t band = 0, T = 0;
-        int64_t d0_l[LANES] = {0}, blen[LANES] = {0}, tlen_l[LANES] = {0};
-        const int8_t* tp[LANES] = {nullptr};
-        for (int l = 0; l < L; ++l) {
-            const int64_t k = k0 + l;
-            if (band_arr[k] > band)
-                band = band_arr[k];
-            if (t_len[k] > T)
-                T = t_len[k];
-            d0_l[l] = d_begin[k];
-            blen[l] = band_arr[k];
-            tlen_l[l] = t_len[k];
-            tp[l] = t_cat + t_off[k];
+        if (!prof.ok) {
+            redo.push_back(k);
+            continue;
         }
-        const size_t cells = (size_t)band * LANES;
-        H.assign(cells, 0);
-        E.assign(cells, 0);
-        cur0.resize(cells);
-        F.resize(cells);
-        scores.resize(cells);
-        int32_t best[LANES] = {0};
-        int32_t max_col[LANES] = {0};
-        int32_t max_row[LANES] = {0};
-        int8_t tlet[LANES];
-        int8_t in_t[LANES];
-
-        for (int64_t j = 0; j < T; ++j) {
-            for (int l = 0; l < LANES; ++l) {
-                tlet[l] = 31;
-                in_t[l] = 0;
-            }
-            for (int l = 0; l < L; ++l)
-                if (j < tlen_l[l]) {
-                    tlet[l] = tp[l][j] & 31;
-                    in_t[l] = 1;
-                }
-            // scores[r][l] = prof[j + d0_l + r][tlet[l]]; NEG outside the
-            // query / band / target (the numpy twin's `valid` mask)
-            for (int64_t r = 0; r < band; ++r) {
-                int32_t* srow = scores.data() + r * LANES;
-                for (int l = 0; l < LANES; ++l) {
-                    const int64_t qi = j + d0_l[l] + r;
-                    srow[l] = (in_t[l] && r < blen[l] && qi >= 0
-                               && qi < qlen)
-                                  ? prof.rows[qi * 32 + tlet[l]]
-                                  : NEGB;
-                }
-            }
-            // cur0 = max(H + scores, E, 0)
-            for (int64_t r = 0; r < band; ++r) {
-                const int32_t* h = H.data() + r * LANES;
-                const int32_t* e = E.data() + r * LANES;
-                const int32_t* s = scores.data() + r * LANES;
-                int32_t* c = cur0.data() + r * LANES;
-                for (int l = 0; l < LANES; ++l) {
-                    int32_t v = h[l] + s[l];
-                    if (e[l] > v)
-                        v = e[l];
-                    c[l] = v > 0 ? v : 0;
-                }
-            }
-            // lazy-F chain per lane (vector across lanes)
-            {
-                int32_t run[LANES];
-                for (int l = 0; l < LANES; ++l) {
-                    run[l] = NEGB;
-                    F[l] = 0;
-                }
-                for (int64_t r = 1; r < band; ++r) {
-                    const int32_t* cprev = cur0.data() + (r - 1) * LANES;
-                    int32_t* f = F.data() + r * LANES;
-                    const int32_t rg = (int32_t)(r - 1) * ge;
-                    for (int l = 0; l < LANES; ++l) {
-                        const int32_t g = cprev[l] - go + rg;
-                        if (g > run[l])
-                            run[l] = g;
-                        const int32_t fv = run[l] - rg;
-                        f[l] = fv > 0 ? fv : 0;
-                    }
-                }
-            }
-            // Hn = valid ? max(cur0, F) : 0; column best tracking
-            int32_t cb[LANES] = {0};
-            int32_t cbr[LANES] = {0};
-            for (int64_t r = 0; r < band; ++r) {
-                const int32_t* s = scores.data() + r * LANES;
-                const int32_t* f = F.data() + r * LANES;
-                int32_t* c = cur0.data() + r * LANES;  // becomes Hn
-                for (int l = 0; l < LANES; ++l) {
-                    int32_t v = c[l];
-                    if (f[l] > v)
-                        v = f[l];
-                    if (s[l] <= NEGB / 2)
-                        v = 0;
-                    c[l] = v;
-                    if (v >= cb[l]) {
-                        cb[l] = v;
-                        cbr[l] = (int32_t)r;
-                    }
-                }
-            }
-            for (int l = 0; l < L; ++l)
-                if (cb[l] > best[l]) {
-                    best[l] = cb[l];
-                    max_col[l] = (int32_t)j;
-                    max_row[l] = cbr[l];
-                }
-            // E update + row shift (E[r] <- E_out[r+1])
-            for (int64_t r = 0; r < band; ++r) {
-                const int32_t* c = cur0.data() + r * LANES;
-                int32_t* e = E.data() + r * LANES;
-                for (int l = 0; l < LANES; ++l) {
-                    int32_t v = e[l] - ge;
-                    const int32_t o = c[l] - go;
-                    if (o > v)
-                        v = o;
-                    e[l] = v > 0 ? v : 0;
-                }
-            }
-            std::memmove(E.data(), E.data() + LANES,
-                         (cells - LANES) * sizeof(int32_t));
-            std::memset(E.data() + cells - LANES, 0, LANES * sizeof(int32_t));
-            std::swap(H, cur0);
-        }
-        for (int l = 0; l < L; ++l) {
-            const int64_t k = k0 + l;
-            out[3 * k] = best[l];
-            out[3 * k + 1] = max_col[l];
-            out[3 * k + 2] = max_col[l] + d0_l[l] + max_row[l];
-        }
-        k0 = k1;
+        if (swipe_striped16(prof.flat.data(), q_len[k], t_cat + t_off[k],
+                            t_len[k], d_begin[k], band_arr[k], go, ge,
+                            out + 3 * k))
+            redo.push_back(k);
     }
+    if (!redo.empty()) {
+        const int64_t n = (int64_t)redo.size();
+        std::vector<int64_t> qo(n), ql(n), to(n), tl(n), db(n), ba(n);
+        std::vector<uint8_t> ub(n);
+        std::vector<int64_t> o2(3 * n);
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t k = redo[i];
+            qo[i] = q_off[k];
+            ql[i] = q_len[k];
+            ub[i] = use_bias[k];
+            to[i] = t_off[k];
+            tl[i] = t_len[k];
+            db[i] = d_begin[k];
+            ba[i] = band_arr[k];
+        }
+        score_lanes_i32(q_base, bias_base, qo.data(), ql.data(), ub.data(),
+                        t_cat, to.data(), tl.data(), db.data(), ba.data(),
+                        n, matrix32, go, ge, o2.data());
+        for (int64_t i = 0; i < n; ++i)
+            std::memcpy(out + 3 * redo[i], o2.data() + 3 * i,
+                        3 * sizeof(int64_t));
+    }
+#else
+    score_lanes_i32(q_base, bias_base, q_off, q_len, use_bias, t_cat,
+                    t_off, t_len, d_begin, band_arr, njobs, matrix32, go,
+                    ge, out);
+#endif
 }
