@@ -217,12 +217,16 @@ void score_lanes_i32(const int8_t* q_base, const int32_t* bias_base,
 
 // ---------- engine 1: int16 striped-band single-job kernel ----------
 
-constexpr int16_t NEG16 = -32768 / 2;       // dead-cell score marker
-// rerun-in-int32 threshold: any H >= 16384 could make a NEG16-marked
-// dead cell read positive, and any such H forces best >= 16384 > OVF16,
-// so results reported under OVF16 are exact
-constexpr int32_t OVF16 = 15000;
-constexpr int64_t MAX_BAND16 = 2048;        // r*ge + score headroom
+// dead-cell score marker: with saturating adds, H + (-32768) <= -1 for
+// any int16 H, so dead lanes can never read positive regardless of the
+// live values — the marker is sound unconditionally
+constexpr int16_t NEG16 = -32768;
+// exactness threshold: while every H stays under OVF16, no saturating
+// op clips a live value (A = cur + r*ge <= OVF16 + band*ge <= 32048 and
+// H+s <= OVF16 + 1000); best is the running max of all H, so a final
+// best < OVF16 certifies the whole run exact
+constexpr int32_t OVF16 = 30000;
+constexpr int64_t MAX_BANDGE16 = 2048;      // band * ge cap (A headroom)
 
 struct ProfT16 {
     std::vector<int16_t> flat;  // [32][qlen]
@@ -371,6 +375,10 @@ int swipe_striped16(const int16_t* profT, int64_t qlen, const int8_t* t,
         if (cm > best) {
             best = cm;
             bc = (int32_t)j;
+            if (best >= OVF16) {  // result will be discarded: abort now
+                out3[0] = out3[1] = out3[2] = 0;
+                return 1;
+            }
             // last row attaining the column max (the oracle's per-row
             // `>=` tie rule)
             const __m512i cmv = _mm512_set1_epi16((int16_t)cm);
@@ -386,12 +394,389 @@ int swipe_striped16(const int16_t* profT, int64_t qlen, const int8_t* t,
     out3[0] = best;
     out3[1] = bc;
     out3[2] = bc + d0 + br;
-    return best >= OVF16 ? 1 : 0;
+    return 0;
 }
+
+// traceback variant: same DP, additionally emitting the four trace-mask
+// byte planes ([tlen, band] row-major 0/1, bit-exact with the scalar
+// swipe_one in banded_swipe.cc, whose walk consumes them).  The masks
+// compare against the SCALAR engine's state trajectory, so this engine
+// adds its zeroing rules: En zeroed outside [rlo, rhi), F zeroed for
+// rows <= rlo (the scalar's F[0]=0 + 1..r_lo loop), and fully-dead
+// columns memset H/E and skip mask emission entirely.
+int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
+                       int64_t tlen, int64_t d0, int64_t band, int32_t go,
+                       int32_t ge, int64_t* out3, uint8_t* gvp,
+                       uint8_t* ghp, uint8_t* ovp, uint8_t* ohp) {
+    static thread_local Shifter SH;
+    const int nch = (int)((band + 31) / 32);
+    static thread_local std::vector<int16_t> state;
+    state.assign(1 + 4 * (size_t)nch * 32, 0);
+    int16_t* Ed = state.data() + 1;
+    int16_t* Hd = Ed + (size_t)nch * 32;
+    int16_t* Rv = Hd + (size_t)nch * 32;
+    int16_t* Gv = Rv + (size_t)nch * 32;
+    for (int c = 0; c < nch; ++c)
+        for (int i = 0; i < 32; ++i) {
+            const int32_t r = 32 * c + i;
+            Rv[32 * c + i] = (int16_t)(r * ge);
+            Gv[32 * c + i] = (int16_t)(go + (r - 1) * ge);
+        }
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i neg = _mm512_set1_epi16(NEG16);
+    const __m512i ge_v = _mm512_set1_epi16((int16_t)ge);
+    const __m512i go_v = _mm512_set1_epi16((int16_t)go);
+    int32_t best = 0, bc = 0, br = 0;
+    for (int64_t j = 0; j < tlen; ++j) {
+        const int16_t* prow = profT + (size_t)(t[j] & 31) * qlen;
+        const int64_t off = j + d0;
+        const int64_t rlo64 = off < 0 ? -off : 0;
+        int64_t rhi64 = qlen - off;
+        if (rhi64 > band)
+            rhi64 = band;
+        const int32_t rlo = (int32_t)(rlo64 < 0 ? 0 : rlo64);
+        const int32_t rhi = (int32_t)(rhi64 < 0 ? 0 : rhi64);
+        if (rlo >= rhi) {  // scalar: memset H/E, no mask writes
+            std::memset(Hd, 0, (size_t)nch * 32 * sizeof(int16_t));
+            std::memset(Ed - 1, 0, (1 + (size_t)nch * 32) * sizeof(int16_t));
+            continue;
+        }
+        int16_t carry = NEG16;
+        __m512i colmax = zero;
+        const int64_t pbase = j * band;
+        for (int c = 0; c < nch; ++c) {
+            const int32_t rb = 32 * c;
+            __mmask32 m;
+            if (rb >= rhi || rb + 32 <= rlo) {
+                m = 0;
+            } else {
+                uint32_t bits = ~0u;
+                if (rlo > rb)
+                    bits &= ~0u << (rlo - rb);
+                if (rhi < rb + 32)
+                    bits &= ~0u >> (rb + 32 - rhi);
+                m = (__mmask32)bits;
+            }
+            // rows r <= rlo have F zeroed in the scalar engine
+            __mmask32 m_gt_lo;
+            if (rlo < rb)
+                m_gt_lo = (__mmask32)~0u;
+            else if (rlo - rb >= 31)
+                m_gt_lo = 0;
+            else
+                m_gt_lo = (__mmask32)(~0u << (rlo - rb + 1));
+            // rows r < band (tail chunk guard for the plane stores)
+            __mmask32 m_band = (__mmask32)~0u;
+            if (band - rb < 32)
+                m_band = (__mmask32)(~0u >> (32 - (band - rb)));
+            __m512i s = _mm512_mask_loadu_epi16(neg, m, prow + off + rb);
+            __m512i H = _mm512_loadu_si512(Hd + rb);
+            __m512i E = _mm512_loadu_si512(Ed + rb);
+            __m512i cur = _mm512_adds_epi16(H, s);
+            cur = _mm512_max_epi16(cur, E);
+            cur = _mm512_max_epi16(cur, zero);
+            __m512i A = _mm512_adds_epi16(cur,
+                                          _mm512_loadu_si512(Rv + rb));
+            __m512i incl = SH.prefix_max(A);
+            __m512i excl = SH.shift_fill(incl, 0);
+            if (c > 0)
+                excl = _mm512_max_epi16(excl, _mm512_set1_epi16(carry));
+            {
+                __m128i hi = _mm512_extracti32x4_epi32(incl, 3);
+                const int16_t top = (int16_t)_mm_extract_epi16(hi, 7);
+                if (top > carry)
+                    carry = top;
+            }
+            __m512i F = _mm512_subs_epi16(excl,
+                                          _mm512_loadu_si512(Gv + rb));
+            F = _mm512_max_epi16(F, zero);
+            __m512i Fm = _mm512_maskz_mov_epi16(m_gt_lo, F);
+            __m512i hn = _mm512_max_epi16(cur, Fm);
+            hn = _mm512_maskz_mov_epi16(m, hn);
+            _mm512_storeu_si512(Hd + rb, hn);
+            colmax = _mm512_max_epi16(colmax, hn);
+            // trace masks (scalar formulas, all rows of the band)
+            __m512i opn = _mm512_max_epi16(_mm512_subs_epi16(hn, go_v),
+                                           zero);
+            __m512i e_next = _mm512_max_epi16(_mm512_subs_epi16(E, ge_v),
+                                              zero);
+            const __mmask32 gv_b = _mm512_cmpeq_epi16_mask(hn, Fm);
+            const __mmask32 gh_b = _mm512_cmpeq_epi16_mask(hn, E);
+            const __mmask32 ov_b = _mm512_cmp_epi16_mask(
+                opn,
+                _mm512_max_epi16(_mm512_subs_epi16(Fm, ge_v), zero),
+                _MM_CMPINT_NLT);
+            const __mmask32 oh_b = _mm512_cmp_epi16_mask(opn, e_next,
+                                                         _MM_CMPINT_NLT);
+            _mm256_mask_storeu_epi8(gvp + pbase + rb, m_band,
+                                    _mm256_maskz_set1_epi8(gv_b, 1));
+            _mm256_mask_storeu_epi8(ghp + pbase + rb, m_band,
+                                    _mm256_maskz_set1_epi8(gh_b, 1));
+            _mm256_mask_storeu_epi8(ovp + pbase + rb, m_band,
+                                    _mm256_maskz_set1_epi8(ov_b, 1));
+            _mm256_mask_storeu_epi8(ohp + pbase + rb, m_band,
+                                    _mm256_maskz_set1_epi8(oh_b, 1));
+            // En = max(e_next, opn) on valid rows, 0 outside (scalar)
+            __m512i en = _mm512_max_epi16(e_next, opn);
+            en = _mm512_maskz_mov_epi16(m, en);
+            _mm512_storeu_si512((void*)(Ed + rb - 1), en);
+        }
+        Ed[band - 1] = 0;
+        __m256i m256 = _mm256_max_epi16(
+            _mm512_castsi512_si256(colmax),
+            _mm512_extracti64x4_epi64(colmax, 1));
+        __m128i m128 = _mm_max_epi16(_mm256_castsi256_si128(m256),
+                                     _mm256_extracti128_si256(m256, 1));
+        __m128i inv = _mm_sub_epi16(_mm_set1_epi16(0x7fff), m128);
+        const int32_t cm = 0x7fff - (_mm_extract_epi16(
+                               _mm_minpos_epu16(inv), 0));
+        if (cm > best) {
+            best = cm;
+            bc = (int32_t)j;
+            if (best >= OVF16) {  // masks will be refilled exactly by the
+                out3[0] = out3[1] = out3[2] = 0;  // int32 engine: abort
+                return 0;
+            }
+            const __m512i cmv = _mm512_set1_epi16((int16_t)cm);
+            br = 0;
+            for (int c = 0; c < nch; ++c) {
+                const __mmask32 eq = _mm512_cmpeq_epi16_mask(
+                    _mm512_loadu_si512(Hd + 32 * c), cmv);
+                if (eq)
+                    br = 32 * c + (31 - __builtin_clz((uint32_t)eq));
+            }
+        }
+    }
+    out3[0] = best;
+    out3[1] = bc;
+    out3[2] = br;  // band row (swipe_one's contract)
+    return 1;
+}
+
+// ---------- striped int32 engines (exact for any score/band) ----------
+// same structure as striped16 with 16 int32 lanes; used for the rare
+// jobs the int16 engine cannot certify (overflow, band*ge too large,
+// out-of-range profile values)
+
+struct Shifter32 {
+    __m512i idx[4];
+    __mmask16 msk[4];
+    __m512i neg;
+    Shifter32() {
+        alignas(64) int32_t buf[16];
+        for (int step = 0, k = 1; k < 16; k <<= 1, ++step) {
+            for (int i = 0; i < 16; ++i)
+                buf[i] = i >= k ? i - k : 0;
+            idx[step] = _mm512_load_si512(buf);
+            msk[step] = (__mmask16)(~0u << k);
+        }
+        neg = _mm512_set1_epi32(NEGB);
+    }
+    inline __m512i shift_fill(__m512i v, int step) const {
+        return _mm512_mask_permutexvar_epi32(neg, msk[step], idx[step], v);
+    }
+    inline __m512i prefix_max(__m512i v) const {
+        for (int s = 0; s < 4; ++s)
+            v = _mm512_max_epi32(v, shift_fill(v, s));
+        return v;
+    }
+};
+
+// emit_masks=false: score-only.  byte planes may be null then.
+void swipe_striped32(const int32_t* profT, int64_t qlen, const int8_t* t,
+                     int64_t tlen, int64_t d0, int64_t band, int32_t go,
+                     int32_t ge, int64_t* out3, bool emit_masks,
+                     uint8_t* gvp, uint8_t* ghp, uint8_t* ovp,
+                     uint8_t* ohp) {
+    static thread_local Shifter32 SH;
+    const int nch = (int)((band + 15) / 16);
+    static thread_local std::vector<int32_t> state;
+    state.assign(1 + 4 * (size_t)nch * 16, 0);
+    int32_t* Ed = state.data() + 1;
+    int32_t* Hd = Ed + (size_t)nch * 16;
+    int32_t* Rv = Hd + (size_t)nch * 16;
+    int32_t* Gv = Rv + (size_t)nch * 16;
+    for (int c = 0; c < nch; ++c)
+        for (int i = 0; i < 16; ++i) {
+            const int32_t r = 16 * c + i;
+            Rv[16 * c + i] = r * ge;
+            Gv[16 * c + i] = go + (r - 1) * ge;
+        }
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i neg = _mm512_set1_epi32(NEGB);
+    const __m512i ge_v = _mm512_set1_epi32(ge);
+    const __m512i go_v = _mm512_set1_epi32(go);
+    int32_t best = 0, bc = 0, br = 0;
+    for (int64_t j = 0; j < tlen; ++j) {
+        const int32_t* prow = profT + (size_t)(t[j] & 31) * qlen;
+        const int64_t off = j + d0;
+        const int64_t rlo64 = off < 0 ? -off : 0;
+        int64_t rhi64 = qlen - off;
+        if (rhi64 > band)
+            rhi64 = band;
+        const int32_t rlo = (int32_t)(rlo64 < 0 ? 0 : rlo64);
+        const int32_t rhi = (int32_t)(rhi64 < 0 ? 0 : rhi64);
+        if (emit_masks && rlo >= rhi) {
+            std::memset(Hd, 0, (size_t)nch * 16 * sizeof(int32_t));
+            std::memset(Ed - 1, 0, (1 + (size_t)nch * 16) * sizeof(int32_t));
+            continue;
+        }
+        int32_t carry = NEGB;
+        __m512i colmax = zero;
+        const int64_t pbase = j * band;
+        for (int c = 0; c < nch; ++c) {
+            const int32_t rb = 16 * c;
+            __mmask16 m;
+            if (rb >= rhi || rb + 16 <= rlo) {
+                m = 0;
+            } else {
+                uint32_t bits = 0xffffu;
+                if (rlo > rb)
+                    bits &= 0xffffu << (rlo - rb);
+                if (rhi < rb + 16)
+                    bits &= 0xffffu >> (rb + 16 - rhi);
+                m = (__mmask16)bits;
+            }
+            __mmask16 m_gt_lo;
+            if (rlo < rb)
+                m_gt_lo = (__mmask16)0xffffu;
+            else if (rlo - rb >= 15)
+                m_gt_lo = 0;
+            else
+                m_gt_lo = (__mmask16)(0xffffu << (rlo - rb + 1));
+            __mmask16 m_band = (__mmask16)0xffffu;
+            if (band - rb < 16)
+                m_band = (__mmask16)(0xffffu >> (16 - (band - rb)));
+            __m512i s = _mm512_mask_loadu_epi32(neg, m, prow + off + rb);
+            __m512i H = _mm512_loadu_si512(Hd + rb);
+            __m512i E = _mm512_loadu_si512(Ed + rb);
+            __m512i cur = _mm512_add_epi32(H, s);
+            cur = _mm512_max_epi32(cur, E);
+            cur = _mm512_max_epi32(cur, zero);
+            __m512i A = _mm512_add_epi32(cur, _mm512_loadu_si512(Rv + rb));
+            __m512i incl = SH.prefix_max(A);
+            __m512i excl = SH.shift_fill(incl, 0);
+            if (c > 0)
+                excl = _mm512_max_epi32(excl, _mm512_set1_epi32(carry));
+            {
+                __m128i hi = _mm512_extracti32x4_epi32(incl, 3);
+                const int32_t top = _mm_extract_epi32(hi, 3);
+                if (top > carry)
+                    carry = top;
+            }
+            __m512i F = _mm512_sub_epi32(excl, _mm512_loadu_si512(Gv + rb));
+            F = _mm512_max_epi32(F, zero);
+            __m512i Fm = _mm512_maskz_mov_epi32(m_gt_lo, F);
+            __m512i hn = _mm512_max_epi32(cur, Fm);
+            hn = _mm512_maskz_mov_epi32(m, hn);
+            _mm512_storeu_si512(Hd + rb, hn);
+            colmax = _mm512_max_epi32(colmax, hn);
+            __m512i e_next = _mm512_max_epi32(_mm512_sub_epi32(E, ge_v),
+                                              zero);
+            __m512i opn = _mm512_max_epi32(_mm512_sub_epi32(hn, go_v),
+                                           zero);
+            if (emit_masks) {
+                const __mmask16 gv_b = _mm512_cmpeq_epi32_mask(hn, Fm);
+                const __mmask16 gh_b = _mm512_cmpeq_epi32_mask(hn, E);
+                const __mmask16 ov_b = _mm512_cmp_epi32_mask(
+                    opn,
+                    _mm512_max_epi32(_mm512_sub_epi32(Fm, ge_v), zero),
+                    _MM_CMPINT_NLT);
+                const __mmask16 oh_b = _mm512_cmp_epi32_mask(
+                    opn, e_next, _MM_CMPINT_NLT);
+                _mm_mask_storeu_epi8(gvp + pbase + rb, m_band,
+                                     _mm_maskz_set1_epi8(gv_b, 1));
+                _mm_mask_storeu_epi8(ghp + pbase + rb, m_band,
+                                     _mm_maskz_set1_epi8(gh_b, 1));
+                _mm_mask_storeu_epi8(ovp + pbase + rb, m_band,
+                                     _mm_maskz_set1_epi8(ov_b, 1));
+                _mm_mask_storeu_epi8(ohp + pbase + rb, m_band,
+                                     _mm_maskz_set1_epi8(oh_b, 1));
+            }
+            __m512i en = _mm512_max_epi32(e_next, opn);
+            en = _mm512_maskz_mov_epi32(m, en);
+            _mm512_storeu_si512((void*)(Ed + rb - 1), en);
+        }
+        Ed[band - 1] = 0;
+        const int32_t cm = _mm512_reduce_max_epi32(colmax);
+        if (cm > best) {
+            best = cm;
+            bc = (int32_t)j;
+            const __m512i cmv = _mm512_set1_epi32(cm);
+            br = 0;
+            for (int c = 0; c < nch; ++c) {
+                const __mmask16 eq = _mm512_cmpeq_epi32_mask(
+                    _mm512_loadu_si512(Hd + 16 * c), cmv);
+                if (eq)
+                    br = 16 * c + (31 - __builtin_clz((uint32_t)eq));
+            }
+        }
+    }
+    out3[0] = best;
+    out3[1] = bc;
+    out3[2] = br;  // band row; score callers convert
+}
+
+struct TbProfCache {
+    const int8_t* q = nullptr;
+    const int32_t* bias = nullptr;
+    int64_t qlen = 0;
+    bool valid = false;
+    ProfT16 prof;
+    ProfT32 prof32;
+    bool p32_valid = false;
+};
+thread_local TbProfCache g_tbcache;
 
 #endif  // DTPU_STRIPED16
 
 }  // namespace
+
+// cross-TU hooks for banded_swipe.cc's traceback batchers: striped DP
+// fill with byte-plane mask emission; returns 1 on success, 0 when the
+// caller must run the scalar engine (overflow / wide band / big bias).
+extern "C" void dtpu_striped16_cache_reset() {
+#ifdef DTPU_STRIPED16
+    g_tbcache.valid = false;
+#endif
+}
+
+extern "C" int dtpu_striped16_tb_fill(
+    const int8_t* q, int64_t qlen, const int32_t* bias, const int8_t* t,
+    int64_t tlen, int64_t d0, int64_t band, const int32_t* matrix32,
+    int64_t go64, int64_t ge64, int64_t* out3, uint8_t* gv, uint8_t* gh,
+    uint8_t* ov, uint8_t* oh) {
+#ifdef DTPU_STRIPED16
+    TbProfCache& c = g_tbcache;
+    if (!c.valid || c.q != q || c.bias != bias || c.qlen != qlen) {
+        build_profT16(c.prof, q, qlen, bias, matrix32);
+        c.q = q;
+        c.bias = bias;
+        c.qlen = qlen;
+        c.valid = true;
+        c.p32_valid = false;
+    }
+    if (band * (ge64 > 0 ? ge64 : 1) <= MAX_BANDGE16 && c.prof.ok
+        && swipe_striped16_tb(c.prof.flat.data(), qlen, t, tlen, d0, band,
+                              (int32_t)go64, (int32_t)ge64, out3, gv, gh,
+                              ov, oh))
+        return 1;
+    // int16 could not certify (overflow / big bias): exact int32 striped
+    if (!c.p32_valid) {
+        build_profT32(c.prof32, q, qlen, bias, matrix32);
+        c.p32_valid = true;
+    }
+    swipe_striped32(c.prof32.flat.data(), qlen, t, tlen, d0, band,
+                    (int32_t)go64, (int32_t)ge64, out3, true, gv, gh, ov,
+                    oh);
+    return 1;
+#else
+    (void)q; (void)qlen; (void)bias; (void)t; (void)tlen; (void)d0;
+    (void)band; (void)matrix32; (void)go64; (void)ge64; (void)out3;
+    (void)gv; (void)gh; (void)ov; (void)oh;
+    return 0;
+#endif
+}
 
 extern "C" void banded_swipe_score_lanes(
     const int8_t* q_base, const int32_t* bias_base,
@@ -404,7 +789,7 @@ extern "C" void banded_swipe_score_lanes(
     ProfT16 prof;
     std::vector<int64_t> redo;
     for (int64_t k = 0; k < njobs; ++k) {
-        if (band_arr[k] > MAX_BAND16) {
+        if (band_arr[k] * (ge > 0 ? ge : 1) > MAX_BANDGE16) {
             redo.push_back(k);
             continue;
         }
@@ -428,27 +813,28 @@ extern "C" void banded_swipe_score_lanes(
                             out + 3 * k))
             redo.push_back(k);
     }
-    if (!redo.empty()) {
-        const int64_t n = (int64_t)redo.size();
-        std::vector<int64_t> qo(n), ql(n), to(n), tl(n), db(n), ba(n);
-        std::vector<uint8_t> ub(n);
-        std::vector<int64_t> o2(3 * n);
-        for (int64_t i = 0; i < n; ++i) {
-            const int64_t k = redo[i];
-            qo[i] = q_off[k];
-            ql[i] = q_len[k];
-            ub[i] = use_bias[k];
-            to[i] = t_off[k];
-            tl[i] = t_len[k];
-            db[i] = d_begin[k];
-            ba[i] = band_arr[k];
+    // jobs the int16 engine could not certify: exact striped int32
+    // (no lane padding — each redo job usually has its own query)
+    ProfT32 prof32;
+    for (int64_t k : redo) {
+        const int64_t qoff = q_off[k];
+        if (prof32.q_off != qoff || prof32.qlen != q_len[k]
+            || prof32.use_bias != (int)use_bias[k]) {
+            build_profT32(prof32, q_base + qoff, q_len[k],
+                          use_bias[k] && bias_base ? bias_base + qoff
+                                                   : nullptr,
+                          matrix32);
+            prof32.q_off = qoff;
+            prof32.qlen = q_len[k];
+            prof32.use_bias = use_bias[k];
         }
-        score_lanes_i32(q_base, bias_base, qo.data(), ql.data(), ub.data(),
-                        t_cat, to.data(), tl.data(), db.data(), ba.data(),
-                        n, matrix32, go, ge, o2.data());
-        for (int64_t i = 0; i < n; ++i)
-            std::memcpy(out + 3 * redo[i], o2.data() + 3 * i,
-                        3 * sizeof(int64_t));
+        int64_t o3[3];
+        swipe_striped32(prof32.flat.data(), q_len[k], t_cat + t_off[k],
+                        t_len[k], d_begin[k], band_arr[k], go, ge, o3,
+                        false, nullptr, nullptr, nullptr, nullptr);
+        out[3 * k] = o3[0];
+        out[3 * k + 1] = o3[1];
+        out[3 * k + 2] = o3[1] + d_begin[k] + o3[2];
     }
 #else
     score_lanes_i32(q_base, bias_base, q_off, q_len, use_bias, t_cat,
