@@ -21,6 +21,7 @@ import tempfile
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _lib = None
 _tried = False
+_sort_tmp = None
 
 
 def _sources():
@@ -656,8 +657,13 @@ def sort_kv_native(keys, vals):
     v = np.ascontiguousarray(vals, dtype=np.int64).copy()
     if n == 0:
         return k, v
-    tmp_k = np.empty(n, dtype=np.uint64)
-    tmp_v = np.empty(n, dtype=np.int64)
+    # scratch reused across calls: fresh multi-MB allocations churn this
+    # host's proactive memory reclaim
+    global _sort_tmp
+    if _sort_tmp is None or len(_sort_tmp[0]) < n:
+        _sort_tmp = (np.empty(n, dtype=np.uint64),
+                     np.empty(n, dtype=np.int64))
+    tmp_k, tmp_v = _sort_tmp
     kb = max((int(k.max()).bit_length() + 7) // 8, 1)
     l.sort_kv_u64(k.ctypes.data, v.ctypes.data, n,
                   tmp_k.ctypes.data, tmp_v.ctypes.data, kb)

@@ -10,6 +10,10 @@
 
 #include <cstdint>
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int8_t DELIMITER = 31;
@@ -51,9 +55,20 @@ inline uint8_t verify_one(
                     continue;
             }
         }
+#if defined(__AVX512BW__)
+        const __mmask64 w48 = 0xFFFFFFFFFFFFull;
+        const __m512i m31 = _mm512_set1_epi8(31);
+        const __m512i qv = _mm512_and_si512(
+            _mm512_maskz_loadu_epi8(w48, q_letters + qpos - 16), m31);
+        const __m512i sv = _mm512_and_si512(
+            _mm512_maskz_loadu_epi8(w48, s_letters + spos - 16), m31);
+        const int32_t ident = __builtin_popcountll(
+            _mm512_cmpeq_epi8_mask(qv, sv) & w48);
+#else
         int32_t ident = 0;
         for (int o = -16; o < 32; ++o)
             ident += (q_letters[qpos + o] & 31) == (s_letters[spos + o] & 31);
+#endif
         if (ident >= hamming_filter_id)
             return 1;
     }
@@ -129,6 +144,22 @@ inline uint8_t left_most_one(
         window = wl + 1 + 32;
     int64_t first_after = window;
     int64_t last_before = -1;
+#if defined(__AVX512BW__)
+    {   // delimiter scan as one masked compare (window <= 49 always)
+        const __mmask64 wm = window >= 64 ? ~0ull
+                                          : ((1ull << window) - 1);
+        const uint64_t dels = _mm512_cmpeq_epi8_mask(
+            _mm512_maskz_loadu_epi8(wm, s_letters + ss),
+            _mm512_set1_epi8(DELIMITER)) & wm;
+        const uint64_t d_ge = wl < 64 ? dels >> wl : 0;
+        if (d_ge)
+            first_after = wl + __builtin_ctzll(d_ge);
+        const uint64_t d_lt =
+            dels & (wl >= 64 ? ~0ull : ((1ull << wl) - 1));
+        if (d_lt)
+            last_before = 63 - __builtin_clzll(d_lt);
+    }
+#else
     for (int64_t o = 0; o < window; ++o) {
         if (s_letters[ss + o] == DELIMITER) {
             if (o >= wl) {
@@ -138,12 +169,51 @@ inline uint8_t left_most_one(
             last_before = o;
         }
     }
+#endif
     const int64_t dd = last_before >= 0 ? last_before + 1 : 0;
     qs += dd;
     ss += dd;
     wl -= dd;
     window = first_after - dd;
     uint64_t match_mask = 0, smask = 0;
+#if defined(__AVX512BW__)
+    {   // reduced-alphabet match mask: two 16-entry shuffles + bit-4
+        // select implement the 32-entry reduction_map byte lookup
+        const __mmask64 wm = window >= 64 ? ~0ull
+                                          : window <= 0
+                                                ? 0
+                                                : ((1ull << window) - 1);
+        const __m512i m31 = _mm512_set1_epi8(31);
+        const __m512i qb = _mm512_and_si512(
+            _mm512_maskz_loadu_epi8(wm, q_letters + qs), m31);
+        const __m512i sb = _mm512_and_si512(
+            _mm512_maskz_loadu_epi8(wm, s_letters + ss), m31);
+        const __m512i vmask = _mm512_set1_epi8(MASK_LETTER);
+        const __m512i vdel = _mm512_set1_epi8(DELIMITER);
+        const __m512i vstop = _mm512_set1_epi8(STOP_LETTER);
+        const __mmask64 aaq = _mm512_cmpneq_epi8_mask(qb, vmask)
+                              & _mm512_cmpneq_epi8_mask(qb, vdel)
+                              & _mm512_cmpneq_epi8_mask(qb, vstop);
+        const __mmask64 aas = _mm512_cmpneq_epi8_mask(sb, vmask)
+                              & _mm512_cmpneq_epi8_mask(sb, vdel)
+                              & _mm512_cmpneq_epi8_mask(sb, vstop);
+        const __m512i tlo = _mm512_broadcast_i32x4(
+            _mm_loadu_si128((const __m128i*)reduction_map));
+        const __m512i thi = _mm512_broadcast_i32x4(
+            _mm_loadu_si128((const __m128i*)(reduction_map + 16)));
+        const __m512i b16 = _mm512_set1_epi8(16);
+        const __mmask64 q4 = _mm512_test_epi8_mask(qb, b16);
+        const __mmask64 s4 = _mm512_test_epi8_mask(sb, b16);
+        const __m512i rq = _mm512_mask_blend_epi8(
+            q4, _mm512_shuffle_epi8(tlo, qb), _mm512_shuffle_epi8(thi, qb));
+        const __m512i rs = _mm512_mask_blend_epi8(
+            s4, _mm512_shuffle_epi8(tlo, sb), _mm512_shuffle_epi8(thi, sb));
+        match_mask = _mm512_cmpeq_epi8_mask(rq, rs) & aaq & aas & wm;
+        smask = _mm512_cmpneq_epi8_mask(
+                    _mm512_maskz_loadu_epi8(wm, q_seed_mask + qs),
+                    _mm512_setzero_si512()) & wm;
+    }
+#else
     for (int64_t o = 0; o < window; ++o) {
         const int ql = q_letters[qs + o] & 31;
         const int sl = s_letters[ss + o] & 31;
@@ -156,6 +226,7 @@ inline uint8_t left_most_one(
         if (q_seed_mask[qs + o])
             smask |= 1ull << o;
     }
+#endif
     const uint64_t query_seed_mask = ~smask;
     const int64_t len_left = wl + shape_length - 1;
     const uint64_t bits_left = (1ull << len_left) - 1;
@@ -259,25 +330,135 @@ extern "C" int64_t stage12_pipeline(
             int64_t wright = 0;
             while (wright < window && q[wright] != DELIMITER)
                 ++wright;
+#if defined(__AVX512BW__)
+            // stage 1 as one 48-byte masked compare (the reference's
+            // SIMD fingerprint, hamming/kernel.h:29-75, as AVX-512)
+            const __mmask64 w48 = 0xFFFFFFFFFFFFull;
+            const __m512i m31 = _mm512_set1_epi8(31);
+            const __m512i qv = _mm512_and_si512(
+                _mm512_maskz_loadu_epi8(w48, q - 16), m31);
+            // stage 2 hoist: query-side matrix row offsets over the
+            // clipped window, (q[o]&31)*32 as int32
+            const int64_t W = wleft + wright;
+            alignas(64) int32_t qrow[192];
+            const int use_vec2 = W <= 192;
+            if (use_vec2)
+                for (int64_t o = 0; o < W; ++o)
+                    qrow[o] = (int32_t)(q[o - wleft] & 31) * 32;
+#endif
             for (int64_t si = s_start[g]; si < s_start[g + 1]; ++si) {
                 const int64_t sp = s_pos[si];
                 const int8_t* s = s_letters + sp;
                 // stage 1: fingerprint identity
+#if defined(__AVX512BW__)
+                const __m512i sv = _mm512_and_si512(
+                    _mm512_maskz_loadu_epi8(w48, s - 16), m31);
+                const int32_t ident = __builtin_popcountll(
+                    _mm512_cmpeq_epi8_mask(qv, sv) & w48);
+#else
                 int32_t ident = 0;
                 for (int o = -16; o < 32; ++o)
                     ident += (q[o] & 31) == (s[o] & 31);
+#endif
                 if (ident < hamming_id)
                     continue;
                 // stage 2: best ungapped segment on the seed diagonal
-                int64_t st = 0, bestsc = 0;
-                for (int64_t o = -wleft; o < wright; ++o) {
-                    st += matrix32[(q[o] & 31) * 32 + (s[o] & 31)];
-                    if (st < 0)
-                        st = 0;
-                    else if (clamp255 && st > 255)
-                        st = 255;
-                    if (st > bestsc)
-                        bestsc = st;
+                int64_t bestsc = 0;
+#if defined(__AVX512BW__)
+                if (use_vec2) {
+                    // Kadane == max_k(P[k] - min(0, min_{j<k} P[j])) on
+                    // the unclamped prefix sums; identical to the
+                    // clamped scan whenever the result stays under 255
+                    // (values never reach the clamp), else rerun scalar
+                    const __m512i z = _mm512_setzero_si512();
+                    const __m512i m31_32 = _mm512_set1_epi32(31);
+                    __m512i bestv = z;
+                    int32_t pc = 0;    // running total of scores
+                    int32_t mc = 0;    // min(0, all previous P)
+                    for (int64_t o = 0; o < W; o += 16) {
+                        const __mmask16 m =
+                            W - o >= 16
+                                ? (__mmask16)0xffff
+                                : (__mmask16)(0xffffu >> (16 - (W - o)));
+                        // masked 16-byte load: an unmasked one reads up
+                        // to 15 bytes past the clipped window, which can
+                        // run off the end of the letters buffer
+                        const __m512i s32 = _mm512_and_si512(
+                            _mm512_cvtepi8_epi32(_mm_maskz_loadu_epi8(
+                                m, s - wleft + o)),
+                            m31_32);
+                        const __m512i idx = _mm512_add_epi32(
+                            _mm512_load_si512(qrow + o), s32);
+                        // masked lanes score 0 (neutral for the scan)
+                        const __m512i sc = _mm512_mask_i32gather_epi32(
+                            z, m, idx, matrix32, 4);
+                        // inclusive prefix sum / prefix min (4 steps)
+                        __m512i P = sc;
+                        P = _mm512_add_epi32(P, _mm512_alignr_epi32(
+                                P, z, 16 - 1));
+                        P = _mm512_add_epi32(P, _mm512_alignr_epi32(
+                                P, z, 16 - 2));
+                        P = _mm512_add_epi32(P, _mm512_alignr_epi32(
+                                P, z, 16 - 4));
+                        P = _mm512_add_epi32(P, _mm512_alignr_epi32(
+                                P, z, 16 - 8));
+                        const __m512i Pg =
+                            _mm512_add_epi32(P, _mm512_set1_epi32(pc));
+                        __m512i M = Pg;
+                        const __m512i big = _mm512_set1_epi32(1 << 30);
+                        M = _mm512_min_epi32(M, _mm512_alignr_epi32(
+                                M, big, 16 - 1));
+                        M = _mm512_min_epi32(M, _mm512_alignr_epi32(
+                                M, big, 16 - 2));
+                        M = _mm512_min_epi32(M, _mm512_alignr_epi32(
+                                M, big, 16 - 4));
+                        M = _mm512_min_epi32(M, _mm512_alignr_epi32(
+                                M, big, 16 - 8));
+                        // exclusive min with the carry (includes empty=0
+                        // via mc's min(0, ...) invariant)
+                        const __m512i Mex = _mm512_min_epi32(
+                            _mm512_alignr_epi32(M, big, 16 - 1),
+                            _mm512_set1_epi32(mc));
+                        bestv = _mm512_max_epi32(
+                            bestv, _mm512_sub_epi32(Pg, Mex));
+                        alignas(64) int32_t ptail[16], mtail[16];
+                        _mm512_store_si512(ptail, Pg);
+                        _mm512_store_si512(mtail, M);
+                        const int lastl = W - o >= 16 ? 15
+                                                      : (int)(W - o - 1);
+                        if (mtail[lastl] < mc)
+                            mc = mtail[lastl];
+                        pc = ptail[15];  // masked lanes add 0: safe
+                    }
+                    bestsc = _mm512_reduce_max_epi32(bestv);
+                    if (bestsc < 0)
+                        bestsc = 0;
+                    if (clamp255 && bestsc > 255) {
+                        int64_t st = 0;
+                        bestsc = 0;
+                        for (int64_t o = -wleft; o < wright; ++o) {
+                            st += matrix32[(q[o] & 31) * 32 + (s[o] & 31)];
+                            if (st < 0)
+                                st = 0;
+                            else if (st > 255)
+                                st = 255;
+                            if (st > bestsc)
+                                bestsc = st;
+                        }
+                    }
+                } else
+#endif
+                {
+                    int64_t st = 0;
+                    for (int64_t o = -wleft; o < wright; ++o) {
+                        st += matrix32[(q[o] & 31) * 32 + (s[o] & 31)];
+                        if (st < 0)
+                            st = 0;
+                        else if (clamp255 && st > 255)
+                            st = 255;
+                        if (st > bestsc)
+                            bestsc = st;
+                    }
                 }
                 if (bestsc <= cutoff)
                     continue;

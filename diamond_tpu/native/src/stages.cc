@@ -8,6 +8,10 @@
 
 #include <cstdint>
 
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+#endif
+
 namespace {
 constexpr int8_t DELIMITER = 31;
 }
@@ -90,6 +94,62 @@ extern "C" int64_t enumerate_seeds_block(
     int64_t shape_length, int64_t base, int64_t min_len,
     uint64_t* out_keys, int64_t* out_pos) {
     int64_t m = 0;
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+    // 8 positions per step: the spaced key accumulates in 8 int64 lanes
+    // (key = key*base + letter per shape position, validity as a lane
+    // mask), survivors compress-store straight into the output
+    const __m512i basev = _mm512_set1_epi64(base);
+    const __m512i zerov = _mm512_setzero_si512();
+    const __m512i iota = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+    for (int64_t s = 0; s < nseqs; ++s) {
+        const int64_t L = lengths[s];
+        if (L < shape_length || (min_len && L < min_len))
+            continue;
+        const int64_t st = starts[s];
+        const int64_t end = st + L - shape_length;
+        int64_t p = st;
+        for (; p + 7 <= end; p += 8) {
+            __m512i key = zerov;
+            __mmask8 valid = 0xff;
+            for (int32_t c = 0; c < weight; ++c) {
+                // 8-byte load: exactly the lanes consumed by
+                // cvtepi8_epi64 — a 16-byte load could run past the
+                // end of the reduced buffer on the final sequence
+                const __m128i raw = _mm_loadl_epi64(
+                    (const __m128i*)(reduced + p + positions[c]));
+                const __m512i w = _mm512_cvtepi8_epi64(raw);
+                valid &= _mm512_cmpge_epi64_mask(w, zerov)
+                         & _mm512_cmplt_epi64_mask(w, basev);
+                key = _mm512_add_epi64(_mm512_mullo_epi64(key, basev), w);
+            }
+            if (out_keys) {
+                _mm512_mask_compressstoreu_epi64(out_keys + m, valid, key);
+                _mm512_mask_compressstoreu_epi64(
+                    out_pos + m, valid,
+                    _mm512_add_epi64(_mm512_set1_epi64(p), iota));
+            }
+            m += __builtin_popcount((unsigned)valid);
+        }
+        for (; p <= end; ++p) {
+            uint64_t key = 0;
+            bool v = true;
+            for (int32_t c = 0; c < weight; ++c) {
+                const int64_t w = reduced[p + positions[c]];
+                v &= (w >= 0 && w < base);
+                key = key * (uint64_t)base + (uint64_t)(w >= 0 && w < base
+                                                            ? w : 0);
+            }
+            if (v) {
+                if (out_keys) {
+                    out_keys[m] = key;
+                    out_pos[m] = p;
+                }
+                ++m;
+            }
+        }
+    }
+    return m;
+#else
     for (int64_t s = 0; s < nseqs; ++s) {
         const int64_t L = lengths[s];
         if (L < shape_length || (min_len && L < min_len))
@@ -114,6 +174,7 @@ extern "C" int64_t enumerate_seeds_block(
         }
     }
     return m;
+#endif
 }
 
 // 8-mer motif scan: for each window of 8 true-AA letters, binary-search

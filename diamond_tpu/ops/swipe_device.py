@@ -48,18 +48,53 @@ MAX_DEVICE_CELLS = 2 << 20
 G_CAP = 128  # tiles per pallas call; larger batches loop at this size
 
 
+HOST_DP_GCUPS = 1.5e9  # measured striped16 AVX-512 rate (PERF.md)
+
+_measured_min_cells: int | None = None
+
+
+def _measure_dispatch_latency() -> float:
+    """One tiny jit dispatch+readback, best of 2 (seconds).  A co-located
+    chip measures ~1e-4; this dev host's tunneled chip ~1s."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    jax.block_until_ready(f(x))  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _min_device_cells() -> int:
     """Cost-based routing threshold: a job goes to the device only when its
     padded cell count is at least this (smaller jobs run faster on the
-    host C++ path once per-dispatch latency is counted — on this
-    time-shared tunneled chip a kernel launch costs ~1s wall, so the
-    default favors big-band work like --swipe and wide sensitive bands;
-    co-located TPU hosts should set DIAMOND_TPU_DP_MIN_CELLS lower, 0
-    sends every job to the chip)."""
+    host C++ path once per-dispatch latency is counted).
+
+    DIAMOND_TPU_DP_MIN_CELLS pins it (0 sends every job to the chip).
+    Unset, the threshold is MEASURED at first use: dispatch latency x the
+    host engine's ~1.5 GCUPS — a co-located chip (~0.1-1 ms dispatch)
+    gets a ~0.2-1.5M-cell threshold and absorbs the heavy tail, while
+    this dev host's ~1 s tunnel prices essentially all extension jobs
+    onto the host path (the kernel benchmarks, --swipe and the stage-1/2
+    device twins still exercise the chip)."""
     v = os.environ.get("DIAMOND_TPU_DP_MIN_CELLS")
     if v is not None and v != "":
         return int(v)
-    return 256 * 1024
+    global _measured_min_cells
+    if _measured_min_cells is None:
+        try:
+            lat = _measure_dispatch_latency()
+        except Exception:
+            lat = 1.0
+        _measured_min_cells = max(256 * 1024, int(lat * HOST_DP_GCUPS))
+    return _measured_min_cells
 
 _cache_set = False
 

@@ -244,8 +244,10 @@ class Pipeline:
             for b, e in q_motif:
                 self.query_seed_mask[max(b - shape.length + 1, 0) : e] = True
 
-            parts = (q_keys_f & np.uint64(cfg.seedp_mask)).astype(np.int64)
-            t_parts = (t_keys & np.uint64(cfg.seedp_mask)).astype(np.int64)
+            # keys < 2^63, so the uint64 masks reinterpret as int64
+            # without a 30MB astype copy per round
+            parts = (q_keys_f & np.uint64(cfg.seedp_mask)).view(np.int64)
+            t_parts = (t_keys & np.uint64(cfg.seedp_mask)).view(np.int64)
 
             shape_hits = []
             for chunk in range(cfg.index_chunks):

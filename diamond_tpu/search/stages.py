@@ -99,6 +99,24 @@ def _csr_gather(first, counts, arr):
     return starts, arr[first[grp] + within]
 
 
+def _take_runs(first, counts, arr):
+    """Like _csr_gather but for DISJOINT ASCENDING runs of arr (the
+    seed-join case: groups are contiguous slices of the key-sorted
+    array): a +1/-1 boundary scatter and one boolean take replace the
+    repeat/arange temporaries (an order of magnitude less allocation
+    on multi-million-row joins)."""
+    total = int(counts.sum())
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    if total == 0:
+        return starts, np.empty(0, dtype=arr.dtype)
+    delta = np.zeros(len(arr) + 1, dtype=np.int8)
+    delta[first] += 1            # starts are distinct,
+    delta[first + counts] -= 1   # ends are distinct: both accumulate
+    keep = np.cumsum(delta[:-1], dtype=np.int8).view(bool)
+    return starts, arr[keep]
+
+
 def _sorted_kv(keys, pos):
     from diamond_tpu import native
 
@@ -139,8 +157,8 @@ def seed_join(q_keys, q_pos, s_keys, s_pos) -> SeedJoin:
     q_counts = np.diff(np.append(q_first, len(qk)))[qi]
     s_counts = np.diff(np.append(s_first, len(sk)))[si]
 
-    qs, qv = _csr_gather(q_first[qi], q_counts, qp)
-    ss, sv = _csr_gather(s_first[si], s_counts, sp)
+    qs, qv = _take_runs(q_first[qi], q_counts, qp)
+    ss, sv = _take_runs(s_first[si], s_counts, sp)
     return SeedJoin(keys=common, q_start=qs, q_pos=qv, s_start=ss, s_pos=sv)
 
 
