@@ -211,16 +211,22 @@ def _execute_round(reqs: dict, mat, device: DeviceDP | None,
         if small:
             dev_requests.append((r.q, r.bias, [r.jobs[k] for k in small]))
             dev_scatter.append((qid, small))
-    if score_items and not _score_multi(score_items, mat, state):
-        for qid, r, ks, out in score_items:
-            res = banded_swipe_batch_np(r.q, r.bias,
-                                        [r.jobs[k] for k in ks],
-                                        mat.matrix32, mat.gap_open,
-                                        mat.gap_extend, traceback=False)
-            for k, v in zip(ks, res):
-                out[k] = v
+    from diamond_tpu.utils.log import ptimer
+
+    if score_items:
+        with ptimer("ext.score_multi"):
+            ok = _score_multi(score_items, mat, state)
+        if not ok:
+            for qid, r, ks, out in score_items:
+                res = banded_swipe_batch_np(r.q, r.bias,
+                                            [r.jobs[k] for k in ks],
+                                            mat.matrix32, mat.gap_open,
+                                            mat.gap_extend, traceback=False)
+                for k, v in zip(ks, res):
+                    out[k] = v
     if tb_items:
-        failed = _tb_multi(tb_items, mat, state)
+        with ptimer("ext.tb_multi"):
+            failed = _tb_multi(tb_items, mat, state)
         if failed is None:
             # no native library: per-request host fallback
             for qid, r, _std, _out in tb_items:
@@ -234,7 +240,8 @@ def _execute_round(reqs: dict, mat, device: DeviceDP | None,
             for qid in failed:
                 responses[qid] = None
     if dev_requests:
-        results = device.run_many(dev_requests)
+        with ptimer("ext.device_dp"):
+            results = device.run_many(dev_requests)
         for (qid, idx), res in zip(dev_scatter, results):
             for k, v in zip(idx, res):
                 responses[qid][k] = v
@@ -261,14 +268,18 @@ def extend_wave(ctx, by_query, qids, device: DeviceDP | None = None):
         except StopIteration as e:
             results[qid] = e.value
 
-    for qid in qids:
-        gens[qid] = extend_query_gen(qid, by_query[qid], ctx)
-        step(qid, None)
+    from diamond_tpu.utils.log import ptimer
+
+    with ptimer("ext.gen_first"):
+        for qid in qids:
+            gens[qid] = extend_query_gen(qid, by_query[qid], ctx)
+            step(qid, None)
 
     while pending:
         current, pending = pending, {}
         responses = _execute_round(current, mat, device, state)
-        for qid in current:
-            step(qid, responses[qid])
+        with ptimer("ext.gen_step"):
+            for qid in current:
+                step(qid, responses[qid])
 
     return results

@@ -135,8 +135,8 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_int32, ctypes.c_void_p]
         cdll.left_most_filter_many.restype = None
@@ -197,8 +197,8 @@ def lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_void_p]
         cdll.stage12_pipeline.restype = ctypes.c_int64
@@ -489,11 +489,11 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
 
     def m_args(m):
         if m is None or m.empty:
-            return None, 0, 0, 1
-        return m.table.ctypes.data, int(m.suffix_mask), int(m.min_len), 0
+            return None, 0
+        return m.masks.ctypes.data, len(m.masks)
 
-    ct, csm, cml, cem = m_args(current_matcher)
-    pt, psm, pml, pem = m_args(previous_matcher)
+    ct, cn = m_args(current_matcher)
+    pt, pn = m_args(previous_matcher)
     return l.stage12_pipeline(
         q_letters.ctypes.data, s_letters.ctypes.data,
         q_seed_mask.ctypes.data,
@@ -512,8 +512,7 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
         ctypes.c_uint64(shape.mask), pos64.ctypes.data, int(shape.weight),
         int(shape.length),
         int(bool(first_shape)), int(bool(chunked)),
-        ct, ctypes.c_uint64(csm), cml, cem,
-        pt, ctypes.c_uint64(psm), pml, pem,
+        ct, cn, pt, pn,
         int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
         out_rows.ctypes.data)
 
@@ -602,8 +601,8 @@ def left_most_filter_native(q_letters, s_letters, q_seed_mask, reduction,
                             hamming_filter_id) -> "np.ndarray | None":
     """Full native left-most filter; returns [N] bool keeps or None.
 
-    current/previous_matcher: BatchPatternMatcher instances (table/
-    suffix_mask/min_len/empty are read directly)."""
+    current/previous_matcher: BatchPatternMatcher instances (the raw
+    pattern masks are read directly)."""
     import numpy as np
 
     l = lib()
@@ -623,11 +622,11 @@ def left_most_filter_native(q_letters, s_letters, q_seed_mask, reduction,
 
     def m_args(m):
         if m.empty:
-            return None, 0, 0, 1
-        return m.table.ctypes.data, int(m.suffix_mask), int(m.min_len), 0
+            return None, 0
+        return m.masks.ctypes.data, len(m.masks)
 
-    ct, csm, cml, cem = m_args(current_matcher)
-    pt, psm, pml, pem = m_args(previous_matcher)
+    ct, cn = m_args(current_matcher)
+    pt, pn = m_args(previous_matcher)
     l.left_most_filter_many(
         q_letters.ctypes.data, s_letters.ctypes.data,
         q_seed_mask.ctypes.data,
@@ -637,8 +636,7 @@ def left_most_filter_native(q_letters, s_letters, q_seed_mask, reduction,
         ctypes.c_uint64(shape.mask), pos64.ctypes.data, int(shape.weight),
         int(shape.length),
         int(bool(first_shape)), int(bool(chunked)),
-        ct, ctypes.c_uint64(csm), cml, cem,
-        pt, ctypes.c_uint64(psm), pml, pem,
+        ct, cn, pt, pn,
         int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
         int(hamming_filter_id), out.ctypes.data)
     return out.view(bool)

@@ -28,7 +28,7 @@ inline uint8_t verify_one(
     int32_t shape_weight,
     const int8_t* reduction_map, int64_t reduction_size,
     int32_t chunked, int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
-    int32_t hamming_filter_id) {
+    int32_t hamming_filter_id, const int32_t* part_tbl = nullptr) {
     uint64_t m = hit_bits;
     while (m) {
         const int bit = __builtin_ctzll(m);
@@ -38,21 +38,31 @@ inline uint8_t verify_one(
         if (chunked) {
             const uint64_t mm = match_mask >> bit;
             if ((mm & shape_mask) == shape_mask) {
-                bool good = true;
-                int64_t key = 0;
-                for (int32_t c = 0; c < shape_weight; ++c) {
-                    const int l = s_letters[spos + shape_positions[c]] & 31;
-                    if (l >= 20) {
-                        good = false;
-                        break;
+                if (part_tbl) {
+                    // precomputed subject-position partition (sentinel
+                    // INT32_MAX = no valid seed here) replaces the
+                    // per-candidate key recompute
+                    const int64_t part = part_tbl[spos];
+                    if (left ? !(part < part_hi) : !(part < part_lo))
+                        continue;
+                } else {
+                    bool good = true;
+                    int64_t key = 0;
+                    for (int32_t c = 0; c < shape_weight; ++c) {
+                        const int l =
+                            s_letters[spos + shape_positions[c]] & 31;
+                        if (l >= 20) {
+                            good = false;
+                            break;
+                        }
+                        key = key * reduction_size + reduction_map[l];
                     }
-                    key = key * reduction_size + reduction_map[l];
+                    if (!good)
+                        continue;
+                    const int64_t part = key & (int64_t)seedp_mask;
+                    if (left ? !(part < part_hi) : !(part < part_lo))
+                        continue;
                 }
-                if (!good)
-                    continue;
-                const int64_t part = key & (int64_t)seedp_mask;
-                if (left ? !(part < part_hi) : !(part < part_lo))
-                    continue;
             }
         }
 #if defined(__AVX512BW__)
@@ -75,17 +85,23 @@ inline uint8_t verify_one(
     return 0;
 }
 
-// PatternMatcher.hit for one packed match mask (left_most_batch.py:47-60).
-inline uint64_t matcher_hit(uint64_t h, int64_t length, const uint8_t* table,
-                            uint64_t suffix_mask, int32_t min_len,
-                            int32_t empty) {
-    if (empty)
-        return 0;
+// PatternMatcher.hit for one packed match mask (left_most_batch.py:47-60),
+// bit-parallel: pattern p matches at offset i iff every set bit b of p has
+// h bit (i+b) set, i.e. bit i of AND_{b in p} (h >> b).  One shift+and per
+// pattern bit replaces the per-offset table-lookup loop; the length bound
+// is automatic because h is zero above the window.
+inline uint64_t matcher_hit(uint64_t h, const uint64_t* masks,
+                            int32_t n_masks) {
     uint64_t out = 0;
-    const int64_t end = length - min_len + 1;
-    for (int64_t i = 0; i < end; ++i)
-        if (table[(h >> i) & suffix_mask])
-            out |= 1ull << i;
+    for (int32_t k = 0; k < n_masks; ++k) {
+        uint64_t bits = masks[k];
+        uint64_t m = ~0ull;
+        while (bits) {
+            m &= h >> __builtin_ctzll(bits);
+            bits &= bits - 1;
+        }
+        out |= m;
+    }
     return out;
 }
 
@@ -109,6 +125,36 @@ extern "C" void leftmost_verify(
                             hamming_filter_id);
 }
 
+// Per-position seed partition table for verify_one: out[pos] = (reduced
+// seed key at pos) & seedp_mask when every sampled letter is a true AA,
+// else INT32_MAX.  Semantics match verify_one's inline recompute exactly
+// (letter validity = (l & 31) < 20; no explicit sequence-bound check —
+// delimiters are invalid letters).
+extern "C" void build_seed_part_table(
+    const int8_t* letters, int64_t n,
+    const int64_t* shape_positions, int32_t shape_weight,
+    int64_t shape_length,
+    const int8_t* reduction_map, int64_t reduction_size,
+    uint64_t seedp_mask, int32_t* out) {
+    const int64_t end = n - shape_length + 1;
+    for (int64_t pos = 0; pos < n; ++pos)
+        out[pos] = INT32_MAX;
+    for (int64_t pos = 0; pos < end; ++pos) {
+        int64_t key = 0;
+        bool good = true;
+        for (int32_t c = 0; c < shape_weight; ++c) {
+            const int l = letters[pos + shape_positions[c]] & 31;
+            if (l >= 20) {
+                good = false;
+                break;
+            }
+            key = key * reduction_size + reduction_map[l];
+        }
+        if (good)
+            out[pos] = (int32_t)(key & (int64_t)seedp_mask);
+    }
+}
+
 namespace {
 
 // Single-hit left-most filter core (body of left_most_filter_many below).
@@ -121,12 +167,10 @@ inline uint8_t left_most_one(
     uint64_t shape_mask, const int64_t* shape_positions,
     int32_t shape_weight, int64_t shape_length,
     int32_t first_shape, int32_t chunked,
-    const uint8_t* cur_table, uint64_t cur_suffix_mask, int32_t cur_min_len,
-    int32_t cur_empty,
-    const uint8_t* prev_table, uint64_t prev_suffix_mask,
-    int32_t prev_min_len, int32_t prev_empty,
+    const uint64_t* cur_masks, int32_t cur_n,
+    const uint64_t* prev_masks, int32_t prev_n,
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
-    int32_t hamming_filter_id) {
+    int32_t hamming_filter_id, const int32_t* part_tbl = nullptr) {
     const int64_t interval_mod = seed_offset % 32;
     int64_t overhang = wl0 - interval_mod;
     if (overhang < 0)
@@ -233,8 +277,7 @@ inline uint8_t left_most_one(
     const uint64_t mm_left = match_mask & bits_left;
     const uint64_t qm_left = query_seed_mask & bits_left;
     const uint64_t left_hit =
-        matcher_hit(mm_left, len_left, cur_table, cur_suffix_mask,
-                    cur_min_len, cur_empty) & qm_left;
+        matcher_hit(mm_left, cur_masks, cur_n) & qm_left;
     if (first_shape && !chunked) {
         return left_hit == 0
                    ? 1
@@ -242,33 +285,186 @@ inline uint8_t left_most_one(
                          q_letters, s_letters, qs, ss, left_hit, mm_left, 1,
                          shape_mask, shape_positions, shape_weight,
                          reduction_map, reduction_size, chunked, part_lo,
-                         part_hi, seedp_mask, hamming_filter_id);
+                         part_hi, seedp_mask, hamming_filter_id, part_tbl);
     }
-    const int64_t len_right = window - wl - 1;
     const uint64_t shift = (uint64_t)(wl + 1);
     const uint64_t mm_right = (match_mask >> shift) & 0xFFFFFFFFull;
     const uint64_t qm_right = (query_seed_mask >> shift) & 0xFFFFFFFFull;
-    const uint8_t* r_table = chunked ? cur_table : prev_table;
-    const uint64_t r_sm = chunked ? cur_suffix_mask : prev_suffix_mask;
-    const int32_t r_ml = chunked ? cur_min_len : prev_min_len;
-    const int32_t r_empty = chunked ? cur_empty : prev_empty;
     const uint64_t right_hit =
-        matcher_hit(mm_right, len_right, r_table, r_sm, r_ml, r_empty) &
+        matcher_hit(mm_right, chunked ? cur_masks : prev_masks,
+                    chunked ? cur_n : prev_n) &
         qm_right;
     uint8_t keep = 1;
     if (left_hit)
         keep &= (uint8_t)!verify_one(
             q_letters, s_letters, qs, ss, left_hit, mm_left, 1, shape_mask,
             shape_positions, shape_weight, reduction_map, reduction_size,
-            chunked, part_lo, part_hi, seedp_mask, hamming_filter_id);
+            chunked, part_lo, part_hi, seedp_mask, hamming_filter_id,
+            part_tbl);
     if (keep && right_hit)
         keep &= (uint8_t)!verify_one(
             q_letters, s_letters, qs + (int64_t)shift, ss + (int64_t)shift,
             right_hit, mm_right, 0, shape_mask, shape_positions,
             shape_weight, reduction_map, reduction_size, chunked, part_lo,
-            part_hi, seedp_mask, hamming_filter_id);
+            part_hi, seedp_mask, hamming_filter_id, part_tbl);
     return keep;
 }
+
+#if defined(__AVX512BW__)
+
+// Loop-invariant vector constants of the left-most filter.
+struct LmTables {
+    __m512i m31, vmask, vdel, vstop, b16, tlo, thi;
+};
+
+inline LmTables lm_tables(const int8_t* reduction_map) {
+    LmTables t;
+    t.m31 = _mm512_set1_epi8(31);
+    t.vmask = _mm512_set1_epi8(MASK_LETTER);
+    t.vdel = _mm512_set1_epi8(DELIMITER);
+    t.vstop = _mm512_set1_epi8(STOP_LETTER);
+    t.b16 = _mm512_set1_epi8(16);
+    t.tlo = _mm512_broadcast_i32x4(
+        _mm_loadu_si128((const __m128i*)reduction_map));
+    t.thi = _mm512_broadcast_i32x4(
+        _mm_loadu_si128((const __m128i*)(reduction_map + 16)));
+    return t;
+}
+
+// Query-side invariants of the left-most filter, hoisted out of the
+// subject loop (left_most_one recomputes all of this per pair; within a
+// seed group every pair shares the query seed).  The fast path assumes no
+// subject delimiter before the anchor (dd == 0) and falls back to
+// left_most_one otherwise.
+struct LmQuery {
+    int64_t seed_off, d, wl, qs, window, wl48, wr48;
+    uint64_t smask;   // query seed-mask bits over the window
+    __mmask64 wm;     // window mask
+    __mmask64 aaq;    // query AA-validity bits
+    __m512i rq;       // reduced query letters
+};
+
+inline void lm_query_init(LmQuery& L, const LmTables& T,
+                          const int8_t* q_letters,
+                          const uint8_t* q_seed_mask,
+                          int64_t qp, int64_t seed_offset,
+                          int64_t wl48, int64_t wr48) {
+    L.wl48 = wl48;
+    L.wr48 = wr48;
+    const int64_t interval_mod = seed_offset % 32;
+    int64_t overhang = wl48 - interval_mod;
+    if (overhang < 0)
+        overhang = 0;
+    L.seed_off = wl48 - overhang;
+    const int64_t win_len0 = wl48 + wr48 - overhang;
+    int64_t d = L.seed_off - 16;
+    if (d < 0)
+        d = 0;
+    L.d = d;
+    L.wl = L.seed_off < 16 ? L.seed_off : 16;
+    L.qs = qp - L.seed_off + d;
+    int64_t window = win_len0 - d;
+    if (window > L.wl + 1 + 32)
+        window = L.wl + 1 + 32;
+    L.window = window;
+    L.wm = window >= 64 ? ~0ull : ((1ull << window) - 1);
+    const __m512i qb = _mm512_and_si512(
+        _mm512_maskz_loadu_epi8(L.wm, q_letters + L.qs), T.m31);
+    L.aaq = _mm512_cmpneq_epi8_mask(qb, T.vmask)
+          & _mm512_cmpneq_epi8_mask(qb, T.vdel)
+          & _mm512_cmpneq_epi8_mask(qb, T.vstop);
+    const __mmask64 q4 = _mm512_test_epi8_mask(qb, T.b16);
+    L.rq = _mm512_mask_blend_epi8(q4, _mm512_shuffle_epi8(T.tlo, qb),
+                                  _mm512_shuffle_epi8(T.thi, qb));
+    L.smask = _mm512_cmpneq_epi8_mask(
+                  _mm512_maskz_loadu_epi8(L.wm, q_seed_mask + L.qs),
+                  _mm512_setzero_si512()) &
+              L.wm;
+}
+
+// Per-subject left-most check against a prepared LmQuery.  Bit-identical
+// to left_most_one: the only difference is that query-side loads, masks
+// and reduction lookups are reused across the group's subjects, and the
+// subject smask truncation is skipped (hits cannot exist past the clipped
+// subject window because the match mask is zero there).
+inline uint8_t left_most_fast(
+    const LmQuery& L, const LmTables& T,
+    const int8_t* q_letters, const int8_t* s_letters,
+    const uint8_t* q_seed_mask,
+    const int8_t* reduction_map, int64_t reduction_size,
+    int64_t qp, int64_t sp, int64_t seed_offset,
+    uint64_t shape_mask, const int64_t* shape_positions,
+    int32_t shape_weight, int64_t shape_length,
+    int32_t first_shape, int32_t chunked,
+    const uint64_t* cur_masks, int32_t cur_n,
+    const uint64_t* prev_masks, int32_t prev_n,
+    int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
+    int32_t hamming_id, const int32_t* part_tbl) {
+    const int64_t ss = sp - L.seed_off + L.d;
+    const __m512i sb0 = _mm512_maskz_loadu_epi8(L.wm, s_letters + ss);
+    const uint64_t dels = _mm512_cmpeq_epi8_mask(sb0, T.vdel) & L.wm;
+    uint64_t wms = L.wm;
+    if (dels) {
+        const uint64_t d_lt =
+            dels & (L.wl >= 64 ? ~0ull : ((1ull << L.wl) - 1));
+        if (d_lt)  // delimiter before the anchor: rare, take the full path
+            return left_most_one(
+                q_letters, s_letters, q_seed_mask, reduction_map,
+                reduction_size, qp, sp, seed_offset, L.wl48, L.wr48,
+                shape_mask, shape_positions, shape_weight, shape_length,
+                first_shape, chunked, cur_masks, cur_n, prev_masks, prev_n,
+                part_lo, part_hi, seedp_mask, hamming_id, part_tbl);
+        const int64_t window = L.wl + __builtin_ctzll(dels >> L.wl);
+        wms = window >= 64 ? ~0ull : ((1ull << window) - 1);
+    }
+    const __m512i sb = _mm512_and_si512(sb0, T.m31);
+    const __mmask64 aas = _mm512_cmpneq_epi8_mask(sb, T.vmask)
+                        & _mm512_cmpneq_epi8_mask(sb, T.vdel)
+                        & _mm512_cmpneq_epi8_mask(sb, T.vstop);
+    const __mmask64 s4 = _mm512_test_epi8_mask(sb, T.b16);
+    const __m512i rs = _mm512_mask_blend_epi8(
+        s4, _mm512_shuffle_epi8(T.tlo, sb), _mm512_shuffle_epi8(T.thi, sb));
+    const uint64_t match_mask =
+        _mm512_cmpeq_epi8_mask(L.rq, rs) & L.aaq & aas & wms;
+    const uint64_t query_seed_mask = ~L.smask;
+    const int64_t len_left = L.wl + shape_length - 1;
+    const uint64_t bits_left = (1ull << len_left) - 1;
+    const uint64_t mm_left = match_mask & bits_left;
+    const uint64_t qm_left = query_seed_mask & bits_left;
+    const uint64_t left_hit =
+        matcher_hit(mm_left, cur_masks, cur_n) & qm_left;
+    if (first_shape && !chunked) {
+        return left_hit == 0
+                   ? 1
+                   : (uint8_t)!verify_one(
+                         q_letters, s_letters, L.qs, ss, left_hit, mm_left,
+                         1, shape_mask, shape_positions, shape_weight,
+                         reduction_map, reduction_size, chunked, part_lo,
+                         part_hi, seedp_mask, hamming_id, part_tbl);
+    }
+    const uint64_t shift = (uint64_t)(L.wl + 1);
+    const uint64_t mm_right = (match_mask >> shift) & 0xFFFFFFFFull;
+    const uint64_t qm_right = (query_seed_mask >> shift) & 0xFFFFFFFFull;
+    const uint64_t right_hit =
+        matcher_hit(mm_right, chunked ? cur_masks : prev_masks,
+                    chunked ? cur_n : prev_n) &
+        qm_right;
+    uint8_t keep = 1;
+    if (left_hit)
+        keep &= (uint8_t)!verify_one(
+            q_letters, s_letters, L.qs, ss, left_hit, mm_left, 1, shape_mask,
+            shape_positions, shape_weight, reduction_map, reduction_size,
+            chunked, part_lo, part_hi, seedp_mask, hamming_id, part_tbl);
+    if (keep && right_hit)
+        keep &= (uint8_t)!verify_one(
+            q_letters, s_letters, L.qs + (int64_t)shift, ss + (int64_t)shift,
+            right_hit, mm_right, 0, shape_mask, shape_positions,
+            shape_weight, reduction_map, reduction_size, chunked, part_lo,
+            part_hi, seedp_mask, hamming_id, part_tbl);
+    return keep;
+}
+
+#endif  // __AVX512BW__
 
 }  // namespace
 
@@ -297,10 +493,8 @@ extern "C" int64_t stage12_pipeline(
     uint64_t shape_mask, const int64_t* shape_positions,
     int32_t shape_weight, int64_t shape_length,
     int32_t first_shape, int32_t chunked,
-    const uint8_t* cur_table, uint64_t cur_suffix_mask, int32_t cur_min_len,
-    int32_t cur_empty,
-    const uint8_t* prev_table, uint64_t prev_suffix_mask,
-    int32_t prev_min_len, int32_t prev_empty,
+    const uint64_t* cur_masks, int32_t cur_n,
+    const uint64_t* prev_masks, int32_t prev_n,
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
     int64_t* out_rows) {
     int64_t m = 0;
@@ -338,13 +532,12 @@ extern "C" int64_t stage12_pipeline(
             const __m512i qv = _mm512_and_si512(
                 _mm512_maskz_loadu_epi8(w48, q - 16), m31);
             // stage 2 hoist: query-side matrix row offsets over the
-            // clipped window, (q[o]&31)*32 as int32
+            // clipped window, (q[o]&31)*32 as int32 — filled lazily on the
+            // first pair that survives the left-most filter (most don't)
             const int64_t W = wleft + wright;
             alignas(64) int32_t qrow[192];
             const int use_vec2 = W <= 192;
-            if (use_vec2)
-                for (int64_t o = 0; o < W; ++o)
-                    qrow[o] = (int32_t)(q[o - wleft] & 31) * 32;
+            int qrow_filled = 0;
 #endif
             for (int64_t si = s_start[g]; si < s_start[g + 1]; ++si) {
                 const int64_t sp = s_pos[si];
@@ -362,10 +555,54 @@ extern "C" int64_t stage12_pipeline(
 #endif
                 if (ident < hamming_id)
                     continue;
+                // self-pair and left-most dedup checks run BEFORE the
+                // stage-2 score: all three predicates are independent
+                // per-pair, left-most rejects the bulk, and the score is
+                // only emitted for kept hits — so the (expensive) exact
+                // Kadane runs on survivors only.  Same final rows, same
+                // order.
+                if (self_search) {
+                    int64_t lo2 = 0, hi2 = n_targets;
+                    while (lo2 + 1 < hi2) {
+                        const int64_t mid = (lo2 + hi2) / 2;
+                        if (s_block_starts[mid] <= sp)
+                            lo2 = mid;
+                        else
+                            hi2 = mid;
+                    }
+                    if (lo2 == qidx)
+                        continue;
+                }
+                if (do_leftmost) {
+                    // left-most uses the 48-window clip regardless of the
+                    // per-query stage-2 window
+                    int64_t wl48 = wleft, wr48 = wright;
+                    if (window != 48) {
+                        wl48 = 0;
+                        while (wl48 < 48 && q[-wl48 - 1] != DELIMITER)
+                            ++wl48;
+                        wr48 = 0;
+                        while (wr48 < 48 && q[wr48] != DELIMITER)
+                            ++wr48;
+                    }
+                    if (!left_most_one(
+                            q_letters, s_letters, q_seed_mask, reduction_map,
+                            reduction_size, qp, sp, qoff, wl48, wr48,
+                            shape_mask, shape_positions, shape_weight,
+                            shape_length, first_shape, chunked, cur_masks,
+                            cur_n, prev_masks, prev_n, part_lo, part_hi,
+                            seedp_mask, hamming_id))
+                        continue;
+                }
                 // stage 2: best ungapped segment on the seed diagonal
                 int64_t bestsc = 0;
 #if defined(__AVX512BW__)
                 if (use_vec2) {
+                    if (!qrow_filled) {
+                        qrow_filled = 1;
+                        for (int64_t o = 0; o < W; ++o)
+                            qrow[o] = (int32_t)(q[o - wleft] & 31) * 32;
+                    }
                     // Kadane == max_k(P[k] - min(0, min_{j<k} P[j])) on
                     // the unclamped prefix sums; identical to the
                     // clamped scan whenever the result stays under 255
@@ -462,41 +699,6 @@ extern "C" int64_t stage12_pipeline(
                 }
                 if (bestsc <= cutoff)
                     continue;
-                if (self_search) {
-                    int64_t lo2 = 0, hi2 = n_targets;
-                    while (lo2 + 1 < hi2) {
-                        const int64_t mid = (lo2 + hi2) / 2;
-                        if (s_block_starts[mid] <= sp)
-                            lo2 = mid;
-                        else
-                            hi2 = mid;
-                    }
-                    if (lo2 == qidx)
-                        continue;
-                }
-                if (do_leftmost) {
-                    // left-most uses the 48-window clip regardless of the
-                    // per-query stage-2 window
-                    int64_t wl48 = wleft, wr48 = wright;
-                    if (window != 48) {
-                        wl48 = 0;
-                        while (wl48 < 48 && q[-wl48 - 1] != DELIMITER)
-                            ++wl48;
-                        wr48 = 0;
-                        while (wr48 < 48 && q[wr48] != DELIMITER)
-                            ++wr48;
-                    }
-                    if (!left_most_one(
-                            q_letters, s_letters, q_seed_mask, reduction_map,
-                            reduction_size, qp, sp, qoff, wl48, wr48,
-                            shape_mask, shape_positions, shape_weight,
-                            shape_length, first_shape, chunked, cur_table,
-                            cur_suffix_mask, cur_min_len, cur_empty,
-                            prev_table, prev_suffix_mask, prev_min_len,
-                            prev_empty, part_lo, part_hi, seedp_mask,
-                            hamming_id))
-                        continue;
-                }
                 int64_t* row = out_rows + 4 * m;
                 row[0] = qidx;
                 row[1] = sp;
@@ -518,10 +720,8 @@ extern "C" void left_most_filter_many(
     uint64_t shape_mask, const int64_t* shape_positions,
     int32_t shape_weight, int64_t shape_length,
     int32_t first_shape, int32_t chunked,
-    const uint8_t* cur_table, uint64_t cur_suffix_mask, int32_t cur_min_len,
-    int32_t cur_empty,
-    const uint8_t* prev_table, uint64_t prev_suffix_mask,
-    int32_t prev_min_len, int32_t prev_empty,
+    const uint64_t* cur_masks, int32_t cur_n,
+    const uint64_t* prev_masks, int32_t prev_n,
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
     int32_t hamming_filter_id, uint8_t* out) {
     for (int64_t i = 0; i < n; ++i) {
@@ -585,8 +785,7 @@ extern "C" void left_most_filter_many(
         const uint64_t mm_left = match_mask & bits_left;
         const uint64_t qm_left = query_seed_mask & bits_left;
         const uint64_t left_hit =
-            matcher_hit(mm_left, len_left, cur_table, cur_suffix_mask,
-                        cur_min_len, cur_empty) & qm_left;
+            matcher_hit(mm_left, cur_masks, cur_n) & qm_left;
 
         if (first_shape && !chunked) {
             out[i] = left_hit == 0
@@ -600,16 +799,12 @@ extern "C" void left_most_filter_many(
             continue;
         }
 
-        const int64_t len_right = window - wl - 1;
         const uint64_t shift = (uint64_t)(wl + 1);
         const uint64_t mm_right = (match_mask >> shift) & 0xFFFFFFFFull;
         const uint64_t qm_right = (query_seed_mask >> shift) & 0xFFFFFFFFull;
-        const uint8_t* r_table = chunked ? cur_table : prev_table;
-        const uint64_t r_sm = chunked ? cur_suffix_mask : prev_suffix_mask;
-        const int32_t r_ml = chunked ? cur_min_len : prev_min_len;
-        const int32_t r_empty = chunked ? cur_empty : prev_empty;
         const uint64_t right_hit =
-            matcher_hit(mm_right, len_right, r_table, r_sm, r_ml, r_empty) &
+            matcher_hit(mm_right, chunked ? cur_masks : prev_masks,
+                        chunked ? cur_n : prev_n) &
             qm_right;
 
         uint8_t keep = 1;

@@ -29,6 +29,8 @@ class BatchPatternMatcher:
     def __init__(self, patterns):
         patterns = list(patterns)
         self.empty = len(patterns) == 0
+        # raw pattern masks for the native bit-parallel matcher
+        self.masks = np.asarray(patterns, dtype=np.uint64)
         self.min_len = 32
         max_len = 0
         for p in patterns:

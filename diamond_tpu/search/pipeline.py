@@ -193,13 +193,16 @@ class Pipeline:
         n_parts = cfg.seedp_count
         chunk_bounds = _partition(n_parts, cfg.index_chunks)
 
+        from diamond_tpu.utils.log import ptimer
+
         for sid in range(len(cfg.shapes)):
             shape = cfg.shapes[sid]
             timer.go(f"Processing shape {sid + 1}/{len(cfg.shapes)}")
             # soft-mask motif regions for enumeration
             saved_q = apply_ranges(self.q.letters, q_motif)
             saved_t = None if self.same_block else apply_ranges(self.t.letters, t_motif)
-            q_keys, q_pos = self._enumerate(self.q, shape)
+            with ptimer("seed.enumerate_q"):
+                q_keys, q_pos = self._enumerate(self.q, shape)
             if cfg.freq_masking:
                 # the enumeration-level UNREDUCED complexity cut stays active
                 # under --freq-masking (reference enum_seeds ->
@@ -219,7 +222,8 @@ class Pipeline:
             elif self.target_seed_index is not None:
                 t_keys, t_pos = self.target_seed_index[sid]
             else:
-                t_keys, t_pos = self._enumerate(self.t, shape)
+                with ptimer("seed.enumerate_t"):
+                    t_keys, t_pos = self._enumerate(self.t, shape)
                 if cfg.freq_masking:
                     keep_t = stages.unreduced_complexity_filter(
                         self.t.letters, t_pos, shape,
@@ -252,20 +256,24 @@ class Pipeline:
             shape_hits = []
             for chunk in range(cfg.index_chunks):
                 lo, hi = chunk_bounds[chunk]
-                qi = (parts >= lo) & (parts < hi)
-                ti = (t_parts >= lo) & (t_parts < hi)
-                join = stages.seed_join(q_keys_f[qi], q_pos_f[qi],
-                                        t_keys[ti], t_pos[ti])
+                with ptimer("seed.chunk_mask"):
+                    qi = (parts >= lo) & (parts < hi)
+                    ti = (t_parts >= lo) & (t_parts < hi)
+                with ptimer("seed.join"):
+                    join = stages.seed_join(q_keys_f[qi], q_pos_f[qi],
+                                            t_keys[ti], t_pos[ti])
                 group_keep = None
-                if cfg.freq_masking and not cfg.lin_stage1_target:
-                    join, masked_pos = self._frequent_seed_mask(join)
-                else:
-                    join, masked_pos, group_keep = \
-                        self._complexity_keep(join, shape)
+                with ptimer("seed.complexity"):
+                    if cfg.freq_masking and not cfg.lin_stage1_target:
+                        join, masked_pos = self._frequent_seed_mask(join)
+                    else:
+                        join, masked_pos, group_keep = \
+                            self._complexity_keep(join, shape)
                 if len(masked_pos):
                     self.query_seed_mask[masked_pos] = True
-                shape_hits.append(self._stage12(join, shape, sid, chunk,
-                                                lo, hi, group_keep))
+                with ptimer("seed.stage12"):
+                    shape_hits.append(self._stage12(join, shape, sid, chunk,
+                                                    lo, hi, group_keep))
             shape_arr = (np.concatenate(shape_hits) if shape_hits
                          else np.empty((0, 4), dtype=np.int64))
             if self.ranking_table is not None:

@@ -88,3 +88,46 @@ class Statistics:
 
 
 statistics = Statistics()
+
+
+# ---------------------------------------------------------------------------
+# micro-phase profiler (DIAMOND_TPU_PROF=1): accumulates wall time per label
+# across the run; dump_prof() prints the sorted table.  Near-zero overhead
+# when disabled (one truthiness check per call).
+# ---------------------------------------------------------------------------
+
+import contextlib
+import os
+
+prof = defaultdict(float)
+prof_calls = defaultdict(int)
+_PROF = bool(os.environ.get("DIAMOND_TPU_PROF"))
+
+
+@contextlib.contextmanager
+def _ptimer_on(label: str):
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        prof[label] += time.perf_counter() - t0
+        prof_calls[label] += 1
+
+
+@contextlib.contextmanager
+def _ptimer_off(label: str):
+    yield
+
+
+def ptimer(label: str):
+    return _ptimer_on(label) if _PROF else _ptimer_off(label)
+
+
+def dump_prof(out=None):
+    if not prof:
+        return
+    out = out or sys.stderr
+    total = sum(prof.values())
+    print(f"--- prof ({total:.3f}s accounted) ---", file=out)
+    for k in sorted(prof, key=prof.get, reverse=True):
+        print(f"{prof[k]:9.3f}s {prof_calls[k]:8d}x  {k}", file=out)
