@@ -200,8 +200,14 @@ def lib():
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
-            ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p]
         cdll.stage12_pipeline.restype = ctypes.c_int64
+        cdll.build_seed_part_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_void_p]
+        cdll.build_seed_part_table.restype = None
         cdll.sw_islands.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -474,7 +480,7 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
                             s_block_starts, do_leftmost, reduction, shape,
                             first_shape, chunked, current_matcher,
                             previous_matcher, part_lo, part_hi, seedp_mask,
-                            out_rows):
+                            out_rows, part_tbl=None):
     """Fused stage1+stage2+left-most over a join-group slice; writes
     [m, 4] hit rows into out_rows and returns m, or None."""
     l = lib()
@@ -514,7 +520,28 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
         int(bool(first_shape)), int(bool(chunked)),
         ct, cn, pt, pn,
         int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
+        part_tbl.ctypes.data if part_tbl is not None else None,
         out_rows.ctypes.data)
+
+
+def seed_part_table_native(letters, shape, reduction, seedp_mask):
+    """Per-position seed partition table over a letters array (sentinel
+    INT32_MAX = no valid seed); None without the native library."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    pos64 = getattr(shape, "_pos64", None)
+    if pos64 is None:
+        pos64 = np.ascontiguousarray(shape.positions, dtype=np.int64)
+        shape._pos64 = pos64
+    out = np.empty(len(letters), dtype=np.int32)
+    l.build_seed_part_table(
+        letters.ctypes.data, len(letters), pos64.ctypes.data,
+        int(shape.weight), int(shape.length), reduction.map.ctypes.data,
+        int(reduction.size), ctypes.c_uint64(seedp_mask), out.ctypes.data)
+    return out
 
 
 def backward_stats_native(q_base, bias_base, q_off, q_len, use_bias, t_cat,

@@ -496,8 +496,13 @@ extern "C" int64_t stage12_pipeline(
     const uint64_t* cur_masks, int32_t cur_n,
     const uint64_t* prev_masks, int32_t prev_n,
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
+    const int32_t* part_tbl,  // optional per-subject-position seed
+                              // partition table (build_seed_part_table)
     int64_t* out_rows) {
     int64_t m = 0;
+#if defined(__AVX512BW__)
+    const LmTables lmt = lm_tables(reduction_map);
+#endif
     for (int64_t g = group_lo; g < group_hi; ++g) {
         if (group_keep && !group_keep[g])
             continue;
@@ -539,6 +544,24 @@ extern "C" int64_t stage12_pipeline(
             const int use_vec2 = W <= 192;
             int qrow_filled = 0;
 #endif
+            // left-most query-side hoist: the 48-window clip and all
+            // query-side loads/reductions are invariant across the
+            // group's subjects
+            int64_t wl48 = wleft, wr48 = wright;
+            if (do_leftmost && window != 48) {
+                wl48 = 0;
+                while (wl48 < 48 && q[-wl48 - 1] != DELIMITER)
+                    ++wl48;
+                wr48 = 0;
+                while (wr48 < 48 && q[wr48] != DELIMITER)
+                    ++wr48;
+            }
+#if defined(__AVX512BW__)
+            LmQuery lq;
+            if (do_leftmost)
+                lm_query_init(lq, lmt, q_letters, q_seed_mask, qp, qoff,
+                              wl48, wr48);
+#endif
             for (int64_t si = s_start[g]; si < s_start[g + 1]; ++si) {
                 const int64_t sp = s_pos[si];
                 const int8_t* s = s_letters + sp;
@@ -574,25 +597,25 @@ extern "C" int64_t stage12_pipeline(
                         continue;
                 }
                 if (do_leftmost) {
-                    // left-most uses the 48-window clip regardless of the
-                    // per-query stage-2 window
-                    int64_t wl48 = wleft, wr48 = wright;
-                    if (window != 48) {
-                        wl48 = 0;
-                        while (wl48 < 48 && q[-wl48 - 1] != DELIMITER)
-                            ++wl48;
-                        wr48 = 0;
-                        while (wr48 < 48 && q[wr48] != DELIMITER)
-                            ++wr48;
-                    }
+#if defined(__AVX512BW__)
+                    if (!left_most_fast(
+                            lq, lmt, q_letters, s_letters, q_seed_mask,
+                            reduction_map, reduction_size, qp, sp, qoff,
+                            shape_mask, shape_positions, shape_weight,
+                            shape_length, first_shape, chunked, cur_masks,
+                            cur_n, prev_masks, prev_n, part_lo, part_hi,
+                            seedp_mask, hamming_id, part_tbl))
+                        continue;
+#else
                     if (!left_most_one(
                             q_letters, s_letters, q_seed_mask, reduction_map,
                             reduction_size, qp, sp, qoff, wl48, wr48,
                             shape_mask, shape_positions, shape_weight,
                             shape_length, first_shape, chunked, cur_masks,
                             cur_n, prev_masks, prev_n, part_lo, part_hi,
-                            seedp_mask, hamming_id))
+                            seedp_mask, hamming_id, part_tbl))
                         continue;
+#endif
                 }
                 // stage 2: best ungapped segment on the seed diagonal
                 int64_t bestsc = 0;

@@ -417,6 +417,17 @@ class Pipeline:
         chunked = cfg.index_chunks > 1
         current = self._matcher(sid + 1)
         previous = self._matcher(sid) if sid > 0 else self._matcher(0)
+        part_tbl = None
+        if chunked and not skip_lm:
+            # subject-side seed partitions, precomputed once per shape
+            # (replaces left-most verify's per-candidate key recompute)
+            tbls = getattr(self, "_part_tbls", None)
+            if tbls is None:
+                tbls = self._part_tbls = {}
+            part_tbl = tbls.get(sid)
+            if part_tbl is None:
+                part_tbl = tbls[sid] = native.seed_part_table_native(
+                    self.t.letters, shape, cfg.reduction, cfg.seedp_mask)
         q_counts = np.diff(join.q_start)
         s_counts = np.diff(join.s_start)
         cum = np.zeros(n_groups + 1, dtype=np.int64)
@@ -439,7 +450,7 @@ class Pipeline:
                 cfg.hamming_filter_id, cfg.matrix.matrix32,
                 cfg.self_search, self.t.starts, not skip_lm,
                 cfg.reduction, shape, sid == 0, chunked, current, previous,
-                part_lo, part_hi, cfg.seedp_mask, b)
+                part_lo, part_hi, cfg.seedp_mask, b, part_tbl)
             if m:
                 outs.append(b[:m].copy())
             g0 = g1
