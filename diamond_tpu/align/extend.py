@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from diamond_tpu.align.chain import chain, xdrop_ungapped
+from diamond_tpu.align.chain import ApproxHsp, chain, xdrop_ungapped
 from diamond_tpu.align.chaining_graph import chain_graph
 from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np, banded_swipe_np
 from diamond_tpu.stats import cbs as cbs_mod
@@ -159,6 +159,49 @@ def load_hits(hits, target_block):
     return tids, groups, scores
 
 
+class HitArrays:
+    """Array form of load_hits for the batched first-round stage: one
+    CSR over targets instead of per-target SeedHit object lists (same
+    grouping and order as load_hits; reference load_hits.h:43-139)."""
+
+    __slots__ = ("tids", "gstart", "hi", "hj", "hscore", "tscores")
+
+    def __init__(self, tids, gstart, hi, hj, hscore, tscores):
+        self.tids = tids
+        self.gstart = gstart
+        self.hi = hi
+        self.hj = hj
+        self.hscore = hscore
+        self.tscores = tscores
+
+    def group(self, t):
+        """Materialize SeedHit objects for target index t (slow paths:
+        seed-only matches, gapped filter, Python oracle)."""
+        g0, g1 = int(self.gstart[t]), int(self.gstart[t + 1])
+        return [SeedHit(i=int(self.hi[k]), j=int(self.hj[k]),
+                        score=int(self.hscore[k]), frame=0)
+                for k in range(g0, g1)]
+
+
+def load_hits_arrays(hits, target_block):
+    """load_hits as flat CSR arrays (blastp path; no frame column)."""
+    if len(hits) == 0:
+        return None
+    a = np.asarray(hits, dtype=np.int64)
+    order = np.lexsort((a[:, 1], a[:, 0]))  # CmpSubject (same query)
+    a = a[order]
+    t_all, j_all = target_block.global_to_local(a[:, 0])
+    change = np.empty(len(a), dtype=bool)
+    change[0] = True
+    np.not_equal(t_all[1:], t_all[:-1], out=change[1:])
+    gidx = np.nonzero(change)[0]
+    gstart = np.append(gidx, len(a)).astype(np.int64)
+    scores = np.ascontiguousarray(a[:, 2])
+    return HitArrays(t_all[gidx], gstart, np.ascontiguousarray(a[:, 1]),
+                     np.ascontiguousarray(j_all, dtype=np.int64), scores,
+                     np.maximum.reduceat(scores, gidx))
+
+
 def _extend_hits(qpad, use_bias, tpad, hits, m, xdrop):
     """Per-target seed extension loop with the chaining skip rule
     (reference align/ungapped.cpp:62-150).  Batched through one native
@@ -238,6 +281,100 @@ def ungapped_stage(query_letters, q_start, bias, target_block, block_id, seed_hi
                        subject_len=tlen_true)
     return WorkTarget(block_id=block_id, hsps=hsps,
                       ungapped_score=ungapped_score, matrix=target_matrix)
+
+
+def _target_adjust_matrix(target_block, block_id, cfg, query_comp,
+                          query_true_aa):
+    """Per-target compositional matrix adjustment (reference WorkTarget
+    ctor, ungapped.cpp:44-59); None when the rule says keep the base
+    matrix."""
+    from diamond_tpu.stats import matrix_adjust as ma
+
+    t_start = int(target_block.starts[block_id])
+    tlen = int(target_block.lengths[block_id])
+    tlet = target_block.letters[t_start : t_start + tlen]
+    rule = cbs_mod.adjust_rule(query_comp, query_true_aa,
+                               cfg.comp_based_stats, tlet,
+                               cfg.matrix.background_freqs)
+    if rule == ma.RULE_DONT:
+        return None
+    r = cbs_mod.target_matrix(cfg.matrix, query_comp, query_true_aa,
+                              cfg.comp_based_stats, tlet, rule)
+    return r[0] if r is not None else None
+
+
+def ungapped_stage_chunk(query_letters, q_start, bias, tblock, ha: HitArrays,
+                         chunk, cfg, query_comp=None, query_true_aa=0,
+                         qlen: int | None = None):
+    """Batched first-round stage over a ranking chunk: one native call
+    runs hit sort + x-drop chaining + DiagGraph + HSP merge for every
+    chunk target (native/src/chaining.cc ungapped_stage_many); falls back
+    to the per-target Python path (the bit-identical oracle) without the
+    native library.  Returns [(t, WorkTarget)] in chunk order."""
+    from diamond_tpu import native
+
+    if qlen is None:
+        qlen = len(query_letters) - q_start
+    use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+    r = None
+    if native.lib() is not None and chunk:
+        tsel = ha.tids[chunk]
+        t_starts = tblock.starts[tsel].astype(np.int64, copy=False)
+        t_lens = tblock.lengths[tsel].astype(np.int64, copy=False)
+        counts = (ha.gstart[1:] - ha.gstart[:-1])[chunk]
+        grp = np.zeros(len(chunk) + 1, dtype=np.int64)
+        np.cumsum(counts, out=grp[1:])
+        idx = _csr_take(ha.gstart, chunk, counts, int(grp[-1]))
+        r = native.ungapped_stage_many_native(
+            query_letters[q_start:], use_bias, tblock.letters,
+            np.ascontiguousarray(t_starts), np.ascontiguousarray(t_lens),
+            grp, np.ascontiguousarray(ha.hi[idx]),
+            np.ascontiguousarray(ha.hj[idx]),
+            np.ascontiguousarray(ha.hscore[idx]),
+            cfg.matrix.matrix32, cfg.xdrop_raw, cfg.matrix.gap_open,
+            cfg.matrix.gap_extend, qlen)
+    out = []
+    if r is not None:
+        usc, out_start, rows = r
+        for k, t in enumerate(chunk):
+            r0, r1 = int(out_start[k]), int(out_start[k + 1])
+            hsps = [ApproxHsp(d_min=int(rows[x, 0]), d_max=int(rows[x, 1]),
+                              score=int(rows[x, 2]),
+                              query_begin=int(rows[x, 3]),
+                              query_end=int(rows[x, 4]),
+                              subject_begin=int(rows[x, 5]),
+                              subject_end=int(rows[x, 6]))
+                    for x in range(r0, r1)]
+            if not hsps:
+                continue
+            matrix = None
+            if (cbs_mod.matrix_adjust(cfg.comp_based_stats)
+                    and query_comp is not None):
+                matrix = _target_adjust_matrix(tblock, int(ha.tids[t]), cfg,
+                                               query_comp, query_true_aa)
+            out.append((t, WorkTarget(block_id=int(ha.tids[t]), hsps=hsps,
+                                      ungapped_score=int(usc[k]),
+                                      matrix=matrix)))
+        return out
+    for t in chunk:
+        work = ungapped_stage(query_letters, q_start, bias, tblock,
+                              int(ha.tids[t]), ha.group(t), cfg, query_comp,
+                              query_true_aa, qlen=qlen)
+        if work.hsps:
+            out.append((t, work))
+    return out
+
+
+def _csr_take(gstart, chunk, counts, total):
+    """Flat indices selecting the CSR rows of `chunk` in order."""
+    idx = np.empty(total, dtype=np.int64)
+    p = 0
+    for t, c in zip(chunk, counts):
+        c = int(c)
+        g0 = int(gstart[t])
+        idx[p : p + c] = np.arange(g0, g0 + c)
+        p += c
+    return idx
 
 
 def merged_bands(work: WorkTarget, qlen: int, tlen: int, base_band: int):
@@ -378,13 +515,15 @@ def extend_query_gen(query_id: int, query_hits, ctx):
     query_letters = qblock.letters
     bias = ctx.query_bias(query_id)
 
-    tids, groups, tscores = load_hits(query_hits, tblock)
-    n = len(tids)
-    if n == 0:
+    ha = load_hits_arrays(query_hits, tblock)
+    if ha is None:
         return []
+    tids, tscores = ha.tids, ha.tscores
+    n = len(tids)
 
     if cfg.ext_mode == "none":
-        return _seed_only_matches(tids, groups, tscores, cfg)
+        return _seed_only_matches(tids, [ha.group(t) for t in range(n)],
+                                  tscores, cfg)
 
     chunk_size = ranking_chunk_size(n, tblock.n_letters, cfg.max_target_seqs,
                                 toppercent=cfg.toppercent)
@@ -431,28 +570,44 @@ def extend_query_gen(query_id: int, query_hits, ctx):
             job_meta = []   # (tid, tlen)
             if gf is not None:
                 chunk = [t for t in chunk if gf.target_passes(
-                    groups[t], tblock.seq(tids[t]))]
+                    ha.group(t), tblock.seq(tids[t]))]
             tgt_matrices = {}
             full = cfg.ext_mode == "full"
-            for t in chunk:
-                work = ungapped_stage(query_letters, q_start, bias, tblock,
-                                      tids[t], groups[t], cfg, query_comp,
-                                      query_true_aa, full=full, qlen=qlen)
-                if (work.ungapped_score == 0) if full else (not work.hsps):
-                    continue
-                tlen = int(tblock.lengths[tids[t]])
-                t_start = int(tblock.starts[tids[t]])
+            if full:
+                worklist = []
+                for t in chunk:
+                    usc = int(tscores[t])  # max hit score of the group
+                    if usc == 0:
+                        continue
+                    matrix = None
+                    if (cbs_mod.matrix_adjust(cfg.comp_based_stats)
+                            and query_comp is not None):
+                        matrix = _target_adjust_matrix(
+                            tblock, int(tids[t]), cfg, query_comp,
+                            query_true_aa)
+                    worklist.append((t, WorkTarget(
+                        block_id=int(tids[t]), hsps=None,
+                        ungapped_score=usc, matrix=matrix)))
+            else:
+                worklist = ungapped_stage_chunk(query_letters, q_start,
+                                                bias, tblock, ha, chunk,
+                                                cfg, query_comp,
+                                                query_true_aa, qlen=qlen)
+            for t, work in worklist:
+                tid = int(tids[t])
+                tlen = int(tblock.lengths[tid])
+                t_start = int(tblock.starts[tid])
                 tgt = tblock.letters[t_start : t_start + tlen]
                 if work.matrix is not None:
-                    tgt_matrices[tids[t]] = work.matrix
-                    all_matrices[tids[t]] = work.matrix
+                    tgt_matrices[tid] = work.matrix
+                    all_matrices[tid] = work.matrix
                 if full:
                     jobs.append((tgt, -(tlen - 1), qlen))
-                    job_meta.append((tids[t], tlen))
+                    job_meta.append((tid, tlen))
                     continue
                 for d0, d1 in merged_bands(work, qlen, tlen, base_band):
                     jobs.append((tgt, d0, d1))
-                    job_meta.append((tids[t], tlen))
+                    job_meta.append((tid, tlen))
             v = []
             if jobs:
                 res = yield DpRequest(q, use_bias, jobs, job_meta,

@@ -55,7 +55,9 @@ def lib():
         cache_dir = os.path.join(tempfile.gettempdir(),
                                  f"diamond_tpu_native_{os.getuid()}")
         os.makedirs(cache_dir, exist_ok=True)
-        so_path = os.path.join(cache_dir, f"libdtpu_{h.hexdigest()[:16]}.so")
+        # debug hook: point at a prebuilt .so (e.g. an ASan build)
+        so_path = os.environ.get("DIAMOND_TPU_NATIVE_SO") or os.path.join(
+            cache_dir, f"libdtpu_{h.hexdigest()[:16]}.so")
         if not os.path.exists(so_path):
             tmp = so_path + f".tmp{os.getpid()}"
             _build(sources, tmp)
@@ -208,6 +210,15 @@ def lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_uint64, ctypes.c_void_p]
         cdll.build_seed_part_table.restype = None
+        cdll.ungapped_stage_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        cdll.ungapped_stage_many.restype = ctypes.c_int64
         cdll.sw_islands.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -522,6 +533,42 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
         int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
         part_tbl.ctypes.data if part_tbl is not None else None,
         out_rows.ctypes.data)
+
+
+def ungapped_stage_many_native(q_view, bias_view, t_letters, t_starts,
+                               t_lens, grp_start, hit_i, hit_j, hit_score,
+                               matrix32, xdrop, gap_open, gap_extend,
+                               query_len):
+    """Fused first-round stage for one query over a chunk of targets:
+    (diag, j) hit sort + x-drop chain extension + DiagGraph chaining +
+    HSP merge per target (native/src/chaining.cc).  Returns
+    (ungapped_score[nt], out_start[nt+1], hsp_rows[total, 7]) or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    assert (t_starts.dtype == t_lens.dtype == grp_start.dtype == hit_i.dtype
+            == hit_j.dtype == hit_score.dtype == np.int64
+            and matrix32.dtype == np.int32), "int64/int32 layout contract"
+    nt = len(t_starts)
+    total_hits = int(grp_start[-1])
+    usc = np.empty(nt, dtype=np.int64)
+    out_start = np.empty(nt + 1, dtype=np.int64)
+    cap = max(total_hits, 1)
+    bias_p = bias_view.ctypes.data if bias_view is not None else None
+    while True:
+        out_hsp = np.empty((cap, 7), dtype=np.int64)
+        n = l.ungapped_stage_many(
+            q_view.ctypes.data, bias_p, t_letters.ctypes.data,
+            t_starts.ctypes.data, t_lens.ctypes.data, grp_start.ctypes.data,
+            hit_i.ctypes.data, hit_j.ctypes.data, hit_score.ctypes.data,
+            nt, matrix32.ctypes.data, int(xdrop), int(gap_open),
+            int(gap_extend), int(query_len), cap,
+            usc.ctypes.data, out_start.ctypes.data, out_hsp.ctypes.data)
+        if n >= 0:
+            return usc, out_start, out_hsp[:n]
+        cap *= 4  # backtrace emitted more HSPs than seed hits (rare)
 
 
 def seed_part_table_native(letters, shape, reduction, seedp_mask):

@@ -12,20 +12,106 @@ a TPU, banded DP runs on the chip through the wave driver
 """
 from __future__ import annotations
 
+import json
 import os
+import subprocess
+import sys
+import time
 
 _backend_cache: str | None = None
+
+# A tunneled TPU plugin (axon) blocks FOREVER inside PJRT client init when
+# the chip is unreachable — jax.devices()/default_backend() never return
+# and no exception fires.  When such a plugin may own the default
+# platform, the first backend query runs in a subprocess under a timeout;
+# the result is cached on disk with a TTL so repeated CLI invocations
+# don't re-pay the probe.
+_PROBE_OK_TTL = 600.0     # reachable chip: re-verify every 10 min
+_PROBE_FAIL_TTL = 120.0   # unreachable: retry sooner (tunnel may return)
+
+
+def _probe_path() -> str:
+    return os.path.join("/tmp", f"diamond_tpu_probe_{os.getuid()}.json")
+
+
+def _hang_risk() -> bool:
+    """True when backend init may hang instead of failing (the axon
+    sitecustomize registers its PJRT plugin iff this var is set)."""
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
+def probe_default_backend(timeout_s: float | None = None) -> str:
+    """jax.default_backend(), bounded: subprocess + timeout + disk cache
+    when a tunneled TPU plugin might hang init.  Returns "none" when the
+    probe fails or times out (callers fall back to the host path)."""
+    if not _hang_risk():
+        try:
+            import jax
+
+            return jax.default_backend()
+        except Exception:
+            return "none"
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("DIAMOND_TPU_PROBE_TIMEOUT", "75"))
+    path = _probe_path()
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        ttl = _PROBE_OK_TTL if rec["backend"] != "none" else _PROBE_FAIL_TTL
+        if time.time() - rec["ts"] < ttl:
+            return rec["backend"]
+    except Exception:
+        pass
+    backend = "none"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0 and r.stdout.strip():
+            backend = r.stdout.strip().splitlines()[-1]
+    except Exception:
+        backend = "none"
+    try:
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"ts": time.time(), "backend": backend}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return backend
+
+
+def pin_cpu_platform() -> None:
+    """Route this process AND its children to the CPU backend: counter
+    the axon plugin's programmatic jax_platforms="axon,cpu" selection
+    and keep spawned subprocesses (CLI workers, mp combos) from
+    re-registering the plugin via sitecustomize."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+def ensure_reachable_default_platform() -> str:
+    """Probe the default backend (bounded) and, when a TPU plugin is
+    registered but its chip is unreachable, pin the process to CPU so
+    later jax use cannot hang.  Returns the usable backend name."""
+    backend = probe_default_backend()
+    if backend == "none" and _hang_risk():
+        pin_cpu_platform()
+        backend = "cpu"
+    return backend
 
 
 def _default_backend() -> str:
     global _backend_cache
     if _backend_cache is None:
-        try:
-            import jax
-
-            _backend_cache = jax.default_backend()
-        except Exception:
-            _backend_cache = "none"
+        _backend_cache = ensure_reachable_default_platform()
     return _backend_cache
 
 
