@@ -316,23 +316,26 @@ def ungapped_stage_chunk(query_letters, q_start, bias, tblock, ha: HitArrays,
     if qlen is None:
         qlen = len(query_letters) - q_start
     use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
+    from diamond_tpu.utils.log import ptimer
+
     r = None
     if native.lib() is not None and chunk:
-        tsel = ha.tids[chunk]
-        t_starts = tblock.starts[tsel].astype(np.int64, copy=False)
-        t_lens = tblock.lengths[tsel].astype(np.int64, copy=False)
-        counts = (ha.gstart[1:] - ha.gstart[:-1])[chunk]
-        grp = np.zeros(len(chunk) + 1, dtype=np.int64)
-        np.cumsum(counts, out=grp[1:])
-        idx = _csr_take(ha.gstart, chunk, counts, int(grp[-1]))
-        r = native.ungapped_stage_many_native(
-            query_letters[q_start:], use_bias, tblock.letters,
-            np.ascontiguousarray(t_starts), np.ascontiguousarray(t_lens),
-            grp, np.ascontiguousarray(ha.hi[idx]),
-            np.ascontiguousarray(ha.hj[idx]),
-            np.ascontiguousarray(ha.hscore[idx]),
-            cfg.matrix.matrix32, cfg.xdrop_raw, cfg.matrix.gap_open,
-            cfg.matrix.gap_extend, qlen)
+        with ptimer("ext.un_native"):
+            tsel = ha.tids[chunk]
+            t_starts = tblock.starts[tsel].astype(np.int64, copy=False)
+            t_lens = tblock.lengths[tsel].astype(np.int64, copy=False)
+            counts = (ha.gstart[1:] - ha.gstart[:-1])[chunk]
+            grp = np.zeros(len(chunk) + 1, dtype=np.int64)
+            np.cumsum(counts, out=grp[1:])
+            idx = _csr_take(ha.gstart, chunk, counts, int(grp[-1]))
+            r = native.ungapped_stage_many_native(
+                query_letters[q_start:], use_bias, tblock.letters,
+                np.ascontiguousarray(t_starts), np.ascontiguousarray(t_lens),
+                grp, np.ascontiguousarray(ha.hi[idx]),
+                np.ascontiguousarray(ha.hj[idx]),
+                np.ascontiguousarray(ha.hscore[idx]),
+                cfg.matrix.matrix32, cfg.xdrop_raw, cfg.matrix.gap_open,
+                cfg.matrix.gap_extend, qlen)
     out = []
     if r is not None:
         usc, out_start, rows = r
@@ -515,7 +518,10 @@ def extend_query_gen(query_id: int, query_hits, ctx):
     query_letters = qblock.letters
     bias = ctx.query_bias(query_id)
 
-    ha = load_hits_arrays(query_hits, tblock)
+    from diamond_tpu.utils.log import ptimer
+
+    with ptimer("ext.load_hits"):
+        ha = load_hits_arrays(query_hits, tblock)
     if ha is None:
         return []
     tids, tscores = ha.tids, ha.tscores
@@ -593,66 +599,70 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                                                 bias, tblock, ha, chunk,
                                                 cfg, query_comp,
                                                 query_true_aa, qlen=qlen)
-            for t, work in worklist:
-                tid = int(tids[t])
-                tlen = int(tblock.lengths[tid])
-                t_start = int(tblock.starts[tid])
-                tgt = tblock.letters[t_start : t_start + tlen]
-                if work.matrix is not None:
-                    tgt_matrices[tid] = work.matrix
-                    all_matrices[tid] = work.matrix
-                if full:
-                    jobs.append((tgt, -(tlen - 1), qlen))
-                    job_meta.append((tid, tlen))
-                    continue
-                for d0, d1 in merged_bands(work, qlen, tlen, base_band):
-                    jobs.append((tgt, d0, d1))
-                    job_meta.append((tid, tlen))
+            with ptimer("ext.bands"):
+                for t, work in worklist:
+                    tid = int(tids[t])
+                    tlen = int(tblock.lengths[tid])
+                    t_start = int(tblock.starts[tid])
+                    tgt = tblock.letters[t_start : t_start + tlen]
+                    if work.matrix is not None:
+                        tgt_matrices[tid] = work.matrix
+                        all_matrices[tid] = work.matrix
+                    if full:
+                        jobs.append((tgt, -(tlen - 1), qlen))
+                        job_meta.append((tid, tlen))
+                        continue
+                    for d0, d1 in merged_bands(work, qlen, tlen, base_band):
+                        jobs.append((tgt, d0, d1))
+                        job_meta.append((tid, tlen))
             v = []
             if jobs:
                 res = yield DpRequest(q, use_bias, jobs, job_meta,
                                       tgt_matrices, False)
-                scores = np.array([r[0] for r in res], dtype=np.int64)
-                tlens_v = np.array([mt[1] for mt in job_meta], dtype=np.int64)
-                evs = np.where(scores > 0,
-                               mat.evalue(np.maximum(scores, 1), qlen, tlens_v),
-                               np.inf)
-                best_by_tid: dict[int, Hsp] = {}
-                # band fallback only for filters that add no first-round
-                # HspValues (reference first_round_hspv: min_id/covers make
-                # round 1 compute IDENT/COORDS and cull per-target best;
-                # approx-id/self-hit filters run on traceback hsps where a
-                # failing best falls back to another band)
-                keep_all = ((cfg.approx_min_id > 0
-                             or getattr(cfg, "no_self_hits", False))
-                            and cfg.min_id <= 0 and cfg.query_cover <= 0
-                            and cfg.subject_cover <= 0)
-                for k, ((tid, tlen), (score, max_col, max_row)) in enumerate(
-                        zip(job_meta, res)):
-                    ev = float(evs[k])
-                    if score > 0 and mat.report_cutoff(score, ev, cfg.max_evalue,
-                                                       cfg.min_bit_score):
-                        h = Hsp(score=score, evalue=ev,
-                                bit_score=float(mat.bitscore(score)),
-                                d_begin=jobs[k][1], d_end=jobs[k][2],
-                                query_range=(0, max_row + 1),
-                                subject_range=(0, max_col + 1))
-                        prev = best_by_tid.get(tid)
-                        if prev is None or h.sort_key() < prev.sort_key():
-                            best_by_tid[tid] = h
-                        if keep_all:
-                            # with HSP filters active, every band's hsp is
-                            # traced back so a failing best hsp can fall
-                            # back to another band (reference: all bands
-                            # reach gapped_final; apply_filters runs per
-                            # hsp before max_hsps selection)
-                            band_hsps_all.setdefault(tid, []).append(h)
-                # preserve chunk target order
-                seen = set()
-                for tid, _ in job_meta:
-                    if tid in best_by_tid and tid not in seen:
-                        v.append((tid, best_by_tid[tid]))
-                        seen.add(tid)
+                with ptimer("ext.postdp"):
+                    scores = np.array([r[0] for r in res], dtype=np.int64)
+                    tlens_v = np.array([mt[1] for mt in job_meta],
+                                       dtype=np.int64)
+                    evs = np.where(scores > 0,
+                                   mat.evalue(np.maximum(scores, 1), qlen,
+                                              tlens_v),
+                                   np.inf)
+                    best_by_tid: dict[int, Hsp] = {}
+                    # band fallback only for filters that add no first-round
+                    # HspValues (reference first_round_hspv: min_id/covers
+                    # make round 1 compute IDENT/COORDS and cull per-target
+                    # best; approx-id/self-hit filters run on traceback hsps
+                    # where a failing best falls back to another band)
+                    keep_all = ((cfg.approx_min_id > 0
+                                 or getattr(cfg, "no_self_hits", False))
+                                and cfg.min_id <= 0 and cfg.query_cover <= 0
+                                and cfg.subject_cover <= 0)
+                    for k, ((tid, tlen), (score, max_col, max_row)) in \
+                            enumerate(zip(job_meta, res)):
+                        ev = float(evs[k])
+                        if score > 0 and mat.report_cutoff(
+                                score, ev, cfg.max_evalue, cfg.min_bit_score):
+                            h = Hsp(score=score, evalue=ev,
+                                    bit_score=float(mat.bitscore(score)),
+                                    d_begin=jobs[k][1], d_end=jobs[k][2],
+                                    query_range=(0, max_row + 1),
+                                    subject_range=(0, max_col + 1))
+                            prev = best_by_tid.get(tid)
+                            if prev is None or h.sort_key() < prev.sort_key():
+                                best_by_tid[tid] = h
+                            if keep_all:
+                                # with HSP filters active, every band's hsp
+                                # is traced back so a filtered-out best can
+                                # fall back to another band (reference: all
+                                # bands reach gapped_final; apply_filters
+                                # runs per hsp before max_hsps selection)
+                                band_hsps_all.setdefault(tid, []).append(h)
+                    # preserve chunk target order
+                    seen = set()
+                    for tid, _ in job_meta:
+                        if tid in best_by_tid and tid not in seen:
+                            v.append((tid, best_by_tid[tid]))
+                            seen.add(tid)
             new_hits = len(v) > 0
             new_hits_ev = new_hits_ev or new_hits
             multi_chunk = (i1 - i0) < n
@@ -1151,49 +1161,56 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
             for h in band_hsps.get(block_id, []):
                 expanded.append((block_id, h))
         aligned = expanded
-    for block_id, first_hsp in aligned:
-        tlen = int(tblock.lengths[block_id])
-        t_start = int(tblock.starts[block_id])
-        # the round-1 best cell pins the alignment end: columns past it
-        # cannot change the walk (first-column-strictly-greater keeps the
-        # earlier cooptimal end), so the traceback DP stops there
-        t_cut = min(tlen, int(first_hsp.subject_range[1])) or tlen
-        jobs.append((tblock.letters[t_start : t_start + t_cut],
-                     first_hsp.d_begin, first_hsp.d_end))
-        job_meta.append((block_id, tlen))
+    from diamond_tpu.utils.log import ptimer
+
+    with ptimer("ext.tbjobs"):
+        for block_id, first_hsp in aligned:
+            tlen = int(tblock.lengths[block_id])
+            t_start = int(tblock.starts[block_id])
+            # the round-1 best cell pins the alignment end: columns past it
+            # cannot change the walk (first-column-strictly-greater keeps the
+            # earlier cooptimal end), so the traceback DP stops there
+            t_cut = min(tlen, int(first_hsp.subject_range[1])) or tlen
+            jobs.append((tblock.letters[t_start : t_start + t_cut],
+                         first_hsp.d_begin, first_hsp.d_end))
+            job_meta.append((block_id, tlen))
     batch_res = yield DpRequest(q, use_bias, jobs, job_meta, matrices, True)
-    survivors = []  # (hsp, target_letters, block_id)
-    for k, (block_id, first_hsp) in enumerate(aligned):
-        tlen = int(tblock.lengths[block_id])
-        if batch_res is not None:
-            r = batch_res[k]
-        else:
-            tm = matrices.get(block_id, mat.matrix32)
-            r = banded_swipe_np(q, jobs[k][0], first_hsp.d_begin, first_hsp.d_end,
-                                tm, None if block_id in matrices else use_bias,
-                                mat.gap_open, mat.gap_extend, traceback=True)
-        ev = float(mat.evalue(r.score, qlen, tlen))
-        if not (r.score > 0 and mat.report_cutoff(r.score, ev, cfg.max_evalue,
-                                                  cfg.min_bit_score)):
-            continue
-        h = Hsp(score=r.score, evalue=ev, bit_score=float(mat.bitscore(r.score)),
-                d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
-                query_range=r.query_range, subject_range=r.subject_range,
-                identities=r.identities, mismatches=r.mismatches,
-                positives=r.positives, gap_openings=r.gap_openings,
-                gaps=r.gaps, length=r.length, transcript=r.transcript,
-                backtraced=True)
-        t_start = int(tblock.starts[block_id])
-        t_full = tblock.letters[t_start : t_start + tlen]
-        if filt and not hsp_passes_filters(
-                h, qlen, tlen, cfg, q_title=q_title,
-                t_title=tblock.ids[block_id], q_seq=q,
-                t_seq=t_full):
-            continue
-        survivors.append((h, t_full, block_id))
-        m = Match(target_block_id=block_id, hsp=[h])
-        m.set_filter()
-        out.append(m)
+    with ptimer("ext.tbparse"):
+        survivors = []  # (hsp, target_letters, block_id)
+        for k, (block_id, first_hsp) in enumerate(aligned):
+            tlen = int(tblock.lengths[block_id])
+            if batch_res is not None:
+                r = batch_res[k]
+            else:
+                tm = matrices.get(block_id, mat.matrix32)
+                r = banded_swipe_np(q, jobs[k][0], first_hsp.d_begin,
+                                    first_hsp.d_end, tm,
+                                    None if block_id in matrices else use_bias,
+                                    mat.gap_open, mat.gap_extend,
+                                    traceback=True)
+            ev = float(mat.evalue(r.score, qlen, tlen))
+            if not (r.score > 0 and mat.report_cutoff(
+                    r.score, ev, cfg.max_evalue, cfg.min_bit_score)):
+                continue
+            h = Hsp(score=r.score, evalue=ev,
+                    bit_score=float(mat.bitscore(r.score)),
+                    d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
+                    query_range=r.query_range, subject_range=r.subject_range,
+                    identities=r.identities, mismatches=r.mismatches,
+                    positives=r.positives, gap_openings=r.gap_openings,
+                    gaps=r.gaps, length=r.length, transcript=r.transcript,
+                    backtraced=True)
+            t_start = int(tblock.starts[block_id])
+            t_full = tblock.letters[t_start : t_start + tlen]
+            if filt and not hsp_passes_filters(
+                    h, qlen, tlen, cfg, q_title=q_title,
+                    t_title=tblock.ids[block_id], q_seq=q,
+                    t_seq=t_full):
+                continue
+            survivors.append((h, t_full, block_id))
+            m = Match(target_block_id=block_id, hsp=[h])
+            m.set_filter()
+            out.append(m)
     apply_reversed_stats(survivors, q, use_bias, mat, matrices)
     if filt and band_hsps:
         # best surviving hsp per target (max_hsps == 1)

@@ -444,7 +444,9 @@ class Pipeline:
                 g1 = g0 + 1
             pairs = int(cum[g1] - cum[g0])
             b = buf if pairs <= CAP else np.empty((pairs, 4), dtype=np.int64)
-            m = native.stage12_pipeline_native(
+            from diamond_tpu.utils.log import ptimer as _pt
+            with _pt("seed.s12_native"):
+              m = native.stage12_pipeline_native(
                 self.q.letters, self.t.letters, self.query_seed_mask, join,
                 group_keep, g0, g1, self.q.starts, cut, win, True,
                 cfg.hamming_filter_id, cfg.matrix.matrix32,

@@ -164,6 +164,66 @@ def evalue(params: GumbelParams, score, qlen, slen):
     return a * params.K * np.exp(-params.lam * np.asarray(score, dtype=np.float64))
 
 
+def area1(params: GumbelParams, score: float, qlen, slen) -> float:
+    """Scalar twin of area() — bit-identical, ~5x faster per call.
+
+    Pure-Python float arithmetic is the same IEEE double stream as numpy's
+    elementwise loop; sqrt is correctly rounded in both, and the two
+    implementation-defined functions (exp, erfc) go through the *same*
+    numpy/scipy ufuncs as the vectorized path so results match to the bit
+    (pinned by tests/test_stats.py).  math.exp/math.erfc would be ~10x
+    faster still but differ in ulps from the numpy ufuncs.
+    """
+    y = float(score)
+    m = float(slen)
+    n = float(qlen)
+
+    m_li_y = m - (params.a_I * y + params.b_I)
+    vi_y = params.alpha_I * y + params.beta_I
+    if vi_y < params.vi_y_thr:
+        vi_y = params.vi_y_thr
+    sqrt_vi_y = math.sqrt(vi_y)
+    m_F = m_li_y / sqrt_vi_y if sqrt_vi_y != 0.0 else 1e100
+    P_m_F = 0.5 * float(_erfc_scalar(-m_F / SQRT_2))
+    E_m_F = -CONST_VAL * float(np.exp(-0.5 * m_F * m_F))
+    p1 = m_li_y * P_m_F - sqrt_vi_y * E_m_F
+
+    n_lj_y = n - (params.a_J * y + params.b_J)
+    vj_y = params.alpha_J * y + params.beta_J
+    if vj_y < params.vj_y_thr:
+        vj_y = params.vj_y_thr
+    sqrt_vj_y = math.sqrt(vj_y)
+    n_F = n_lj_y / sqrt_vj_y if sqrt_vj_y != 0.0 else 1e100
+    P_n_F = 0.5 * float(_erfc_scalar(-n_F / SQRT_2))
+    E_n_F = -CONST_VAL * float(np.exp(-0.5 * n_F * n_F))
+    p2 = n_lj_y * P_n_F - sqrt_vj_y * E_n_F
+
+    c_y = params.sigma * y + params.tau
+    if c_y < params.c_y_thr:
+        c_y = params.c_y_thr
+    return p1 * p2 + c_y * P_m_F * P_n_F
+
+
+def _erfc_scalar(x: float):
+    if _erfc is None:
+        _load_erfc()
+    return _erfc(x)
+
+
+def evalue1(params: GumbelParams, score: float, qlen, slen) -> float:
+    """Scalar twin of evalue() — bit-identical to the vectorized path."""
+    a = area1(params, score, qlen, slen)
+    return a * params.K * float(np.exp(-params.lam * float(score)))
+
+
+def bitscore_corrected1(params: GumbelParams, raw_score, qlen, slen) -> float:
+    """Scalar twin of bitscore_corrected()."""
+    a = area1(params, raw_score, qlen, slen)
+    tiny = 2.2250738585072014e-308  # np.finfo(float64).tiny
+    la = float(np.log(a if a > tiny else tiny))
+    return (params.lam * float(raw_score) - params.ln_k - la) / LN_2
+
+
 def log_area(params: GumbelParams, score, qlen, slen):
     """log(area) with care for extreme scores (reference sls_pvalues.cpp:log_area).
 

@@ -315,6 +315,10 @@ class ScoreMatrix:
         self.db_letters = n
 
     def bitscore(self, raw_score) -> float:
+        if not isinstance(raw_score, np.ndarray):
+            # scalar fast path; round-half-even matches np.round
+            s = float(round(float(raw_score) / self.scale))
+            return (self.gumbel.lam * s - self.ln_k) / LN_2
         s = np.round(np.asarray(raw_score, np.float64) / self.scale)  # BLAST compat
         return (self.gumbel.lam * s - self.ln_k) / LN_2
 
@@ -323,16 +327,27 @@ class ScoreMatrix:
 
     def evalue(self, raw_score, query_len, subject_len):
         """E-value vs the whole database (reference score_matrix.cpp:217-220)."""
+        if not isinstance(raw_score, np.ndarray):
+            e = ev.evalue1(self.gumbel, float(raw_score) / self.scale,
+                           query_len, subject_len)
+            return e * float(self.db_letters) / float(subject_len)
         e = ev.evalue(self.gumbel, np.asarray(raw_score, np.float64) / self.scale,
                       query_len, subject_len)
         return e * float(self.db_letters) / np.asarray(subject_len, np.float64)
 
     def evalue_norm(self, raw_score, query_len, subject_len):
+        if not isinstance(raw_score, np.ndarray):
+            e = ev.evalue1(self.gumbel, float(raw_score) / self.scale,
+                           query_len, subject_len)
+            return e * 1e9 / float(subject_len)
         e = ev.evalue(self.gumbel, np.asarray(raw_score, np.float64) / self.scale,
                       query_len, subject_len)
         return e * 1e9 / np.asarray(subject_len, np.float64)
 
     def bitscore_corrected(self, raw_score, query_len, subject_len):
+        if not isinstance(raw_score, np.ndarray):
+            return ev.bitscore_corrected1(self.gumbel, raw_score,
+                                          query_len, subject_len)
         return ev.bitscore_corrected(self.gumbel, raw_score, query_len, subject_len)
 
     def report_cutoff(self, score, evalue_, max_evalue=0.001, min_bit_score=0.0):

@@ -180,3 +180,32 @@ def test_custom_matrix_params():
     lam, K = island_lambda_k(m20, bg, 11, 1, seed=1)
     assert abs(lam - 0.2724) / 0.2724 < 0.05
     assert 0.015 < K < 0.15
+
+
+def test_scalar_evalue_bit_exact():
+    """The scalar fast paths of evalue/bitscore/bitscore_corrected must be
+    bit-identical to the vectorized numpy paths (golden outputs print
+    e-values to full precision, so one ulp would flip bytes)."""
+    import numpy as np
+
+    import diamond_tpu.stats.evalue as ev
+    from diamond_tpu.stats.score_matrix import get_matrix
+
+    rng = np.random.default_rng(7)
+    for name in ("BLOSUM62", "PAM250"):
+        m = get_matrix(name)
+        m.set_db_letters(176816)
+        scores = rng.integers(15, 900, 500)
+        qlens = rng.integers(20, 3000, 500)
+        slens = rng.integers(20, 3000, 500)
+        vec_ev = m.evalue(scores, qlens, slens)
+        vec_bs = m.bitscore(scores)
+        vec_bc = ev.bitscore_corrected(
+            m.gumbel, scores.astype(np.float64), qlens, slens)
+        vec_nm = m.evalue_norm(scores, qlens, slens)
+        for i in range(500):
+            s, q, t = int(scores[i]), int(qlens[i]), int(slens[i])
+            assert m.evalue(s, q, t) == vec_ev[i]
+            assert m.bitscore(s) == vec_bs[i]
+            assert m.bitscore_corrected(float(s), q, t) == vec_bc[i]
+            assert m.evalue_norm(s, q, t) == vec_nm[i]
