@@ -82,6 +82,9 @@ def _tb_multi(items, mat, state):
     bias_base = state.bias_all if use_bias.any() else None
     if bias_base is None and use_bias.any():
         bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
+    from diamond_tpu.utils.log import pcount
+    pcount("ext.tb_cells", int((t_len * bands).sum()))
+    pcount("ext.tb_jobs", n)
     r = native.banded_swipe_tb_multi_native(
         qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
         t_len, d_begins, bands, mat.matrix32, mat.gap_open + mat.gap_extend,
@@ -142,6 +145,9 @@ def _score_multi(items, mat, state):
     bias_base = state.bias_all if use_bias.any() else None
     if bias_base is None and use_bias.any():
         bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
+    from diamond_tpu.utils.log import pcount
+    pcount("ext.score_cells", int((t_len * bands).sum()))
+    pcount("ext.score_jobs", n)
     res = native.banded_swipe_score_multi_native(
         qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
         t_len, d_begins, bands, mat.matrix32, mat.gap_open + mat.gap_extend,

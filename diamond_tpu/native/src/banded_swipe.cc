@@ -51,7 +51,15 @@ void swipe_one(const int8_t* q_letters, int64_t qlen, const int32_t* bias,
 
     int64_t best = 0, max_col = 0, max_row_band = 0;
 
-    for (int64_t j = 0; j < tlen; ++j) {
+    // skip dead leading/trailing columns (state is zero there and they
+    // can never raise the max); same clamp as the striped engines
+    int64_t j_begin = -d_begin - band + 1;
+    if (j_begin < 0)
+        j_begin = 0;
+    int64_t j_end = qlen - d_begin;
+    if (j_end > tlen)
+        j_end = tlen;
+    for (int64_t j = j_begin; j < j_end; ++j) {
         const int64_t i_lo = j + d_begin;
         const int64_t r_lo = i_lo < 0 ? -i_lo : 0;
         const int64_t r_hi = band < qlen - i_lo ? band : qlen - i_lo;

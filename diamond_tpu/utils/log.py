@@ -123,11 +123,26 @@ def ptimer(label: str):
     return _ptimer_on(label) if _PROF else _ptimer_off(label)
 
 
+def pcount(label: str, n):
+    """Accumulate a quantity (cells, jobs, bytes) under the profiler."""
+    if _PROF:
+        prof_calls[label] += int(n)
+
+
+if _PROF:
+    import atexit
+
+    atexit.register(lambda: dump_prof())
+
+
 def dump_prof(out=None):
-    if not prof:
+    if not prof and not prof_calls:
         return
     out = out or sys.stderr
     total = sum(prof.values())
     print(f"--- prof ({total:.3f}s accounted) ---", file=out)
     for k in sorted(prof, key=prof.get, reverse=True):
         print(f"{prof[k]:9.3f}s {prof_calls[k]:8d}x  {k}", file=out)
+    for k in sorted(prof_calls):
+        if k not in prof:  # pcount-only quantities
+            print(f"{prof_calls[k]:16d}  {k}", file=out)
