@@ -620,13 +620,6 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                 res = yield DpRequest(q, use_bias, jobs, job_meta,
                                       tgt_matrices, False)
                 with ptimer("ext.postdp"):
-                    scores = np.array([r[0] for r in res], dtype=np.int64)
-                    tlens_v = np.array([mt[1] for mt in job_meta],
-                                       dtype=np.int64)
-                    evs = np.where(scores > 0,
-                                   mat.evalue(np.maximum(scores, 1), qlen,
-                                              tlens_v),
-                                   np.inf)
                     best_by_tid: dict[int, Hsp] = {}
                     # band fallback only for filters that add no first-round
                     # HspValues (reference first_round_hspv: min_id/covers
@@ -639,8 +632,13 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                                 and cfg.subject_cover <= 0)
                     for k, ((tid, tlen), (score, max_col, max_row)) in \
                             enumerate(zip(job_meta, res)):
-                        ev = float(evs[k])
-                        if score > 0 and mat.report_cutoff(
+                        # scalar e-value fast path: requests carry only a
+                        # few jobs, so per-job scalars beat tiny-array
+                        # vectorization (bit-exact either way)
+                        if score <= 0:
+                            continue
+                        ev = mat.evalue(score, qlen, tlen)
+                        if mat.report_cutoff(
                                 score, ev, cfg.max_evalue, cfg.min_bit_score):
                             h = Hsp(score=score, evalue=ev,
                                     bit_score=float(mat.bitscore(score)),

@@ -8,9 +8,11 @@
 // sums, the NEG sentinel is -10^9, and the gap chain subtracts at most
 // band*ge — so int32 results equal the oracle's int64), with the lazy
 // vertical-gap chain, last-row-attaining column max, and first column
-// strictly improving.  Optionally emits the four trace-mask planes
-// (gapv/gaph/openv/openh as 0/1 bytes, [tlen, band] row-major) consumed
-// by the Python _traceback walk, which remains the traceback oracle.
+// strictly improving.  Optionally emits the four trace-mask planes as
+// BIT planes ([tlen, ceil(band/32)] uint32 words, bit r&31 of word
+// r>>5): the striped engines' compare masks store directly (8x less
+// traffic than byte planes) and walk_one reads bits.  The Python
+// oracle's byte planes are expanded from these in banded_swipe_many.
 // Row loops are segmented on [r_lo, r_hi) so the hot loops are
 // branch-free and auto-vectorize.  On TPU the same DP runs as the
 // Pallas kernel (ops/swipe_pallas.py); this is the host path.
@@ -19,13 +21,13 @@
 #include <cstring>
 #include <vector>
 
-// striped int16 DP fill (swipe_lanes.cc): emits the same byte planes
+// striped int16 DP fill (swipe_lanes.cc): emits the same bit planes
 // ~10x faster; returns 0 when the scalar engine must run instead
 extern "C" int dtpu_striped16_tb_fill(
     const int8_t* q, int64_t qlen, const int32_t* bias, const int8_t* t,
     int64_t tlen, int64_t d0, int64_t band, const int32_t* matrix32,
-    int64_t go, int64_t ge, int64_t* out3, uint8_t* gv, uint8_t* gh,
-    uint8_t* ov, uint8_t* oh);
+    int64_t go, int64_t ge, int64_t* out3, uint32_t* gv, uint32_t* gh,
+    uint32_t* ov, uint32_t* oh);
 extern "C" void dtpu_striped16_cache_reset();
 
 namespace {
@@ -36,8 +38,8 @@ inline int32_t max32(int32_t a, int32_t b) { return a > b ? a : b; }
 void swipe_one(const int8_t* q_letters, int64_t qlen, const int32_t* bias,
                const int8_t* t_letters, int64_t tlen, int64_t d_begin,
                int64_t band, const int32_t* matrix32, int32_t go, int32_t ge,
-               int64_t* out3, uint8_t* gapv, uint8_t* gaph, uint8_t* openv,
-               uint8_t* openh, std::vector<int32_t>& Hbuf,
+               int64_t* out3, uint32_t* gapv, uint32_t* gaph, uint32_t* openv,
+               uint32_t* openh, std::vector<int32_t>& Hbuf,
                std::vector<int32_t>& Ebuf, std::vector<int32_t>& c0buf,
                std::vector<int32_t>& Fbuf) {
     Hbuf.assign(band, 0);
@@ -128,19 +130,30 @@ void swipe_one(const int8_t* q_letters, int64_t qlen, const int32_t* bias,
         }
         // E update + trace masks (gaph compares against the OLD E)
         if (gapv) {
-            const int64_t base = j * band;
+            const int64_t nchw = (band + 31) / 32;
+            const int64_t base = j * nchw;
+            uint32_t wv = 0, wh = 0, wov = 0, woh = 0;
             for (int64_t r = 0; r < band; ++r) {
                 const int32_t cu = cur[r];
                 const int32_t opn = max32(cu - go, 0);
                 const int32_t e_next = max32(E[r] - ge, 0);
-                gapv[base + r] = cu == F[r];
-                gaph[base + r] = cu == E[r];
-                openv[base + r] = opn >= max32(F[r] - ge, 0);
-                openh[base + r] = opn >= e_next;
+                const uint32_t bit = (uint32_t)(r & 31);
+                wv |= (uint32_t)(cu == F[r]) << bit;
+                wh |= (uint32_t)(cu == E[r]) << bit;
+                wov |= (uint32_t)(opn >= max32(F[r] - ge, 0)) << bit;
+                woh |= (uint32_t)(opn >= e_next) << bit;
                 int32_t en = max32(e_next, opn);
                 if (r < r_lo || r >= r_hi)
                     en = 0;
                 F[r] = en;  // F reused as Enew scratch
+                if (bit == 31 || r + 1 == band) {
+                    const int64_t w = base + (r >> 5);
+                    gapv[w] = wv;
+                    gaph[w] = wh;
+                    openv[w] = wov;
+                    openh[w] = woh;
+                    wv = wh = wov = woh = 0;
+                }
             }
         } else {
             for (int64_t r = 0; r < r_lo; ++r)
@@ -168,12 +181,18 @@ void swipe_one(const int8_t* q_letters, int64_t qlen, const int32_t* bias,
 // 2=D(letter), 3=I(run length).  Returns 1 on success, 0 when the summed
 // score misses the end score (rare shared-band spill ties; caller falls
 // back to the per-job oracle).
+inline int plane_bit(const uint32_t* plane, int64_t nchw, int64_t j,
+                     int64_t r) {
+    return (plane[j * nchw + (r >> 5)] >> (r & 31)) & 1u;
+}
+
 int walk_one(const int8_t* query, const int32_t* bias, const int8_t* target,
              int64_t d_begin, int64_t band, const int32_t* matrix32,
              int32_t go, int32_t ge, int64_t best, int64_t max_col,
-             int64_t max_row, const uint8_t* gapv, const uint8_t* gaph,
-             const uint8_t* openv, const uint8_t* openh,
+             int64_t max_row, const uint32_t* gapv, const uint32_t* gaph,
+             const uint32_t* openv, const uint32_t* openh,
              int8_t* op_codes, int32_t* op_payload, int64_t* stats) {
+    const int64_t nchw = (band + 31) / 32;
     int64_t i = max_row, j = max_col;
     int64_t score = 0;
     int64_t n_ops = 0;
@@ -184,14 +203,14 @@ int walk_one(const int8_t* query, const int32_t* bias, const int8_t* target,
         const int64_t r = i - j - d_begin;
         if (r < 0 || r >= band)
             return 0;
-        const int64_t base = j * band;
-        if (gapv[base + r]) {
+        if (plane_bit(gapv, nchw, j, r)) {
             int64_t l = 0;
             for (;;) {
                 ++l;
                 --i;
                 const int64_t rr = i - j - d_begin;
-                if (rr < 0 || (rr < band && openv[base + rr]) || i <= 0)
+                if (rr < 0 || (rr < band && plane_bit(openv, nchw, j, rr))
+                    || i <= 0)
                     break;
             }
             op_codes[n_ops] = 3;
@@ -200,13 +219,14 @@ int walk_one(const int8_t* query, const int32_t* bias, const int8_t* target,
             gaps += l;
             length += l;
             score -= go + (l - 1) * ge;
-        } else if (gaph[base + r]) {
+        } else if (plane_bit(gaph, nchw, j, r)) {
             int64_t l = 0;
             for (;;) {
                 ++l;
                 --j;
                 const int64_t rr = i - j - d_begin;
-                if (rr >= band || (rr >= 0 && openh[j * band + rr]) || j <= 0)
+                if (rr >= band || (rr >= 0 && plane_bit(openh, nchw, j, rr))
+                    || j <= 0)
                     break;
             }
             for (int64_t k = 0; k < l; ++k) {
@@ -269,17 +289,17 @@ extern "C" void banded_swipe_tb_many(
     const int64_t* op_off, int8_t* op_codes, int32_t* op_payload,
     int64_t* stats) {
     std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
-    std::vector<uint8_t> gv, gh, ov, oh;
+    std::vector<uint32_t> gv, gh, ov, oh;
     dtpu_striped16_cache_reset();
     for (int64_t k = 0; k < njobs; ++k) {
         const int64_t tlen = t_len[k];
         const int64_t b = band[k];
-        const size_t cells = (size_t)(tlen * b);
-        if (gv.size() < cells) {
-            gv.resize(cells);
-            gh.resize(cells);
-            ov.resize(cells);
-            oh.resize(cells);
+        const size_t words = (size_t)(tlen * ((b + 31) / 32));
+        if (gv.size() < words) {
+            gv.resize(words);
+            gh.resize(words);
+            ov.resize(words);
+            oh.resize(words);
         }
         int64_t o3[3];
         if (!dtpu_striped16_tb_fill(q_letters, qlen, bias, t_cat + t_off[k],
@@ -346,17 +366,17 @@ extern "C" void banded_swipe_tb_multi(
     const int64_t* op_off, int8_t* op_codes, int32_t* op_payload,
     int64_t* stats) {
     std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
-    std::vector<uint8_t> gv, gh, ov, oh;
+    std::vector<uint32_t> gv, gh, ov, oh;
     dtpu_striped16_cache_reset();
     for (int64_t k = 0; k < njobs; ++k) {
         const int64_t tlen = t_len[k];
         const int64_t b = band[k];
-        const size_t cells = (size_t)(tlen * b);
-        if (gv.size() < cells) {
-            gv.resize(cells);
-            gh.resize(cells);
-            ov.resize(cells);
-            oh.resize(cells);
+        const size_t words = (size_t)(tlen * ((b + 31) / 32));
+        if (gv.size() < words) {
+            gv.resize(words);
+            gh.resize(words);
+            ov.resize(words);
+            oh.resize(words);
         }
         const int8_t* q = q_base + q_off[k];
         const int32_t* bias =
@@ -402,17 +422,39 @@ extern "C" void banded_swipe_many(
     const int64_t* mask_off, uint8_t* gapv, uint8_t* gaph, uint8_t* openv,
     uint8_t* openh) {
     std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
+    // swipe_one emits bit planes; this entry serves the Python oracle,
+    // which consumes [tlen, band] byte planes — expand per job (the
+    // oracle path only runs adjusted-matrix and fallback jobs)
+    std::vector<uint32_t> wv, wh, wo, wp;
     for (int64_t k = 0; k < njobs; ++k) {
-        uint8_t *gv = nullptr, *gh = nullptr, *ov = nullptr, *oh = nullptr;
+        const int64_t tlen = t_len[k], b = band[k];
+        uint32_t *gv = nullptr, *gh = nullptr, *ov = nullptr, *oh = nullptr;
+        const int64_t nchw = (b + 31) / 32;
+        if (mask_off) {
+            const size_t words = (size_t)(tlen * nchw);
+            wv.assign(words, 0);
+            wh.assign(words, 0);
+            wo.assign(words, 0);
+            wp.assign(words, 0);
+            gv = wv.data();
+            gh = wh.data();
+            ov = wo.data();
+            oh = wp.data();
+        }
+        swipe_one(q_letters, qlen, bias, t_cat + t_off[k], tlen,
+                  d_begin[k], b, matrix32, (int32_t)go, (int32_t)ge,
+                  out + 3 * k, gv, gh, ov, oh, Hbuf, Ebuf, c0buf, Fbuf);
         if (mask_off) {
             const int64_t off = mask_off[k];
-            gv = gapv + off;
-            gh = gaph + off;
-            ov = openv + off;
-            oh = openh + off;
+            for (int64_t j = 0; j < tlen; ++j)
+                for (int64_t r = 0; r < b; ++r) {
+                    const int64_t w = j * nchw + (r >> 5);
+                    const uint32_t bit = (uint32_t)(r & 31);
+                    gapv[off + j * b + r] = (wv[w] >> bit) & 1u;
+                    gaph[off + j * b + r] = (wh[w] >> bit) & 1u;
+                    openv[off + j * b + r] = (wo[w] >> bit) & 1u;
+                    openh[off + j * b + r] = (wp[w] >> bit) & 1u;
+                }
         }
-        swipe_one(q_letters, qlen, bias, t_cat + t_off[k], t_len[k],
-                  d_begin[k], band[k], matrix32, (int32_t)go, (int32_t)ge,
-                  out + 3 * k, gv, gh, ov, oh, Hbuf, Ebuf, c0buf, Fbuf);
     }
 }

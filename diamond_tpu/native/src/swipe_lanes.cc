@@ -565,8 +565,8 @@ struct ProfCache16 {
 // columns memset H/E and skip mask emission entirely.
 int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
                        int64_t tlen, int64_t d0, int64_t band, int32_t go,
-                       int32_t ge, int64_t* out3, uint8_t* gvp,
-                       uint8_t* ghp, uint8_t* ovp, uint8_t* ohp) {
+                       int32_t ge, int64_t* out3, uint32_t* gvp,
+                       uint32_t* ghp, uint32_t* ovp, uint32_t* ohp) {
     static thread_local Shifter SH;
     const int nch = (int)((band + 31) / 32);
     static thread_local std::vector<int16_t> state;
@@ -610,7 +610,7 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
         }
         int16_t carry = NEG16;
         __m512i colmax = zero;
-        const int64_t pbase = j * band;
+        const int64_t pbase = j * nch;  // bit-plane words per column
         for (int c = 0; c < nch; ++c) {
             const int32_t rb = 32 * c;
             __mmask32 m;
@@ -632,10 +632,6 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
                 m_gt_lo = 0;
             else
                 m_gt_lo = (__mmask32)(~0u << (rlo - rb + 1));
-            // rows r < band (tail chunk guard for the plane stores)
-            __mmask32 m_band = (__mmask32)~0u;
-            if (band - rb < 32)
-                m_band = (__mmask32)(~0u >> (32 - (band - rb)));
             __m512i s = _mm512_mask_loadu_epi16(neg, m, prow + off + rb);
             __m512i H = _mm512_loadu_si512(Hd + rb);
             __m512i E = _mm512_loadu_si512(Ed + rb);
@@ -675,14 +671,13 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
                 _MM_CMPINT_NLT);
             const __mmask32 oh_b = _mm512_cmp_epi16_mask(opn, e_next,
                                                          _MM_CMPINT_NLT);
-            _mm256_mask_storeu_epi8(gvp + pbase + rb, m_band,
-                                    _mm256_maskz_set1_epi8(gv_b, 1));
-            _mm256_mask_storeu_epi8(ghp + pbase + rb, m_band,
-                                    _mm256_maskz_set1_epi8(gh_b, 1));
-            _mm256_mask_storeu_epi8(ovp + pbase + rb, m_band,
-                                    _mm256_maskz_set1_epi8(ov_b, 1));
-            _mm256_mask_storeu_epi8(ohp + pbase + rb, m_band,
-                                    _mm256_maskz_set1_epi8(oh_b, 1));
+            // compare masks ARE the planes: one 32-bit store per plane
+            // per chunk (8x less traffic than byte expansion); garbage
+            // bits >= band are never read by the walk
+            gvp[pbase + c] = (uint32_t)gv_b;
+            ghp[pbase + c] = (uint32_t)gh_b;
+            ovp[pbase + c] = (uint32_t)ov_b;
+            ohp[pbase + c] = (uint32_t)oh_b;
             // En = max(e_next, opn) on valid rows, 0 outside (scalar)
             __m512i en = _mm512_max_epi16(e_next, opn);
             en = _mm512_maskz_mov_epi16(m, en);
@@ -749,12 +744,13 @@ struct Shifter32 {
     }
 };
 
-// emit_masks=false: score-only.  byte planes may be null then.
+// emit_masks=false: score-only.  bit planes ([tlen, ceil(band/32)]
+// uint32 words, bit r&31 of word r>>5) may be null then.
 void swipe_striped32(const int32_t* profT, int64_t qlen, const int8_t* t,
                      int64_t tlen, int64_t d0, int64_t band, int32_t go,
                      int32_t ge, int64_t* out3, bool emit_masks,
-                     uint8_t* gvp, uint8_t* ghp, uint8_t* ovp,
-                     uint8_t* ohp) {
+                     uint32_t* gvp, uint32_t* ghp, uint32_t* ovp,
+                     uint32_t* ohp) {
     static thread_local Shifter32 SH;
     const int nch = (int)((band + 15) / 16);
     static thread_local std::vector<int32_t> state;
@@ -796,7 +792,9 @@ void swipe_striped32(const int32_t* profT, int64_t qlen, const int8_t* t,
         }
         int32_t carry = NEGB;
         __m512i colmax = zero;
-        const int64_t pbase = j * band;
+        // bit-plane halfword index: 16-lane chunk c lands in halfword c
+        // of the column's word run (words = ceil(band/32))
+        const int64_t pbase_hw = j * (((band + 31) / 32) * 2);
         for (int c = 0; c < nch; ++c) {
             const int32_t rb = 16 * c;
             __mmask16 m;
@@ -817,9 +815,6 @@ void swipe_striped32(const int32_t* profT, int64_t qlen, const int8_t* t,
                 m_gt_lo = 0;
             else
                 m_gt_lo = (__mmask16)(0xffffu << (rlo - rb + 1));
-            __mmask16 m_band = (__mmask16)0xffffu;
-            if (band - rb < 16)
-                m_band = (__mmask16)(0xffffu >> (16 - (band - rb)));
             __m512i s = _mm512_mask_loadu_epi32(neg, m, prow + off + rb);
             __m512i H = _mm512_loadu_si512(Hd + rb);
             __m512i E = _mm512_loadu_si512(Ed + rb);
@@ -857,14 +852,10 @@ void swipe_striped32(const int32_t* profT, int64_t qlen, const int8_t* t,
                     _MM_CMPINT_NLT);
                 const __mmask16 oh_b = _mm512_cmp_epi32_mask(
                     opn, e_next, _MM_CMPINT_NLT);
-                _mm_mask_storeu_epi8(gvp + pbase + rb, m_band,
-                                     _mm_maskz_set1_epi8(gv_b, 1));
-                _mm_mask_storeu_epi8(ghp + pbase + rb, m_band,
-                                     _mm_maskz_set1_epi8(gh_b, 1));
-                _mm_mask_storeu_epi8(ovp + pbase + rb, m_band,
-                                     _mm_maskz_set1_epi8(ov_b, 1));
-                _mm_mask_storeu_epi8(ohp + pbase + rb, m_band,
-                                     _mm_maskz_set1_epi8(oh_b, 1));
+                ((uint16_t*)gvp)[pbase_hw + c] = (uint16_t)gv_b;
+                ((uint16_t*)ghp)[pbase_hw + c] = (uint16_t)gh_b;
+                ((uint16_t*)ovp)[pbase_hw + c] = (uint16_t)ov_b;
+                ((uint16_t*)ohp)[pbase_hw + c] = (uint16_t)oh_b;
             }
             __m512i en = _mm512_max_epi32(e_next, opn);
             en = _mm512_maskz_mov_epi32(m, en);
@@ -917,8 +908,8 @@ extern "C" void dtpu_striped16_cache_reset() {
 extern "C" int dtpu_striped16_tb_fill(
     const int8_t* q, int64_t qlen, const int32_t* bias, const int8_t* t,
     int64_t tlen, int64_t d0, int64_t band, const int32_t* matrix32,
-    int64_t go64, int64_t ge64, int64_t* out3, uint8_t* gv, uint8_t* gh,
-    uint8_t* ov, uint8_t* oh) {
+    int64_t go64, int64_t ge64, int64_t* out3, uint32_t* gv, uint32_t* gh,
+    uint32_t* ov, uint32_t* oh) {
 #ifdef DTPU_STRIPED16
     TbProfCache& c = g_tbcache;
     if (!c.valid || c.q != q || c.bias != bias || c.qlen != qlen) {
