@@ -742,14 +742,14 @@ def extend_query_translated(source_idx, query_hits, queries, tblock, cfg):
 
     query_hits: list of (subject_gpos, seed_offset, stage2_score, frame).
     queries: TranslatedQueries."""
-    from diamond_tpu.stats.cbs import hauser_correction
+    from diamond_tpu.stats.cbs import hauser_bias_i8
 
     mat = cfg.matrix
     contexts = {}  # frame -> (qseq, bias, qseq_padded_view)
     for f, q in queries.contexts(source_idx):
         if len(q) == 0:
             continue
-        _, i8 = hauser_correction(q, mat.matrix32, mat.background_scores)
+        i8 = hauser_bias_i8(q, mat.matrix32, mat.background_scores)
         cid = source_idx * 6 + f
         start = int(queries.block.starts[cid])
         contexts[f] = (q, i8, queries.block.letters[start:])

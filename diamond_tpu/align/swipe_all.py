@@ -34,7 +34,7 @@ def swipe_all_protein(qblock, tblock, cfg) -> dict:
     (reference align/full_db.cpp via extend.cpp:332-333)."""
     from diamond_tpu.masking.tantan import Tantan
     from diamond_tpu.search.pipeline import mask_block
-    from diamond_tpu.stats.cbs import hauser_correction
+    from diamond_tpu.stats.cbs import hauser_bias_i8
 
     cfg.matrix.set_db_letters(cfg.db_letters or tblock.n_letters)
     if cfg.masking == "tantan":
@@ -46,7 +46,7 @@ def swipe_all_protein(qblock, tblock, cfg) -> dict:
     results = {}
     for qi in range(len(qblock)):
         q = qblock.seq(qi)
-        _, i8 = hauser_correction(q, m.matrix32, m.background_scores)
+        i8 = hauser_bias_i8(q, m.matrix32, m.background_scores)
         matches = swipe_all_query([(0, q)], len(q), {0: i8}, tblock, cfg)
         if matches:
             results[qi] = matches

@@ -307,14 +307,14 @@ def _full_extend_edges(sub: Block, qid: int, target_scores: dict, cfg,
     (reference search.cpp:115-121 + tools/greedy_vertex_cover.cpp:155-172:
     tcov >= cov -> (q, t); qcov >= cov -> (t, q))."""
     from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
-    from diamond_tpu.stats.cbs import hauser, hauser_correction
+    from diamond_tpu.stats.cbs import hauser, hauser_bias_i8
 
     mat = cfg.matrix
     q = sub.seq(qid)
     qlen = len(q)
     bias = None
     if hauser(cfg.comp_based_stats):
-        _, bias = hauser_correction(q, mat.matrix32, mat.background_scores)
+        bias = hauser_bias_i8(q, mat.matrix32, mat.background_scores)
     tids = sorted(target_scores)
     jobs = []
     for t in tids:

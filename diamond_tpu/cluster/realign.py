@@ -37,7 +37,7 @@ def realign(seqs, titles, cluster_lines, matrix_name: str = "BLOSUM62"):
     """cluster_lines: iterable of 'centroid\\tmember' seqid pairs.
     Yields output lines."""
     from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
-    from diamond_tpu.stats.cbs import hauser_correction
+    from diamond_tpu.stats.cbs import hauser_bias_i8
     from diamond_tpu.stats.score_matrix import ScoreMatrix
 
     block = Block.from_sequences(seqs, titles)
@@ -54,7 +54,7 @@ def realign(seqs, titles, cluster_lines, matrix_name: str = "BLOSUM62"):
         members = sorted(clusters[centroid])
         q = block.seq(centroid)
         qlen = len(q)
-        _, bias = hauser_correction(q, m.matrix32, m.background_scores)
+        bias = hauser_bias_i8(q, m.matrix32, m.background_scores)
         jobs = [(block.seq(t), -(int(block.lengths[t]) - 1), qlen)
                 for t in members]
         res = banded_swipe_batch_np(q, bias, jobs, m.matrix32, m.gap_open,

@@ -181,6 +181,10 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         cdll.backward_stats_many.restype = None
+        cdll.hauser_bias_i8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        cdll.hauser_bias_i8.restype = None
         cdll.seed_complexity_keep.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_double,
@@ -202,7 +206,8 @@ def lib():
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         cdll.stage12_pipeline.restype = ctypes.c_int64
         cdll.build_seed_part_table.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -468,6 +473,24 @@ def sw_islands_native(q8, t8, matrix20, go: int, ge: int):
     return out[:n].copy()
 
 
+def hauser_bias_native(letters, matrix32, background_scores,
+                       window: int = 40):
+    """Per-position Hauser bias as int8 (bit-exact twin of
+    stats/cbs.py hauser_correction's i8 output) or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    letters = np.ascontiguousarray(letters, dtype=np.int8)
+    bg = np.ascontiguousarray(background_scores, dtype=np.float64)
+    out = np.empty(len(letters), dtype=np.int8)
+    l.hauser_bias_i8(letters.ctypes.data, len(letters),
+                     matrix32.ctypes.data, bg.ctypes.data, int(window),
+                     out.ctypes.data)
+    return out
+
+
 def seed_complexity_keep_native(keys, weight: int, base: int, lnfact,
                                 cut: float):
     """Per-group reduced-alphabet entropy keep mask; bool array or None."""
@@ -491,7 +514,8 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
                             s_block_starts, do_leftmost, reduction, shape,
                             first_shape, chunked, current_matcher,
                             previous_matcher, part_lo, part_hi, seedp_mask,
-                            out_rows, part_tbl=None):
+                            out_rows, part_tbl=None, q_idx_tbl=None,
+                            s_idx_tbl=None):
     """Fused stage1+stage2+left-most over a join-group slice; writes
     [m, 4] hit rows into out_rows and returns m, or None."""
     l = lib()
@@ -532,6 +556,8 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
         ct, cn, pt, pn,
         int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
         part_tbl.ctypes.data if part_tbl is not None else None,
+        q_idx_tbl.ctypes.data if q_idx_tbl is not None else None,
+        s_idx_tbl.ctypes.data if s_idx_tbl is not None else None,
         out_rows.ctypes.data)
 
 

@@ -475,6 +475,48 @@ inline uint8_t left_most_fast(
 // candidate pair with early exits — no intermediate pair arrays exist.
 // Emits kept hits as [qidx, spos_global, qoff_local, min(score,255)]
 // rows; returns the row count.
+
+#if defined(__AVX512BW__)
+// longest run of non-DELIMITER letters immediately left of q, capped at w
+// (vector twin of the scalar backward scan; w > 64 falls back)
+static inline int64_t scan_left_delim(const int8_t* q, int64_t w) {
+    if (w <= 0)
+        return 0;
+    if (w > 64) {
+        int64_t n = 0;
+        while (n < w && q[-n - 1] != DELIMITER)
+            ++n;
+        return n;
+    }
+    const __mmask64 wm = w >= 64 ? ~0ull : ((1ull << w) - 1);
+    const __m512i v = _mm512_maskz_loadu_epi8(wm, q - w);
+    const uint64_t m = _mm512_mask_cmpeq_epi8_mask(
+        wm, v, _mm512_set1_epi8(DELIMITER));
+    if (!m)
+        return w;
+    return (w - 1) - (63 - (int64_t)__builtin_clzll(m));
+}
+
+// longest run of non-DELIMITER letters at q forward, capped at w
+static inline int64_t scan_right_delim(const int8_t* q, int64_t w) {
+    if (w <= 0)
+        return 0;
+    if (w > 64) {
+        int64_t n = 0;
+        while (n < w && q[n] != DELIMITER)
+            ++n;
+        return n;
+    }
+    const __mmask64 wm = w >= 64 ? ~0ull : ((1ull << w) - 1);
+    const __m512i v = _mm512_maskz_loadu_epi8(wm, q);
+    const uint64_t m = _mm512_mask_cmpeq_epi8_mask(
+        wm, v, _mm512_set1_epi8(DELIMITER));
+    if (!m)
+        return w;
+    return (int64_t)__builtin_ctzll(m);
+}
+#endif
+
 extern "C" int64_t stage12_pipeline(
     const int8_t* q_letters, const int8_t* s_letters,
     const uint8_t* q_seed_mask,
@@ -498,6 +540,8 @@ extern "C" int64_t stage12_pipeline(
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
     const int32_t* part_tbl,  // optional per-subject-position seed
                               // partition table (build_seed_part_table)
+    const int32_t* q_idx_tbl,  // optional pos -> query index table
+    const int32_t* s_idx_tbl,  // optional pos -> subject index table
     int64_t* out_rows) {
     int64_t m = 0;
 #if defined(__AVX512BW__)
@@ -508,27 +552,37 @@ extern "C" int64_t stage12_pipeline(
             continue;
         for (int64_t qi = q_start[g]; qi < q_start[g + 1]; ++qi) {
             const int64_t qp = q_pos[qi];
-            // query id via binary search over ascending block starts
-            int64_t lo = 0, hi = n_queries;
-            while (lo + 1 < hi) {
-                const int64_t mid = (lo + hi) / 2;
-                if (q_block_starts[mid] <= qp)
-                    lo = mid;
-                else
-                    hi = mid;
+            // query id: O(1) table or binary search over block starts
+            int64_t qidx;
+            if (q_idx_tbl) {
+                qidx = q_idx_tbl[qp];
+            } else {
+                int64_t lo = 0, hi = n_queries;
+                while (lo + 1 < hi) {
+                    const int64_t mid = (lo + hi) / 2;
+                    if (q_block_starts[mid] <= qp)
+                        lo = mid;
+                    else
+                        hi = mid;
+                }
+                qidx = lo;
             }
-            const int64_t qidx = lo;
             const int64_t qoff = qp - q_block_starts[qidx];
             const int32_t cutoff = cutoff_per_query[qidx];
             const int64_t window = window_per_query[qidx];
             const int8_t* q = q_letters + qp;
             // query-side delimiter clip (shared by stage 2 and left-most)
+#if defined(__AVX512BW__)
+            const int64_t wleft = scan_left_delim(q, window);
+            const int64_t wright = scan_right_delim(q, window);
+#else
             int64_t wleft = 0;
             while (wleft < window && q[-wleft - 1] != DELIMITER)
                 ++wleft;
             int64_t wright = 0;
             while (wright < window && q[wright] != DELIMITER)
                 ++wright;
+#endif
 #if defined(__AVX512BW__)
             // stage 1 as one 48-byte masked compare (the reference's
             // SIMD fingerprint, hamming/kernel.h:29-75, as AVX-512)
@@ -549,12 +603,17 @@ extern "C" int64_t stage12_pipeline(
             // group's subjects
             int64_t wl48 = wleft, wr48 = wright;
             if (do_leftmost && window != 48) {
+#if defined(__AVX512BW__)
+                wl48 = scan_left_delim(q, 48);
+                wr48 = scan_right_delim(q, 48);
+#else
                 wl48 = 0;
                 while (wl48 < 48 && q[-wl48 - 1] != DELIMITER)
                     ++wl48;
                 wr48 = 0;
                 while (wr48 < 48 && q[wr48] != DELIMITER)
                     ++wr48;
+#endif
             }
 #if defined(__AVX512BW__)
             LmQuery lq;
@@ -585,15 +644,21 @@ extern "C" int64_t stage12_pipeline(
                 // Kadane runs on survivors only.  Same final rows, same
                 // order.
                 if (self_search) {
-                    int64_t lo2 = 0, hi2 = n_targets;
-                    while (lo2 + 1 < hi2) {
-                        const int64_t mid = (lo2 + hi2) / 2;
-                        if (s_block_starts[mid] <= sp)
-                            lo2 = mid;
-                        else
-                            hi2 = mid;
+                    int64_t sidx;
+                    if (s_idx_tbl) {
+                        sidx = s_idx_tbl[sp];
+                    } else {
+                        int64_t lo2 = 0, hi2 = n_targets;
+                        while (lo2 + 1 < hi2) {
+                            const int64_t mid = (lo2 + hi2) / 2;
+                            if (s_block_starts[mid] <= sp)
+                                lo2 = mid;
+                            else
+                                hi2 = mid;
+                        }
+                        sidx = lo2;
                     }
-                    if (lo2 == qidx)
+                    if (sidx == qidx)
                         continue;
                 }
                 if (do_leftmost) {

@@ -295,3 +295,54 @@ extern "C" void extract_seeds_many(
         valid[i] = v;
     }
 }
+
+// Hauser per-position composition bias, int8 (native twin of
+// stats/cbs.py hauser_correction; reference hauser_correction.cpp:53-106).
+// Sliding 32-letter count window + one 32-term dot per position — the
+// Python path builds a (20, L) prefix matrix, 20x the work.  Integer
+// window sums and a single double division keep it bit-exact.
+extern "C" void hauser_bias_i8(
+    const int8_t* letters, int64_t L, const int32_t* matrix32,
+    const double* background_scores, int64_t window, int8_t* out) {
+    if (L == 0)
+        return;
+    int64_t wh = window / 2;
+    if (wh > L - 1)
+        wh = L - 1;
+    const int64_t a = wh < L - wh - 1 ? wh : L - wh - 1;
+    const int64_t m0 = a + 1;
+    const int64_t tmax = L - wh - 1;
+    int64_t counts[32] = {0};
+    int64_t h_cur = 0, t_cur = 0;
+    for (int64_t m = 0; m < L; ++m) {
+        int64_t h = m + wh + 1;
+        if (h > L)
+            h = L;
+        while (h_cur < h)
+            ++counts[letters[h_cur++] & 31];
+        int64_t t = 0;
+        if (m >= m0) {
+            t = m - m0 + 1;
+            if (t > tmax)
+                t = tmax;
+        }
+        while (t_cur < t)
+            --counts[letters[t_cur++] & 31];
+        const int32_t r = letters[m] & 31;
+        if (r >= 20) {
+            out[m] = 0;
+            continue;
+        }
+        const int32_t* mrow = matrix32 + r * 32;
+        int64_t win_sum = 0;
+        for (int c = 0; c < 32; ++c)
+            win_sum += counts[c] * (int64_t)mrow[c];
+        const int64_t n_eff = h - t;
+        int64_t denom = n_eff - 1;
+        if (denom < 1)
+            denom = 1;
+        const double v = background_scores[r]
+                         - (double)(win_sum - mrow[r]) / (double)denom;
+        out[m] = (int8_t)(v < 0.0 ? v - 0.5 : v + 0.5);
+    }
+}

@@ -265,9 +265,9 @@ def _self_aln_bitscore(seq, matrix, hauser: bool) -> float:
     q = np.asarray(seq).astype(np.int64) & 31
     d = matrix.matrix32[q, q].astype(np.int64)
     if hauser:
-        from diamond_tpu.stats.cbs import hauser_correction
+        from diamond_tpu.stats.cbs import hauser_bias_i8
 
-        _, i8 = hauser_correction(seq, matrix.matrix32,
+        i8 = hauser_bias_i8(seq, matrix.matrix32,
                                   matrix.background_scores)
         d = d + np.asarray(i8, dtype=np.int64)
     best = 0

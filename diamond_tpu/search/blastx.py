@@ -11,7 +11,7 @@ import numpy as np
 
 from diamond_tpu.data.block import Block
 from diamond_tpu.data.translate import Translator, find_orfs, min_orf_len
-from diamond_tpu.stats.cbs import hauser_correction
+from diamond_tpu.stats.cbs import hauser_bias_i8
 
 
 class TranslatedQueries:
@@ -86,7 +86,7 @@ def blastx_swipe_all(queries: TranslatedQueries, tblock, cfg):
         ctxs = queries.contexts(qi)
         biases = {}
         for f, q in ctxs:
-            _, i8 = hauser_correction(q, m.matrix32, m.background_scores)
+            i8 = hauser_bias_i8(q, m.matrix32, m.background_scores)
             biases[f] = i8
         matches = swipe_all_query(ctxs, queries.dna_lens[qi], biases, tblock, cfg)
         if matches:

@@ -167,7 +167,7 @@ def _blocked_global_ranking(cfg, q_blocks, q_bases, t_blocks, t_bases,
     from diamond_tpu.align.global_ranking import RankingTable, extend_ranked
     from diamond_tpu.masking.tantan import Tantan
     from diamond_tpu.search.pipeline import mask_block
-    from diamond_tpu.stats.cbs import hauser_correction
+    from diamond_tpu.stats.cbs import hauser_bias_i8
 
     total_letters = sum(len(s) for s in target_seqs)
     n_queries = sum(len(b) for b in q_blocks)
@@ -201,7 +201,7 @@ def _blocked_global_ranking(cfg, q_blocks, q_bases, t_blocks, t_bases,
 
     def biases_fn(src):
         qb, lid = locate(src)
-        _, i8 = hauser_correction(qb.seq(lid), cfg.matrix.matrix32,
+        i8 = hauser_bias_i8(qb.seq(lid), cfg.matrix.matrix32,
                                   cfg.matrix.background_scores)
         return {0: i8}
 

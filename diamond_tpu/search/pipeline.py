@@ -25,7 +25,7 @@ from diamond_tpu.search.config import SearchConfig
 from diamond_tpu.search.left_most import PatternMatcher, left_most_filter
 from diamond_tpu.search.left_most_batch import BatchPatternMatcher, left_most_filter_batch
 from diamond_tpu.stats import cbs as cbs_mod
-from diamond_tpu.stats.cbs import hauser_correction
+from diamond_tpu.stats.cbs import hauser_bias_i8
 
 
 @dataclass
@@ -38,8 +38,8 @@ class PipelineContext:
     def query_bias(self, query_id: int):
         if query_id not in self._bias_cache:
             seq = self.query_block.seq(query_id)
-            _, i8 = hauser_correction(seq, self.cfg.matrix.matrix32,
-                                      self.cfg.matrix.background_scores)
+            i8 = hauser_bias_i8(seq, self.cfg.matrix.matrix32,
+                                self.cfg.matrix.background_scores)
             self._bias_cache[query_id] = i8
         return self._bias_cache[query_id]
 
@@ -446,6 +446,14 @@ class Pipeline:
         s_counts = np.diff(join.s_start)
         cum = np.zeros(n_groups + 1, dtype=np.int64)
         np.cumsum(q_counts * s_counts, out=cum[1:])
+        from diamond_tpu.utils.log import pcount
+        if group_keep is None:
+            pcount("seed.s12_pairs", int(cum[-1]))
+            pcount("seed.s12_qinst", int(q_counts.sum()))
+        else:
+            pcount("seed.s12_pairs",
+                   int((q_counts * s_counts)[group_keep].sum()))
+            pcount("seed.s12_qinst", int(q_counts[group_keep].sum()))
         CAP = 1 << 21
         buf = getattr(self, "_s12_buf", None)
         if buf is None:
@@ -466,13 +474,31 @@ class Pipeline:
                 cfg.hamming_filter_id, cfg.matrix.matrix32,
                 cfg.self_search, self.t.starts, not skip_lm,
                 cfg.reduction, shape, sid == 0, chunked, current, previous,
-                part_lo, part_hi, cfg.seedp_mask, b, part_tbl)
+                part_lo, part_hi, cfg.seedp_mask, b, part_tbl,
+                q_idx_tbl=self._pos_index(self.q),
+                s_idx_tbl=(self._pos_index(self.t) if cfg.self_search
+                           else None))
             if m:
                 outs.append(b[:m].copy())
             g0 = g1
         if not outs:
             return np.empty((0, 4), dtype=np.int64)
         return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def _pos_index(self, block):
+        """int32 letter-position -> sequence-index table (O(1) lookups in
+        the native stage-1/2 pass instead of per-instance binary search;
+        padding after sequence i maps to i, matching the search)."""
+        key = "_pos_idx_tbl"
+        tbl = getattr(block, key, None)
+        if tbl is None or len(tbl) != len(block.letters):
+            mark = np.zeros(len(block.letters), dtype=np.int32)
+            st = block.starts[1:]
+            st = st[st < len(mark)]
+            np.add.at(mark, st, 1)  # duplicate starts (empty seqs) stack
+            tbl = np.cumsum(mark, dtype=np.int32)
+            setattr(block, key, tbl)
+        return tbl
 
     def _complexity_keep(self, join, shape):
         """Seed-complexity filter as a per-group keep mask (native fast

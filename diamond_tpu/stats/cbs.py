@@ -56,6 +56,20 @@ def composition(letters: np.ndarray) -> np.ndarray:
     return counts.astype(np.float64) / n
 
 
+def hauser_bias_i8(letters, matrix32, background_scores,
+                   window: int = DEFAULT_WINDOW):
+    """int8 Hauser bias via the native sliding-window kernel when
+    available (bit-exact), else the numpy prefix-matrix path."""
+    from diamond_tpu import native
+
+    r = native.hauser_bias_native(letters, matrix32, background_scores,
+                                  window)
+    if r is not None:
+        return r
+    return hauser_correction(letters, matrix32, background_scores,
+                             window)[1]
+
+
 def hauser_correction(letters: np.ndarray, matrix32: np.ndarray,
                       background_scores: np.ndarray, window: int = DEFAULT_WINDOW):
     """Per-position Hauser bias for one sequence.

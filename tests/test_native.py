@@ -320,3 +320,26 @@ def test_motif_block_scan_matches_oracle():
         for bb, ee in find_motif_ranges(b.letters[s : s + L]):
             want.append((s + bb, s + ee))
     assert got == want
+
+
+def test_hauser_bias_native_parity():
+    """Native sliding-window Hauser bias == numpy prefix-matrix path,
+    bit-exact, across lengths shorter and longer than the window."""
+    import numpy as np
+
+    from diamond_tpu import native
+    from diamond_tpu.stats.cbs import hauser_correction
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    m = ScoreMatrix("BLOSUM62")
+    rng = np.random.default_rng(3)
+    for L in (1, 5, 20, 39, 40, 41, 80, 613):
+        letters = rng.integers(0, 26, L).astype(np.int8)
+        _, ref = hauser_correction(letters, m.matrix32, m.background_scores)
+        got = native.hauser_bias_native(letters, m.matrix32,
+                                        m.background_scores)
+        assert np.array_equal(ref, got), L
