@@ -183,13 +183,18 @@ class HitArrays:
                 for k in range(g0, g1)]
 
 
-def load_hits_arrays(hits, target_block):
-    """load_hits as flat CSR arrays (blastp path; no frame column)."""
+def load_hits_arrays(hits, target_block, presorted: bool = False):
+    """load_hits as flat CSR arrays (blastp path; no frame column).
+
+    presorted: rows already in (subject_gpos, seed_offset) order — the
+    pipeline sorts the whole hit table once with the query as the major
+    key, so per-query slices skip this lexsort."""
     if len(hits) == 0:
         return None
     a = np.asarray(hits, dtype=np.int64)
-    order = np.lexsort((a[:, 1], a[:, 0]))  # CmpSubject (same query)
-    a = a[order]
+    if not presorted:
+        order = np.lexsort((a[:, 1], a[:, 0]))  # CmpSubject (same query)
+        a = a[order]
     t_all, j_all = target_block.global_to_local(a[:, 0])
     change = np.empty(len(a), dtype=bool)
     change[0] = True
@@ -521,7 +526,9 @@ def extend_query_gen(query_id: int, query_hits, ctx):
     from diamond_tpu.utils.log import ptimer
 
     with ptimer("ext.load_hits"):
-        ha = load_hits_arrays(query_hits, tblock)
+        ha = load_hits_arrays(query_hits, tblock,
+                              presorted=getattr(ctx, "hits_presorted",
+                                                False))
     if ha is None:
         return []
     tids, tscores = ha.tids, ha.tscores

@@ -240,6 +240,71 @@ void build_profT16(ProfT16& p, const int8_t* q, int64_t qlen,
                    const int32_t* bias, const int32_t* matrix32) {
     p.flat.resize((size_t)32 * qlen);
     p.ok = true;
+#if defined(__AVX512BW__)
+    // conservative precheck so the int16 arithmetic below cannot wrap:
+    // huge custom-matrix entries or biases route to the int32 engine
+    int32_t raw_max = 0;
+    for (int i = 0; i < 1024; ++i) {
+        const int32_t a = matrix32[i] < 0 ? -matrix32[i] : matrix32[i];
+        if (a > raw_max)
+            raw_max = a;
+    }
+    if (bias)
+        for (int64_t i = 0; i < qlen; ++i) {
+            const int32_t a = bias[i] < 0 ? -bias[i] : bias[i];
+            if (a > raw_max)
+                raw_max = a;
+        }
+    if (raw_max > 15000) {
+        p.ok = false;
+        return;
+    }
+    // letter-major build via vpermw: per target letter c the 32 matrix
+    // column entries form one int16 lookup register; 32 query positions
+    // resolve in one permute (8x fewer ops than the scalar loop)
+    alignas(64) int16_t col[32];
+    const __m512i m31 = _mm512_set1_epi16(31);
+    __m512i vmax = _mm512_set1_epi16(-32768);
+    __m512i vmin = _mm512_set1_epi16(32767);
+    for (int c = 0; c < 32; ++c) {
+        for (int r = 0; r < 32; ++r)
+            col[r] = (int16_t)matrix32[r * 32 + c];
+        const __m512i tbl = _mm512_load_si512(col);
+        int16_t* dst = p.flat.data() + (size_t)c * qlen;
+        for (int64_t i = 0; i < qlen; i += 32) {
+            const __mmask32 m =
+                qlen - i >= 32 ? (__mmask32)~0u
+                               : (__mmask32)(~0u >> (32 - (qlen - i)));
+            const __m512i ql = _mm512_and_si512(
+                _mm512_cvtepi8_epi16(_mm256_maskz_loadu_epi8(m, q + i)),
+                m31);
+            __m512i v = _mm512_permutexvar_epi16(ql, tbl);
+            if (bias) {
+                const __m512i b0 = _mm512_maskz_loadu_epi32(
+                    (__mmask16)m, bias + i);
+                const __m512i b1 = _mm512_maskz_loadu_epi32(
+                    (__mmask16)(m >> 16), bias + i + 16);
+                const __m512i bb = _mm512_inserti64x4(
+                    _mm512_castsi256_si512(_mm512_cvtepi32_epi16(b0)),
+                    _mm512_cvtepi32_epi16(b1), 1);
+                v = _mm512_add_epi16(v, bb);
+            }
+            _mm512_mask_storeu_epi16(dst + i, m, v);
+            vmax = _mm512_mask_max_epi16(vmax, m, vmax, v);
+            vmin = _mm512_mask_min_epi16(vmin, m, vmin, v);
+        }
+    }
+    const int32_t mx0 = _mm512_reduce_max_epi32(
+        _mm512_cvtepi16_epi32(_mm512_castsi512_si256(vmax)));
+    const int32_t mx1 = _mm512_reduce_max_epi32(
+        _mm512_cvtepi16_epi32(_mm512_extracti64x4_epi64(vmax, 1)));
+    const int32_t mn0 = _mm512_reduce_min_epi32(
+        _mm512_cvtepi16_epi32(_mm512_castsi512_si256(vmin)));
+    const int32_t mn1 = _mm512_reduce_min_epi32(
+        _mm512_cvtepi16_epi32(_mm512_extracti64x4_epi64(vmin, 1)));
+    if ((mx0 > mx1 ? mx0 : mx1) > 1000 || (mn0 < mn1 ? mn0 : mn1) < -1000)
+        p.ok = false;
+#else
     for (int64_t i = 0; i < qlen; ++i) {
         const int32_t* mrow = matrix32 + (q[i] & 31) * 32;
         const int32_t b = bias ? bias[i] : 0;
@@ -250,6 +315,7 @@ void build_profT16(ProfT16& p, const int8_t* q, int64_t qlen,
             p.flat[(size_t)c * qlen + i] = (int16_t)v;
         }
     }
+#endif
 }
 
 // in-register inclusive prefix max over 32 int16 lanes (lane i =

@@ -742,8 +742,12 @@ class Pipeline:
                 if m:
                     results[sidx] = m
             return results
-        order = np.argsort(arr[:, 0], kind="stable")
+        # one global (query, subject, seed_offset) sort: per-query slices
+        # arrive in load_hits order, so extension skips its per-query
+        # lexsort (ties keep emission order — lexsort is stable)
+        order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
         arr = arr[order]
+        self.ctx.hits_presorted = True
         qids_u = np.unique(arr[:, 0])
         bounds = np.searchsorted(arr[:, 0],
                                  np.append(qids_u, np.iinfo(np.int64).max))
