@@ -181,6 +181,12 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         cdll.backward_stats_many.restype = None
+        cdll.sorted_join_merge.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.sorted_join_merge.restype = ctypes.c_int64
         cdll.hauser_bias_i8.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -471,6 +477,35 @@ def sw_islands_native(q8, t8, matrix20, go: int, ge: int):
     n = l.sw_islands(q8.ctypes.data, len(q8), t8.ctypes.data, len(t8),
                      m20.ctypes.data, go, ge, out.ctypes.data, cap)
     return out[:n].copy()
+
+
+def sorted_join_merge_native(qk, qp, sk, sp):
+    """One-pass merge of key-sorted (key,pos) arrays; returns
+    (keys, q_start, q_pos, s_start, s_pos) or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    nq, ns = len(qk), len(sk)
+    gcap = (nq if nq < ns else ns) + 1
+    out_keys = np.empty(max(gcap - 1, 1), dtype=np.uint64)
+    out_qstart = np.empty(gcap, dtype=np.int64)
+    out_sstart = np.empty(gcap, dtype=np.int64)
+    out_qpos = np.empty(max(nq, 1), dtype=np.int64)
+    out_spos = np.empty(max(ns, 1), dtype=np.int64)
+    g = l.sorted_join_merge(
+        qk.ctypes.data, qp.ctypes.data, nq,
+        sk.ctypes.data, sp.ctypes.data, ns,
+        out_keys.ctypes.data, out_qstart.ctypes.data,
+        out_sstart.ctypes.data, out_qpos.ctypes.data,
+        out_spos.ctypes.data)
+    # views, not copies: the buffers are exactly-capacity temporaries
+    # that die with the per-chunk join
+    return (out_keys[:g], out_qstart[: g + 1],
+            out_qpos[: int(out_qstart[g])],
+            out_sstart[: g + 1],
+            out_spos[: int(out_sstart[g])])
 
 
 def hauser_bias_native(letters, matrix32, background_scores,

@@ -7,6 +7,7 @@
 // at both ends, data/block.py) so [pos-48, pos+48) is always in bounds.
 
 #include <cstdint>
+#include <cstring>
 
 #if defined(__AVX512F__) && defined(__AVX512DQ__)
 #include <immintrin.h>
@@ -345,4 +346,54 @@ extern "C" void hauser_bias_i8(
                          - (double)(win_sum - mrow[r]) / (double)denom;
         out[m] = (int8_t)(v < 0.0 ? v - 0.5 : v + 0.5);
     }
+}
+
+// One-pass sort-merge join of two key-sorted (key, pos) arrays
+// (native twin of search/stages.seed_join_sorted's numpy merge:
+// run-boundary scan + searchsorted + boolean takes become a single
+// two-pointer walk with memcpy'd runs).  Returns the group count;
+// out_qstart[g]/out_sstart[g] carry the emitted position counts.
+extern "C" int64_t sorted_join_merge(
+    const uint64_t* qk, const int64_t* qp, int64_t nq,
+    const uint64_t* sk, const int64_t* sp, int64_t ns,
+    uint64_t* out_keys, int64_t* out_qstart, int64_t* out_sstart,
+    int64_t* out_qpos, int64_t* out_spos) {
+    int64_t i = 0, j = 0, g = 0, oq = 0, os = 0;
+    out_qstart[0] = 0;
+    out_sstart[0] = 0;
+    while (i < nq && j < ns) {
+        const uint64_t a = qk[i];
+        const uint64_t b = sk[j];
+        if (a < b) {
+            do {
+                ++i;
+            } while (i < nq && qk[i] == a);
+        } else if (b < a) {
+            do {
+                ++j;
+            } while (j < ns && sk[j] == b);
+        } else {
+            int64_t i1 = i;
+            do {
+                ++i1;
+            } while (i1 < nq && qk[i1] == a);
+            int64_t j1 = j;
+            do {
+                ++j1;
+            } while (j1 < ns && sk[j1] == a);
+            out_keys[g] = a;
+            std::memcpy(out_qpos + oq, qp + i,
+                        (size_t)(i1 - i) * sizeof(int64_t));
+            std::memcpy(out_spos + os, sp + j,
+                        (size_t)(j1 - j) * sizeof(int64_t));
+            oq += i1 - i;
+            os += j1 - j;
+            ++g;
+            out_qstart[g] = oq;
+            out_sstart[g] = os;
+            i = i1;
+            j = j1;
+        }
+    }
+    return g;
 }

@@ -140,6 +140,18 @@ def seed_join_sorted(qk, qp, sk, sp) -> SeedJoin:
     the enumeration order, i.e. a stable key sort).  The pipeline sorts
     once per shape and slices per index chunk — boolean selection keeps
     the order, so the per-chunk re-sort disappears."""
+    from diamond_tpu import native
+
+    if len(qk) and len(sk):
+        r = native.sorted_join_merge_native(
+            np.ascontiguousarray(qk, dtype=np.uint64),
+            np.ascontiguousarray(qp, dtype=np.int64),
+            np.ascontiguousarray(sk, dtype=np.uint64),
+            np.ascontiguousarray(sp, dtype=np.int64))
+        if r is not None:
+            keys, q_start, q_pos, s_start, s_pos = r
+            return SeedJoin(keys=keys, q_start=q_start, q_pos=q_pos,
+                            s_start=s_start, s_pos=s_pos)
     # group boundaries on the sorted key arrays (the arrays are already
     # sorted, so run boundaries beat np.unique, which would sort again)
     def _firsts(k):
