@@ -202,7 +202,9 @@ def load_hits_arrays(hits, target_block, presorted: bool = False):
     gidx = np.nonzero(change)[0]
     gstart = np.append(gidx, len(a)).astype(np.int64)
     scores = np.ascontiguousarray(a[:, 2])
-    return HitArrays(t_all[gidx], gstart, np.ascontiguousarray(a[:, 1]),
+    # int64 tids: the native chunk-select stage reads them as int64
+    return HitArrays(t_all[gidx].astype(np.int64), gstart,
+                     np.ascontiguousarray(a[:, 1]),
                      np.ascontiguousarray(j_all, dtype=np.int64), scores,
                      np.maximum.reduceat(scores, gidx))
 
@@ -326,21 +328,18 @@ def ungapped_stage_chunk(query_letters, q_start, bias, tblock, ha: HitArrays,
     r = None
     if native.lib() is not None and chunk:
         with ptimer("ext.un_native"):
-            tsel = ha.tids[chunk]
-            t_starts = tblock.starts[tsel].astype(np.int64, copy=False)
-            t_lens = tblock.lengths[tsel].astype(np.int64, copy=False)
-            counts = (ha.gstart[1:] - ha.gstart[:-1])[chunk]
-            grp = np.zeros(len(chunk) + 1, dtype=np.int64)
-            np.cumsum(counts, out=grp[1:])
-            idx = _csr_take(ha.gstart, chunk, counts, int(grp[-1]))
-            r = native.ungapped_stage_many_native(
+            chunk_arr = np.asarray(chunk, dtype=np.int64)
+            total = int((ha.gstart[chunk_arr + 1]
+                         - ha.gstart[chunk_arr]).sum())
+            lens64 = getattr(tblock, "_lengths64", None)
+            if lens64 is None or len(lens64) != len(tblock.lengths):
+                lens64 = tblock._lengths64 =                     tblock.lengths.astype(np.int64)
+            r = native.ungapped_stage_chunk_sel_native(
                 query_letters[q_start:], use_bias, tblock.letters,
-                np.ascontiguousarray(t_starts), np.ascontiguousarray(t_lens),
-                grp, np.ascontiguousarray(ha.hi[idx]),
-                np.ascontiguousarray(ha.hj[idx]),
-                np.ascontiguousarray(ha.hscore[idx]),
+                chunk_arr, ha.tids, tblock.starts, lens64,
+                ha.gstart, ha.hi, ha.hj, ha.hscore,
                 cfg.matrix.matrix32, cfg.xdrop_raw, cfg.matrix.gap_open,
-                cfg.matrix.gap_extend, qlen)
+                cfg.matrix.gap_extend, qlen, total)
     out = []
     if r is not None:
         usc, out_start, rows = r

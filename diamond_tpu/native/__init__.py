@@ -230,6 +230,15 @@ def lib():
             ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         cdll.ungapped_stage_many.restype = ctypes.c_int64
+        cdll.ungapped_stage_chunk_sel.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        cdll.ungapped_stage_chunk_sel.restype = ctypes.c_int64
         cdll.sw_islands.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -626,6 +635,38 @@ def ungapped_stage_many_native(q_view, bias_view, t_letters, t_starts,
             hit_i.ctypes.data, hit_j.ctypes.data, hit_score.ctypes.data,
             nt, matrix32.ctypes.data, int(xdrop), int(gap_open),
             int(gap_extend), int(query_len), cap,
+            usc.ctypes.data, out_start.ctypes.data, out_hsp.ctypes.data)
+        if n >= 0:
+            return usc, out_start, out_hsp[:n]
+        cap *= 4  # backtrace emitted more HSPs than seed hits (rare)
+
+
+def ungapped_stage_chunk_sel_native(q_view, bias_view, t_letters, chunk,
+                                    tids, block_starts, block_lens,
+                                    gstart, hit_i, hit_j, hit_score,
+                                    matrix32, xdrop, gap_open, gap_extend,
+                                    query_len, total_hits):
+    """ungapped_stage_many with the chunk gather done in C; returns
+    (ungapped_score[nt], out_start[nt+1], hsp_rows) or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    nt = len(chunk)
+    usc = np.empty(nt, dtype=np.int64)
+    out_start = np.empty(nt + 1, dtype=np.int64)
+    cap = max(int(total_hits), 1)
+    bias_p = bias_view.ctypes.data if bias_view is not None else None
+    while True:
+        out_hsp = np.empty((cap, 7), dtype=np.int64)
+        n = l.ungapped_stage_chunk_sel(
+            q_view.ctypes.data, bias_p, t_letters.ctypes.data,
+            chunk.ctypes.data, nt, tids.ctypes.data,
+            block_starts.ctypes.data, block_lens.ctypes.data,
+            gstart.ctypes.data, hit_i.ctypes.data, hit_j.ctypes.data,
+            hit_score.ctypes.data, matrix32.ctypes.data, int(xdrop),
+            int(gap_open), int(gap_extend), int(query_len), cap,
             usc.ctypes.data, out_start.ctypes.data, out_hsp.ctypes.data)
         if n >= 0:
             return usc, out_start, out_hsp[:n]

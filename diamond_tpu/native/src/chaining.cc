@@ -718,3 +718,46 @@ extern "C" int64_t ungapped_stage_many(
     }
     return written;
 }
+
+// ungapped_stage_many with the chunk selection done natively: callers
+// pass the per-query CSR (ha.gstart/hi/hj/hscore over ALL targets) plus
+// the ranking-chunk target indices; the per-chunk gathers that the
+// Python wrapper used to do with ~8 numpy calls per query become two
+// small C loops.
+extern "C" int64_t ungapped_stage_chunk_sel(
+    const int8_t* q, const int8_t* bias, const int8_t* t_letters,
+    const int64_t* chunk, int64_t nt, const int64_t* tids,
+    const int64_t* block_starts, const int64_t* block_lens,
+    const int64_t* gstart, const int64_t* hit_i, const int64_t* hit_j,
+    const int64_t* hit_score, const int32_t* matrix32, int32_t xdrop,
+    int64_t gap_open, int64_t gap_extend, int64_t query_len, int64_t cap,
+    int64_t* ungapped_score, int64_t* out_start, int64_t* out_hsp) {
+    static thread_local std::vector<int64_t> ts, tl, gs, hi, hj, hs;
+    ts.resize(nt);
+    tl.resize(nt);
+    gs.resize(nt + 1);
+    gs[0] = 0;
+    for (int64_t t = 0; t < nt; ++t) {
+        const int64_t g = chunk[t];
+        ts[t] = block_starts[tids[g]];
+        tl[t] = block_lens[tids[g]];
+        gs[t + 1] = gs[t] + (gstart[g + 1] - gstart[g]);
+    }
+    hi.resize(gs[nt]);
+    hj.resize(gs[nt]);
+    hs.resize(gs[nt]);
+    int64_t o = 0;
+    for (int64_t t = 0; t < nt; ++t) {
+        const int64_t g = chunk[t];
+        for (int64_t k = gstart[g]; k < gstart[g + 1]; ++k, ++o) {
+            hi[o] = hit_i[k];
+            hj[o] = hit_j[k];
+            hs[o] = hit_score[k];
+        }
+    }
+    return ungapped_stage_many(q, bias, t_letters, ts.data(), tl.data(),
+                               gs.data(), hi.data(), hj.data(), hs.data(),
+                               nt, matrix32, xdrop, gap_open, gap_extend,
+                               query_len, cap, ungapped_score, out_start,
+                               out_hsp);
+}
