@@ -146,6 +146,8 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
         cdll.sort_kv_u64.restype = None
+        cdll.sort_kv_u64_d16.argtypes = cdll.sort_kv_u64.argtypes
+        cdll.sort_kv_u64_d16.restype = None
         cdll.banded_swipe_tb_many.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -838,9 +840,15 @@ def sort_kv_native(keys, vals):
         _sort_tmp = (np.empty(n, dtype=np.uint64),
                      np.empty(n, dtype=np.int64))
     tmp_k, tmp_v = _sort_tmp
-    kb = max((int(k.max()).bit_length() + 7) // 8, 1)
-    l.sort_kv_u64(k.ctypes.data, v.ctypes.data, n,
-                  tmp_k.ctypes.data, tmp_v.ctypes.data, kb)
+    bits = max(int(k.max()).bit_length(), 1)
+    if bits > 24:
+        # 16-bit digits: 3 passes for 48-bit seed keys instead of 5
+        l.sort_kv_u64_d16(k.ctypes.data, v.ctypes.data, n,
+                          tmp_k.ctypes.data, tmp_v.ctypes.data, bits)
+    else:
+        l.sort_kv_u64(k.ctypes.data, v.ctypes.data, n,
+                      tmp_k.ctypes.data, tmp_v.ctypes.data,
+                      (bits + 7) // 8)
     return k, v
 
 

@@ -8,6 +8,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <vector>
 
 #if defined(__AVX512F__) && defined(__AVX512DQ__)
 #include <immintrin.h>
@@ -396,4 +398,46 @@ extern "C" int64_t sorted_join_merge(
         }
     }
     return g;
+}
+
+// 16-bit-digit LSD radix (3 passes for 48-bit seed keys instead of 5
+// 8-bit passes; the 64K count table is L2-resident)
+extern "C" void sort_kv_u64_d16(
+    uint64_t* keys, int64_t* vals, int64_t n,
+    uint64_t* tmp_k, int64_t* tmp_v, int32_t key_bits) {
+    static thread_local std::vector<int64_t> count;
+    count.assign(65536, 0);
+    const int ndig = (key_bits + 15) / 16;
+    uint64_t* ka = keys;
+    int64_t* va = vals;
+    uint64_t* kb = tmp_k;
+    int64_t* vb = tmp_v;
+    for (int d = 0; d < ndig; ++d) {
+        const int shift = d * 16;
+        if (d)
+            std::fill(count.begin(), count.end(), 0);
+        for (int64_t i = 0; i < n; ++i)
+            ++count[(ka[i] >> shift) & 0xFFFF];
+        int64_t sum = 0;
+        for (int i = 0; i < 65536; ++i) {
+            const int64_t c = count[i];
+            count[i] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t dd = count[(ka[i] >> shift) & 0xFFFF]++;
+            kb[dd] = ka[i];
+            vb[dd] = va[i];
+        }
+        uint64_t* tk = ka;
+        ka = kb;
+        kb = tk;
+        int64_t* tv = va;
+        va = vb;
+        vb = tv;
+    }
+    if (ka != keys) {
+        std::memcpy(keys, ka, (size_t)n * sizeof(uint64_t));
+        std::memcpy(vals, va, (size_t)n * sizeof(int64_t));
+    }
 }
