@@ -63,12 +63,28 @@ def _tb_multi(items, mat, state):
         return set()
     t_len = np.fromiter((len(j[2]) for j in jobs_flat), dtype=np.int64,
                         count=n)
-    t_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(t_len[:-1], out=t_off[1:])
-    t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+    # zero-copy when every job's target is a view into the target
+    # block's letters (the standard path): offsets come from pointer
+    # arithmetic and t_cat IS the block array — no per-job slice copies
+    base = state.ctx.target_block.letters
+    base_addr = base.__array_interface__["data"][0]
+    t_cat = base
+    t_off = np.empty(n, dtype=np.int64)
     for k, j in enumerate(jobs_flat):
-        t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(j[2],
-                                                           dtype=np.int8)
+        t = j[2]
+        a = t.__array_interface__["data"][0] - base_addr
+        if 0 <= a <= base.nbytes - len(t) and t.dtype == np.int8:
+            t_off[k] = a
+        else:
+            t_off = None
+            break
+    if t_off is None:
+        t_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(t_len[:-1], out=t_off[1:])
+        t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+        for k, j in enumerate(jobs_flat):
+            t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(
+                j[2], dtype=np.int8)
     q_off = np.fromiter((int(qblock.starts[j[0]]) for j in jobs_flat),
                         dtype=np.int64, count=n)
     q_len = np.fromiter((int(qblock.lengths[j[0]]) for j in jobs_flat),
@@ -83,7 +99,9 @@ def _tb_multi(items, mat, state):
     if bias_base is None and use_bias.any():
         bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
     from diamond_tpu.utils.log import pcount
-    pcount("ext.tb_cells", int((t_len * bands).sum()))
+    _j0 = np.maximum(0, -d_begins - bands + 1)
+    _j1 = np.minimum(t_len, q_len - d_begins)
+    pcount("ext.tb_cells", int((np.maximum(_j1 - _j0, 0) * bands).sum()))
     pcount("ext.tb_jobs", n)
     r = native.banded_swipe_tb_multi_native(
         qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
@@ -126,12 +144,28 @@ def _score_multi(items, mat, state):
         return True
     t_len = np.fromiter((len(j[2]) for j in jobs_flat), dtype=np.int64,
                         count=n)
-    t_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(t_len[:-1], out=t_off[1:])
-    t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+    # zero-copy when every job's target is a view into the target
+    # block's letters (the standard path): offsets come from pointer
+    # arithmetic and t_cat IS the block array — no per-job slice copies
+    base = state.ctx.target_block.letters
+    base_addr = base.__array_interface__["data"][0]
+    t_cat = base
+    t_off = np.empty(n, dtype=np.int64)
     for k, j in enumerate(jobs_flat):
-        t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(j[2],
-                                                           dtype=np.int8)
+        t = j[2]
+        a = t.__array_interface__["data"][0] - base_addr
+        if 0 <= a <= base.nbytes - len(t) and t.dtype == np.int8:
+            t_off[k] = a
+        else:
+            t_off = None
+            break
+    if t_off is None:
+        t_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(t_len[:-1], out=t_off[1:])
+        t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
+        for k, j in enumerate(jobs_flat):
+            t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(
+                j[2], dtype=np.int8)
     q_off = np.fromiter((int(qblock.starts[j[0]]) for j in jobs_flat),
                         dtype=np.int64, count=n)
     q_len = np.fromiter((int(qblock.lengths[j[0]]) for j in jobs_flat),
@@ -146,7 +180,9 @@ def _score_multi(items, mat, state):
     if bias_base is None and use_bias.any():
         bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
     from diamond_tpu.utils.log import pcount
-    pcount("ext.score_cells", int((t_len * bands).sum()))
+    _j0 = np.maximum(0, -d_begins - bands + 1)
+    _j1 = np.minimum(t_len, q_len - d_begins)
+    pcount("ext.score_cells", int((np.maximum(_j1 - _j0, 0) * bands).sum()))
     pcount("ext.score_jobs", n)
     res = native.banded_swipe_score_multi_native(
         qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
