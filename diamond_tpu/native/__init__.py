@@ -215,7 +215,7 @@ def lib():
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p]
         cdll.stage12_pipeline.restype = ctypes.c_int64
         cdll.build_seed_part_table.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -561,7 +561,7 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
                             first_shape, chunked, current_matcher,
                             previous_matcher, part_lo, part_hi, seedp_mask,
                             out_rows, part_tbl=None, q_idx_tbl=None,
-                            s_idx_tbl=None):
+                            s_idx_tbl=None, stats_out=None):
     """Fused stage1+stage2+left-most over a join-group slice; writes
     [m, 4] hit rows into out_rows and returns m, or None."""
     l = lib()
@@ -604,7 +604,8 @@ def stage12_pipeline_native(q_letters, s_letters, q_seed_mask, join,
         part_tbl.ctypes.data if part_tbl is not None else None,
         q_idx_tbl.ctypes.data if q_idx_tbl is not None else None,
         s_idx_tbl.ctypes.data if s_idx_tbl is not None else None,
-        out_rows.ctypes.data)
+        out_rows.ctypes.data,
+        stats_out.ctypes.data if stats_out is not None else None)
 
 
 def ungapped_stage_many_native(q_view, bias_view, t_letters, t_starts,

@@ -542,8 +542,10 @@ extern "C" int64_t stage12_pipeline(
                               // partition table (build_seed_part_table)
     const int32_t* q_idx_tbl,  // optional pos -> query index table
     const int32_t* s_idx_tbl,  // optional pos -> subject index table
-    int64_t* out_rows) {
+    int64_t* out_rows,
+    int64_t* stats_out) {  // optional [2]: stage1 passes, lm passes
     int64_t m = 0;
+    int64_t n_s1 = 0, n_lm = 0;
 #if defined(__AVX512BW__)
     const LmTables lmt = lm_tables(reduction_map);
 #endif
@@ -637,6 +639,7 @@ extern "C" int64_t stage12_pipeline(
 #endif
                 if (ident < hamming_id)
                     continue;
+                ++n_s1;
                 // self-pair and left-most dedup checks run BEFORE the
                 // stage-2 score: all three predicates are independent
                 // per-pair, left-most rejects the bulk, and the score is
@@ -682,6 +685,7 @@ extern "C" int64_t stage12_pipeline(
                         continue;
 #endif
                 }
+                ++n_lm;
                 // stage 2: best ungapped segment on the seed diagonal
                 int64_t bestsc = 0;
 #if defined(__AVX512BW__)
@@ -795,6 +799,10 @@ extern "C" int64_t stage12_pipeline(
                 ++m;
             }
         }
+    }
+    if (stats_out) {
+        stats_out[0] = n_s1;
+        stats_out[1] = n_lm;
     }
     return m;
 }

@@ -459,6 +459,8 @@ class Pipeline:
         if buf is None:
             buf = self._s12_buf = np.empty((CAP, 4), dtype=np.int64)
         outs = []
+        from diamond_tpu.utils.log import _PROF
+        s12_stats = np.zeros(2, dtype=np.int64) if _PROF else None
         g0 = 0
         while g0 < n_groups:
             g1 = int(np.searchsorted(cum, cum[g0] + CAP, side="right")) - 1
@@ -477,9 +479,12 @@ class Pipeline:
                 part_lo, part_hi, cfg.seedp_mask, b, part_tbl,
                 q_idx_tbl=self._pos_index(self.q),
                 s_idx_tbl=(self._pos_index(self.t) if cfg.self_search
-                           else None))
+                           else None), stats_out=s12_stats)
             if m:
                 outs.append(b[:m].copy())
+            if s12_stats is not None:
+                pcount("seed.s12_s1pass", int(s12_stats[0]))
+                pcount("seed.s12_lmpass", int(s12_stats[1]))
             g0 = g1
         if not outs:
             return np.empty((0, 4), dtype=np.int64)
