@@ -44,9 +44,9 @@ def _kernel_gcups():
         return banded_swipe_pallas(tgt, bmask, ppad, go, ge, band_)
 
     jax.block_until_ready(run())  # compile
-    n_iter = 20
+    n_iter = 10
     best_dt = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_iter):
             jax.block_until_ready(run())
@@ -114,11 +114,49 @@ def _ref_seconds():
     return best
 
 
-def main():
-    import jax
+def _kernel_gcups_guarded(timeout_s=360):
+    """Kernel GCUPS + backend name in a subprocess under a hard timeout:
+    the tunneled chip is time-shared and can stall for minutes (even
+    jax.default_backend() can hang on it) — a stuck chip must not take
+    the whole benchmark down, so the parent process never touches jax."""
+    import sys
 
-    backend = jax.default_backend()
-    gcups = _kernel_gcups()
+    code = ("import jax, bench; "
+            "b = jax.default_backend(); "
+            "print('GCUPS', bench._kernel_gcups(), b)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(
+            os.path.abspath(__file__)), capture_output=True, text=True,
+            timeout=timeout_s)
+        for ln in r.stdout.splitlines():
+            if ln.startswith("GCUPS "):
+                parts = ln.split()
+                return float(parts[1]), parts[2]
+    except (subprocess.TimeoutExpired, ValueError, OSError, IndexError):
+        pass
+    return None
+
+
+def main():
+    r = _kernel_gcups_guarded()
+    gcups, backend = (r if r else (None, None))
+    if gcups is None:
+        # chip unreachable/stalled: measure on CPU so the field exists,
+        # and keep the e2e DP on the host C++ path (cost routing would
+        # stall on the same chip)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        os.environ["DIAMOND_TPU_DEVICE_DP"] = "0"
+        backend = "cpu (chip stalled)"
+        r = _kernel_gcups_guarded(timeout_s=300)
+        gcups = r[0] if r else 0.0
+    # e2e always runs the host DP engines here: this chip sits behind a
+    # time-shared tunnel whose per-dispatch latency (1.4 s to minutes)
+    # would otherwise dominate — exactly what the production cost router
+    # (DIAMOND_TPU_DP_MIN_CELLS) concludes.  The chip's kernel rate is
+    # the guarded GCUPS row above; on a co-located chip the wave driver
+    # runs device DP by default (see PERF.md).
+    os.environ.setdefault("DIAMOND_TPU_DEVICE_DP", "0")
     qb, tb = _load_blocks()
     n_queries = len(qb)
     # the host CPU is time-shared (kdamond reclaim + other tenants):
@@ -127,11 +165,16 @@ def main():
     best = None
     best_user = None
     lines = None
-    for _ in range(3):
+    t_budget0 = time.perf_counter()
+    for rep in range(3):
         qb2, tb2 = _load_blocks()
         dt, du, lines = _run_ours(qb2, tb2)
         best = dt if best is None else min(best, dt)
         best_user = du if best_user is None else min(best_user, du)
+        # tunneled-chip runs are slow; don't let best-of-3 blow the
+        # driver's budget
+        if time.perf_counter() - t_budget0 > 420 and rep >= 0:
+            break
     qps = n_queries / best
     ref_dt = _ref_seconds()
     vs = round(qps / (n_queries / ref_dt), 3) if ref_dt else None
