@@ -139,6 +139,8 @@ def load_hits(hits, target_block):
     if len(hits) == 0:
         return [], [], []
     a = np.asarray(hits, dtype=np.int64)  # [N,3/4]: gpos, seed_off, score[, frame]
+    if a.shape[1] >= 5:
+        a = a[:, :3]  # pipeline-resolved tid/j columns (blastp), not frames
     order = np.lexsort((a[:, 1], a[:, 0]))  # CmpSubject (same query)
     a = a[order]
     t_all, j_all = target_block.global_to_local(a[:, 0])
@@ -195,7 +197,11 @@ def load_hits_arrays(hits, target_block, presorted: bool = False):
     if not presorted:
         order = np.lexsort((a[:, 1], a[:, 0]))  # CmpSubject (same query)
         a = a[order]
-    t_all, j_all = target_block.global_to_local(a[:, 0])
+    if presorted and a.shape[1] >= 5:
+        # pipeline pre-resolved target ids / local offsets (cols 3/4)
+        t_all, j_all = a[:, 3], a[:, 4]
+    else:
+        t_all, j_all = target_block.global_to_local(a[:, 0])
     change = np.empty(len(a), dtype=bool)
     change[0] = True
     np.not_equal(t_all[1:], t_all[:-1], out=change[1:])

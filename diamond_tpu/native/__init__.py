@@ -688,7 +688,7 @@ def seed_part_table_native(letters, shape, reduction, seedp_mask):
     if pos64 is None:
         pos64 = np.ascontiguousarray(shape.positions, dtype=np.int64)
         shape._pos64 = pos64
-    out = np.empty(len(letters), dtype=np.int32)
+    out = np.empty(len(letters), dtype=np.int16)
     l.build_seed_part_table(
         letters.ctypes.data, len(letters), pos64.ctypes.data,
         int(shape.weight), int(shape.length), reduction.map.ctypes.data,

@@ -28,7 +28,7 @@ inline uint8_t verify_one(
     int32_t shape_weight,
     const int8_t* reduction_map, int64_t reduction_size,
     int32_t chunked, int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
-    int32_t hamming_filter_id, const int32_t* part_tbl = nullptr) {
+    int32_t hamming_filter_id, const int16_t* part_tbl = nullptr) {
     uint64_t m = hit_bits;
     while (m) {
         const int bit = __builtin_ctzll(m);
@@ -135,10 +135,10 @@ extern "C" void build_seed_part_table(
     const int64_t* shape_positions, int32_t shape_weight,
     int64_t shape_length,
     const int8_t* reduction_map, int64_t reduction_size,
-    uint64_t seedp_mask, int32_t* out) {
+    uint64_t seedp_mask, int16_t* out) {
     const int64_t end = n - shape_length + 1;
     for (int64_t pos = 0; pos < n; ++pos)
-        out[pos] = INT32_MAX;
+        out[pos] = INT16_MAX;  // sentinel: no valid seed (>= any bound)
     for (int64_t pos = 0; pos < end; ++pos) {
         int64_t key = 0;
         bool good = true;
@@ -151,7 +151,7 @@ extern "C" void build_seed_part_table(
             key = key * reduction_size + reduction_map[l];
         }
         if (good)
-            out[pos] = (int32_t)(key & (int64_t)seedp_mask);
+            out[pos] = (int16_t)(key & (int64_t)seedp_mask);
     }
 }
 
@@ -170,7 +170,7 @@ inline uint8_t left_most_one(
     const uint64_t* cur_masks, int32_t cur_n,
     const uint64_t* prev_masks, int32_t prev_n,
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
-    int32_t hamming_filter_id, const int32_t* part_tbl = nullptr) {
+    int32_t hamming_filter_id, const int16_t* part_tbl = nullptr) {
     const int64_t interval_mod = seed_offset % 32;
     int64_t overhang = wl0 - interval_mod;
     if (overhang < 0)
@@ -399,7 +399,7 @@ inline uint8_t left_most_fast(
     const uint64_t* cur_masks, int32_t cur_n,
     const uint64_t* prev_masks, int32_t prev_n,
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
-    int32_t hamming_id, const int32_t* part_tbl) {
+    int32_t hamming_id, const int16_t* part_tbl) {
     const int64_t ss = sp - L.seed_off + L.d;
     const __m512i sb0 = _mm512_maskz_loadu_epi8(L.wm, s_letters + ss);
     const uint64_t dels = _mm512_cmpeq_epi8_mask(sb0, T.vdel) & L.wm;
@@ -538,7 +538,7 @@ extern "C" int64_t stage12_pipeline(
     const uint64_t* cur_masks, int32_t cur_n,
     const uint64_t* prev_masks, int32_t prev_n,
     int64_t part_lo, int64_t part_hi, uint64_t seedp_mask,
-    const int32_t* part_tbl,  // optional per-subject-position seed
+    const int16_t* part_tbl,  // optional per-subject-position seed
                               // partition table (build_seed_part_table)
     const int32_t* q_idx_tbl,  // optional pos -> query index table
     const int32_t* s_idx_tbl,  // optional pos -> subject index table

@@ -749,14 +749,21 @@ class Pipeline:
             return results
         # one global (query, subject, seed_offset) sort: per-query slices
         # arrive in load_hits order, so extension skips its per-query
-        # lexsort (ties keep emission order — lexsort is stable)
+        # lexsort (ties keep emission order — lexsort is stable); the
+        # target-id/local-offset resolution also runs once here instead
+        # of per query (columns 3/4)
         order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
         arr = arr[order]
         self.ctx.hits_presorted = True
+        tid_all, j_all = self.t.global_to_local(arr[:, 1])
+        arr5 = np.empty((len(arr), 5), dtype=np.int64)
+        arr5[:, 0:3] = arr[:, 1:4]
+        arr5[:, 3] = tid_all
+        arr5[:, 4] = j_all
         qids_u = np.unique(arr[:, 0])
         bounds = np.searchsorted(arr[:, 0],
                                  np.append(qids_u, np.iinfo(np.int64).max))
-        by_query = {int(qid): arr[bounds[k] : bounds[k + 1], 1:4]
+        by_query = {int(qid): arr5[bounds[k] : bounds[k + 1]]
                     for k, qid in enumerate(qids_u.tolist())}
         qids = sorted(by_query)
         from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
