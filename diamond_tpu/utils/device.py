@@ -64,11 +64,27 @@ def probe_default_backend(timeout_s: float | None = None) -> str:
         pass
     backend = "none"
     try:
+        # also time one trivial dispatch: a chip that answers init but
+        # takes many seconds per call is unusable (stalled tunnel) — the
+        # probe reports it as "none" so callers stay on the host path
+        code = ("import time, jax, jax.numpy as jnp; "
+                "b = jax.default_backend(); "
+                "x = jnp.zeros(8, jnp.int32); "
+                "jax.block_until_ready(x + 1); "
+                "t0 = time.perf_counter(); "
+                "jax.block_until_ready(x + 2); "
+                "print(b, time.perf_counter() - t0)")
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=timeout_s)
         if r.returncode == 0 and r.stdout.strip():
-            backend = r.stdout.strip().splitlines()[-1]
+            parts = r.stdout.strip().splitlines()[-1].split()
+            backend = parts[0]
+            lat = float(parts[1]) if len(parts) > 1 else 0.0
+            max_lat = float(os.environ.get(
+                "DIAMOND_TPU_PROBE_MAX_DISPATCH", "5.0"))
+            if backend not in ("cpu", "gpu") and lat > max_lat:
+                backend = "none"
     except Exception:
         backend = "none"
     try:

@@ -20,3 +20,19 @@ os.environ.setdefault("DIAMOND_TPU_DEVICE_DP", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def pytest_configure(config):
+    """Pin the test process to CPU when the tunneled chip is unusable.
+
+    The axon PJRT plugin selects its platform programmatically (env
+    JAX_PLATFORMS alone does not stop jax.backends() from initializing
+    it), and a stalled tunnel hangs that init for minutes — enough to
+    hang the whole suite at the first jax dispatch.  The bounded probe
+    (subprocess + timeout + disk cache) decides once: healthy chip ->
+    leave the default platform so tests/test_device.py exercises real
+    hardware; stalled/absent -> pin_cpu_platform() for this process and
+    all CLI subprocesses the golden tests spawn."""
+    from diamond_tpu.utils.device import ensure_reachable_default_platform
+
+    ensure_reachable_default_platform()

@@ -23,7 +23,23 @@ from diamond_tpu.stats.score_matrix import ScoreMatrix
 TD = "/root/reference/src/test"
 
 
+def _tpu_present():
+    """Bounded TPU presence check.  jax.devices() must NOT be called at
+    collection time: the axon plugin hijacks get_backend and initializes
+    the tunneled chip even under JAX_PLATFORMS=cpu — with a stalled
+    tunnel that hangs pytest collection forever.  The subprocess probe
+    (utils/device.py) is time-bounded and disk-cached."""
+    from diamond_tpu.utils.device import probe_default_backend
+
+    try:
+        return probe_default_backend() not in ("cpu", "gpu", "none")
+    except Exception:
+        return False
+
+
 def _tpu_device():
+    if not _tpu_present():
+        return None
     try:
         for d in jax.devices():
             if d.platform not in ("cpu", "gpu"):
@@ -88,7 +104,7 @@ def test_device_scheduler_mesh_sharded():
     _check(m, reqs, dev.run_many(reqs))
 
 
-@pytest.mark.skipif(_tpu_device() is None, reason="no TPU attached")
+@pytest.mark.skipif(not _tpu_present(), reason="no TPU attached")
 def test_device_kernel_vs_oracle_on_tpu():
     """Pallas kernel on the real chip: irregular bands/lengths vs oracle."""
     m, reqs = _random_requests(seed=11, n_queries=8, max_jobs=80)
@@ -96,7 +112,7 @@ def test_device_kernel_vs_oracle_on_tpu():
     _check(m, reqs, dev.run_many(reqs))
 
 
-@pytest.mark.skipif(_tpu_device() is None, reason="no TPU attached")
+@pytest.mark.skipif(not _tpu_present(), reason="no TPU attached")
 @pytest.mark.slow
 def test_device_golden_blastp_on_tpu():
     """Full blastp golden with the wave driver on the real chip:
@@ -150,7 +166,7 @@ def test_stage12_device_parity():
     assert (s[k] == np.minimum(sn, 255)[k]).all()
 
 
-@pytest.mark.skipif(_tpu_device() is None, reason="no TPU attached")
+@pytest.mark.skipif(not _tpu_present(), reason="no TPU attached")
 @pytest.mark.slow
 def test_stage12_device_golden_on_tpu():
     """data.faa self-search with stage-1/2 on the chip: byte-identical."""
