@@ -679,26 +679,32 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
         const int64_t pbase = j * nch;  // bit-plane words per column
         for (int c = 0; c < nch; ++c) {
             const int32_t rb = 32 * c;
-            __mmask32 m;
-            if (rb >= rhi || rb + 32 <= rlo) {
-                m = 0;
+            const bool interior = rlo <= rb && rb + 32 <= rhi && rlo < rb;
+            __mmask32 m = (__mmask32)~0u;
+            __mmask32 m_gt_lo = (__mmask32)~0u;
+            __m512i s;
+            if (interior) {  // full chunk, F not lo-zeroed: plain load
+                s = _mm512_loadu_si512(prow + off + rb);
             } else {
-                uint32_t bits = ~0u;
-                if (rlo > rb)
-                    bits &= ~0u << (rlo - rb);
-                if (rhi < rb + 32)
-                    bits &= ~0u >> (rb + 32 - rhi);
-                m = (__mmask32)bits;
+                if (rb >= rhi || rb + 32 <= rlo) {
+                    m = 0;
+                } else {
+                    uint32_t bits = ~0u;
+                    if (rlo > rb)
+                        bits &= ~0u << (rlo - rb);
+                    if (rhi < rb + 32)
+                        bits &= ~0u >> (rb + 32 - rhi);
+                    m = (__mmask32)bits;
+                }
+                // rows r <= rlo have F zeroed in the scalar engine
+                if (rlo < rb)
+                    m_gt_lo = (__mmask32)~0u;
+                else if (rlo - rb >= 31)
+                    m_gt_lo = 0;
+                else
+                    m_gt_lo = (__mmask32)(~0u << (rlo - rb + 1));
+                s = _mm512_mask_loadu_epi16(neg, m, prow + off + rb);
             }
-            // rows r <= rlo have F zeroed in the scalar engine
-            __mmask32 m_gt_lo;
-            if (rlo < rb)
-                m_gt_lo = (__mmask32)~0u;
-            else if (rlo - rb >= 31)
-                m_gt_lo = 0;
-            else
-                m_gt_lo = (__mmask32)(~0u << (rlo - rb + 1));
-            __m512i s = _mm512_mask_loadu_epi16(neg, m, prow + off + rb);
             __m512i H = _mm512_loadu_si512(Hd + rb);
             __m512i E = _mm512_loadu_si512(Ed + rb);
             __m512i cur = _mm512_adds_epi16(H, s);
@@ -719,9 +725,10 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
             __m512i F = _mm512_subs_epi16(excl,
                                           _mm512_loadu_si512(Gv + rb));
             F = _mm512_max_epi16(F, zero);
-            __m512i Fm = _mm512_maskz_mov_epi16(m_gt_lo, F);
+            __m512i Fm = interior ? F : _mm512_maskz_mov_epi16(m_gt_lo, F);
             __m512i hn = _mm512_max_epi16(cur, Fm);
-            hn = _mm512_maskz_mov_epi16(m, hn);
+            if (!interior)
+                hn = _mm512_maskz_mov_epi16(m, hn);
             _mm512_storeu_si512(Hd + rb, hn);
             colmax = _mm512_max_epi16(colmax, hn);
             // trace masks (scalar formulas, all rows of the band)
@@ -746,7 +753,8 @@ int swipe_striped16_tb(const int16_t* profT, int64_t qlen, const int8_t* t,
             ohp[pbase + c] = (uint32_t)oh_b;
             // En = max(e_next, opn) on valid rows, 0 outside (scalar)
             __m512i en = _mm512_max_epi16(e_next, opn);
-            en = _mm512_maskz_mov_epi16(m, en);
+            if (!interior)
+                en = _mm512_maskz_mov_epi16(m, en);
             _mm512_storeu_si512((void*)(Ed + rb - 1), en);
         }
         Ed[band - 1] = 0;
