@@ -821,17 +821,25 @@ def left_most_filter_native(q_letters, s_letters, q_seed_mask, reduction,
     return out.view(bool)
 
 
-def sort_kv_native(keys, vals):
+def sort_kv_native(keys, vals, inplace: bool = False):
     """Stable radix sort of (uint64 key, int64 value) pairs; returns the
-    sorted (keys, vals) copies or None."""
+    sorted (keys, vals) arrays (copies unless inplace and the inputs are
+    already contiguous with the right dtypes) or None."""
     import numpy as np
 
     l = lib()
     if l is None:
         return None
     n = len(keys)
-    k = np.ascontiguousarray(keys, dtype=np.uint64).copy()
-    v = np.ascontiguousarray(vals, dtype=np.int64).copy()
+    # ascontiguousarray returns the input unchanged when dtype/layout
+    # already match; only then does inplace avoid the defensive copy
+    k = np.ascontiguousarray(keys, dtype=np.uint64)
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    if not inplace:
+        if k is keys:
+            k = k.copy()
+        if v is vals:
+            v = v.copy()
     if n == 0:
         return k, v
     # scratch reused across calls: fresh multi-MB allocations churn this

@@ -254,11 +254,15 @@ class Pipeline:
             # query sort
             aliased = t_keys is q_keys_f
             with ptimer("seed.sort"):
-                q_keys_f, q_pos_f = stages._sorted_kv(q_keys_f, q_pos_f)
+                # the arrays are freshly built by enumeration/filters and
+                # owned by this loop: sort in place, no defensive copy
+                q_keys_f, q_pos_f = stages._sorted_kv(q_keys_f, q_pos_f,
+                                                      inplace=True)
                 if aliased:
                     t_keys, t_pos = q_keys_f, q_pos_f
                 else:
-                    t_keys, t_pos = stages._sorted_kv(t_keys, t_pos)
+                    t_keys, t_pos = stages._sorted_kv(t_keys, t_pos,
+                                                      inplace=True)
 
             # keys < 2^63, so the uint64 masks reinterpret as int64
             # without a 30MB astype copy per round

@@ -117,10 +117,10 @@ def _take_runs(first, counts, arr):
     return starts, arr[keep]
 
 
-def _sorted_kv(keys, pos):
+def _sorted_kv(keys, pos, inplace: bool = False):
     from diamond_tpu import native
 
-    r = native.sort_kv_native(keys, pos)
+    r = native.sort_kv_native(keys, pos, inplace=inplace)
     if r is not None:
         return r
     o = np.argsort(keys, kind="stable")

@@ -51,21 +51,41 @@ class GumbelParams:
     sigma: float
     tau: float
 
+    # thresholds are pure functions of the frozen fields; the scalar
+    # e-value fast path reads them ~5 times per reported hit, so they
+    # are computed once and cached (object.__setattr__ because frozen)
+    def _cache_thresholds(self):
+        object.__setattr__(self, "_ln_k", math.log(self.K))
+        object.__setattr__(self, "_vi_y_thr",
+                           max(NAT_CUTOFF * self.alpha_I / self.lam, 0.0))
+        object.__setattr__(self, "_vj_y_thr",
+                           max(NAT_CUTOFF * self.alpha_J / self.lam, 0.0))
+        object.__setattr__(self, "_c_y_thr",
+                           max(NAT_CUTOFF * self.sigma / self.lam, 0.0))
+
     @property
     def ln_k(self) -> float:
-        return math.log(self.K)
+        if not hasattr(self, "_ln_k"):
+            self._cache_thresholds()
+        return self._ln_k
 
     @property
     def vi_y_thr(self) -> float:
-        return max(NAT_CUTOFF * self.alpha_I / self.lam, 0.0)
+        if not hasattr(self, "_vi_y_thr"):
+            self._cache_thresholds()
+        return self._vi_y_thr
 
     @property
     def vj_y_thr(self) -> float:
-        return max(NAT_CUTOFF * self.alpha_J / self.lam, 0.0)
+        if not hasattr(self, "_vj_y_thr"):
+            self._cache_thresholds()
+        return self._vj_y_thr
 
     @property
     def c_y_thr(self) -> float:
-        return max(NAT_CUTOFF * self.sigma / self.lam, 0.0)
+        if not hasattr(self, "_c_y_thr"):
+            self._cache_thresholds()
+        return self._c_y_thr
 
 
 def from_standard_params(p, u, gap_open: int, gap_extend: int) -> GumbelParams:
