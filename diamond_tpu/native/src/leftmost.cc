@@ -626,6 +626,22 @@ extern "C" int64_t stage12_pipeline(
             for (int64_t si = s_start[g]; si < s_start[g + 1]; ++si) {
                 const int64_t sp = s_pos[si];
                 const int8_t* s = s_letters + sp;
+                // the pair loop is memory-latency-bound: subject windows
+                // and the partition table are random reads over tens of
+                // MB — prefetch the next subject's lines one iteration
+                // ahead (covers stage 1, left-most and verify loads)
+#if defined(__AVX512BW__)
+                if (si + 1 < s_start[g + 1]) {
+                    const int64_t spn = s_pos[si + 1];
+                    _mm_prefetch((const char*)(s_letters + spn - 16),
+                                 _MM_HINT_T0);
+                    _mm_prefetch((const char*)(s_letters + spn + 32),
+                                 _MM_HINT_T0);
+                    if (part_tbl)
+                        _mm_prefetch((const char*)(part_tbl + spn),
+                                     _MM_HINT_T0);
+                }
+#endif
                 // stage 1: fingerprint identity
 #if defined(__AVX512BW__)
                 const __m512i sv = _mm512_and_si512(
