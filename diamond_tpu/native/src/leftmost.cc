@@ -554,6 +554,16 @@ extern "C" int64_t stage12_pipeline(
             continue;
         for (int64_t qi = q_start[g]; qi < q_start[g + 1]; ++qi) {
             const int64_t qp = q_pos[qi];
+#if defined(__AVX512BW__)
+            if (qi + 1 < q_start[g + 1]) {  // next query window + masks
+                const int64_t qpn = q_pos[qi + 1];
+                _mm_prefetch((const char*)(q_letters + qpn - 16),
+                             _MM_HINT_T0);
+                _mm_prefetch((const char*)(q_letters + qpn + 32),
+                             _MM_HINT_T0);
+                _mm_prefetch((const char*)(q_seed_mask + qpn), _MM_HINT_T0);
+            }
+#endif
             // query id: O(1) table or binary search over block starts
             int64_t qidx;
             if (q_idx_tbl) {
