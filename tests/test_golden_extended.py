@@ -1,7 +1,8 @@
 """Extended golden matrix — every data.faa sensitivity/CBS configuration.
 
-Each case is a full data.faa self-search (~8-10 min on CPU), so the module
-is gated behind RUN_EXTENDED_GOLDENS=1.  All configurations below were
+Each case is a full data.faa self-search (~15 s on CPU after the round-2
+native hot paths; was ~8-10 min), gated behind RUN_EXTENDED_GOLDENS=1 so
+the default suite stays short on slow windows of this time-shared host.  All configurations below were
 verified byte-identical to the reference goldens except the documented
 2-line tie delta (see test_golden_e2e.test_blastp_more_sensitive_golden).
 
@@ -25,7 +26,7 @@ from test_golden_e2e import TD, golden, run_blastp
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("RUN_EXTENDED_GOLDENS"),
-    reason="set RUN_EXTENDED_GOLDENS=1 (each case ~8-10 min)")
+    reason="set RUN_EXTENDED_GOLDENS=1 (each case ~15 s - 2 min)")
 
 KNOWN_PAIR = {("XP_015783916.1", "XP_026225122.1"),
               ("XP_026225122.1", "XP_015783916.1")}
