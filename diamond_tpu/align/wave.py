@@ -21,7 +21,14 @@ from diamond_tpu.align.extend import (DpRequest, _run_dp_jobs,
                                       extend_query_gen)
 from diamond_tpu.ops.banded_swipe import (banded_swipe_batch_np,
                                           results_from_tb)
-from diamond_tpu.ops.swipe_device import DeviceDP, job_fits_device
+
+# ops.swipe_device pulls jax.experimental.pallas/shard_map (~1 s of
+# module compilation): import it only on the device path — host-only
+# runs never pay it
+def job_fits_device(tlen, d0, d1):
+    from diamond_tpu.ops.swipe_device import job_fits_device as f
+
+    return f(tlen, d0, d1)
 
 
 class _WaveState:
@@ -200,7 +207,7 @@ def _score_multi(items, mat, state):
     return True
 
 
-def _execute_round(reqs: dict, mat, device: DeviceDP | None,
+def _execute_round(reqs: dict, mat, device,
                    state: _WaveState):
     """Execute one round of DpRequests; returns {qid: response}."""
     responses = {}
@@ -290,7 +297,7 @@ def _execute_round(reqs: dict, mat, device: DeviceDP | None,
     return responses
 
 
-def extend_wave(ctx, by_query, qids, device: DeviceDP | None = None):
+def extend_wave(ctx, by_query, qids, device=None):
     """Extend all queries with cross-query batching: device=None runs
     everything through the cross-query native host batches (the wave
     structure amortizes per-call overhead either way).
