@@ -246,6 +246,14 @@ def lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
         cdll.sw_islands.restype = ctypes.c_int64
+        cdll.banded_3frame_forward.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.banded_3frame_forward.restype = None
         _lib = cdll
     except Exception:
         _lib = None
@@ -488,6 +496,36 @@ def sw_islands_native(q8, t8, matrix20, go: int, ge: int):
     n = l.sw_islands(q8.ctypes.data, len(q8), t8.ctypes.data, len(t8),
                      m20.ctypes.data, go, ge, out.ctypes.data, cap)
     return out[:n].copy()
+
+
+def banded_3frame_forward_native(q_frames, target, d_begin, d_end, matrix32,
+                                 go: int, ge: int, fs: int):
+    """Native 3-frame banded-SWIPE forward pass; returns
+    (S [(ncols+1), R+2] int32, best, max_col, cols_done) or None.
+    Bit-identical to the ops/swipe3.py forward recurrence."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    band = d_end - d_begin
+    i1_init = max(d_end - 1, 0)
+    j0 = i1_init - (d_end - 1)
+    R = band * 3
+    ncols = len(target) - j0
+    if ncols <= 0:
+        return None
+    qf = [np.ascontiguousarray(f, dtype=np.int8) for f in q_frames]
+    t8 = np.ascontiguousarray(target, dtype=np.int8)
+    S = np.zeros((ncols + 1, R + 2), dtype=np.int32)
+    out = np.empty(3, dtype=np.int64)
+    l.banded_3frame_forward(
+        qf[0].ctypes.data, qf[1].ctypes.data, qf[2].ctypes.data,
+        len(qf[0]), len(qf[1]), len(qf[2]),
+        t8.ctypes.data, len(t8),
+        int(d_begin), int(d_end), matrix32.ctypes.data,
+        int(go), int(ge), int(fs), S.ctypes.data, out.ctypes.data)
+    return S, int(out[0]), int(out[1]), int(out[2])
 
 
 def sorted_join_merge_native(qk, qp, sk, sp):

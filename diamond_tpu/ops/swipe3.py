@@ -23,31 +23,10 @@ import numpy as np
 NEG = -0x40000000
 
 
-def banded_3frame_swipe_np(q_frames, strand, dna_len, target, d_begin, d_end,
-                           matrix32, gap_open_total, gap_extend, frame_shift,
-                           traceback=True):
-    """One target, int32.  q_frames: 3 frame-translated arrays (this
-    strand).  d_begin/d_end: diagonal band (frame query coords - target
-    coords).  Returns SimpleNamespace(score, ...) like banded_swipe_np, or
-    None when nothing scored > 0."""
-    q = [np.asarray(f, dtype=np.int64) & 31 for f in q_frames]
-    t = np.asarray(target, dtype=np.int64) & 31
-    qlen = len(q[0])
-    qlens = [len(f) for f in q]
-    tlen = len(t)
-    m = matrix32
-    go, ge, fs = gap_open_total, gap_extend, frame_shift
-
-    band = d_end - d_begin
-    i1_init = max(d_end - 1, 0)
-    i0_init = i1_init + 1 - band
-    j0 = i1_init - (d_end - 1)
-    R = band * 3
-
-    ncols = tlen - j0
-    if ncols <= 0:
-        return None
-
+def _forward_np(q, qlens, t, qlen, tlen, m, go, ge, fs,
+                i0_init, i1_init, j0, R, ncols):
+    """Pure-Python forward recurrence (oracle twin of
+    native/src/swipe3.cc banded_3frame_forward)."""
     # S[j+1, r] = score of column j (target position j0+j) at physical row r
     S = np.zeros((ncols + 1, R + 2), dtype=np.int64)
     Hprev = np.zeros(R + 4, dtype=np.int64)
@@ -100,6 +79,44 @@ def banded_3frame_swipe_np(q_frames, strand, dna_len, target, d_begin, d_end,
         i0 += 1
         i1 += 1
         cols_done = j + 1
+    return S, best, max_col, cols_done
+
+
+def banded_3frame_swipe_np(q_frames, strand, dna_len, target, d_begin, d_end,
+                           matrix32, gap_open_total, gap_extend, frame_shift,
+                           traceback=True):
+    """One target, int32.  q_frames: 3 frame-translated arrays (this
+    strand).  d_begin/d_end: diagonal band (frame query coords - target
+    coords).  Returns SimpleNamespace(score, ...) like banded_swipe_np, or
+    None when nothing scored > 0."""
+    q = [np.asarray(f, dtype=np.int64) & 31 for f in q_frames]
+    t = np.asarray(target, dtype=np.int64) & 31
+    qlen = len(q[0])
+    qlens = [len(f) for f in q]
+    tlen = len(t)
+    m = matrix32
+    go, ge, fs = gap_open_total, gap_extend, frame_shift
+
+    band = d_end - d_begin
+    i1_init = max(d_end - 1, 0)
+    i0_init = i1_init + 1 - band
+    j0 = i1_init - (d_end - 1)
+    R = band * 3
+
+    ncols = tlen - j0
+    if ncols <= 0:
+        return None
+
+    from diamond_tpu import native
+    fwd = native.banded_3frame_forward_native(
+        q_frames, target, d_begin, d_end,
+        np.ascontiguousarray(m, dtype=np.int32), go, ge, fs)
+    if fwd is not None:
+        S, best, max_col, cols_done = fwd
+    else:
+        S, best, max_col, cols_done = _forward_np(
+            q, qlens, t, qlen, tlen, m, go, ge, fs,
+            i0_init, i1_init, j0, R, ncols)
 
     if best <= 0:
         return None

@@ -343,3 +343,41 @@ def test_hauser_bias_native_parity():
         got = native.hauser_bias_native(letters, m.matrix32,
                                         m.background_scores)
         assert np.array_equal(ref, got), L
+
+
+def test_3frame_forward_bit_identical():
+    """Native 3-frame forward pass vs the Python recurrence: identical
+    S matrix / best / max_col / cols_done on random frames and bands."""
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    from diamond_tpu.ops import swipe3
+
+    mat = ScoreMatrix("BLOSUM62")
+    m32 = np.ascontiguousarray(mat.matrix32, dtype=np.int32)
+    go, ge, fs = 12, 1, 15
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        dna_len = int(rng.integers(30, 400))
+        qlens = [(dna_len - f) // 3 for f in range(3)]
+        q_frames = [rng.integers(0, 24, n).astype(np.int8) for n in qlens]
+        tlen = int(rng.integers(10, 300))
+        target = rng.integers(0, 24, tlen).astype(np.int8)
+        d_begin = int(rng.integers(-(tlen - 1), max(qlens[0] - 1, 1)))
+        band = int(rng.integers(3, 64))
+        d_end = d_begin + band
+        i1_init = max(d_end - 1, 0)
+        j0 = i1_init - (d_end - 1)
+        ncols = tlen - j0
+        if ncols <= 0:
+            continue
+        q = [f.astype(np.int64) & 31 for f in q_frames]
+        t = target.astype(np.int64) & 31
+        S_py, best_py, mc_py, cd_py = swipe3._forward_np(
+            q, qlens, t, qlens[0], tlen, m32, go, ge, fs,
+            i1_init + 1 - band, i1_init, j0, band * 3, ncols)
+        got = native.banded_3frame_forward_native(
+            q_frames, target, d_begin, d_end, m32, go, ge, fs)
+        assert got is not None
+        S_c, best_c, mc_c, cd_c = got
+        assert (best_c, mc_c, cd_c) == (best_py, mc_py, cd_py), trial
+        assert np.array_equal(S_c, S_py.astype(np.int32)), trial
