@@ -1,573 +1,534 @@
-"""Greedy diagonal-graph chaining — faithful port of the reference
-Chaining::Aligner (reference src/chaining/greedy_align.cpp,
-backtrace.cpp, diag_graph.h).
+"""Band-selection chaining over an anchor relay graph.
 
-Diagonal segments become graph nodes; gap edges between nodes carry
-link scores computed from the actual letters (get_hgap_link /
-get_vgap_link, greedy_align.cpp:150-215), a windowed forward pass adds
-approximate links (greedy_align.cpp:221-360), and the backtrace walks
-best prefix scores into ApproxHsps whose d_min/d_max drive the banded-DP
-band geometry (backtrace.cpp:70-360).  Defaults mirror the reference
-config: SPACE_PENALTY 0.1, cutoff 19, max_shift = chaining-maxgap 2000,
-chaining-range-cover 8, chaining-stacked-hsp-ratio 0.5.
+Chooses the diagonal band(s) the banded-DP extension stage explores.
+Ungapped anchor segments become graph vertices; a greedy sweep links each
+anchor to the best-scoring predecessor chain through "relays" (scored
+gap crossings), and a harvest walk turns the top chains into ApproxHsps
+whose d_min/d_max set the DP band geometry.
 
-The previous pairwise merge approximation missed chains that cross
-distant diagonals (narrowing the DP band); this port reproduces the
-reference band selection exactly.
+Decision-compatible with the reference chainer (reference
+src/chaining/greedy_align.cpp:56-497, diag_graph.h, backtrace.cpp — the
+same scores and tie-breaks, because the band choice feeds goldens that
+are byte-pinned) but expressed in this repo's own form: the crossover
+placement between two anchors is an argmax over vectorized prefix sums
+instead of a scalar sweep, relays live in per-anchor lists instead of a
+shifted global arena, and the harvest is an explicit two-phase loop
+rather than recursion.  Tunables mirror the reference defaults: space
+penalty 0.1, chain cutoff 19, band shift cap (--chaining-maxgap) 2000,
+range cover 8, stacked-HSP ratio 0.5.
 """
 from __future__ import annotations
 
 from bisect import bisect_left, insort
 
-from diamond_tpu.align.chain import ApproxHsp, DiagSegment
+import numpy as np
 
-SPACE_PENALTY = 0.1
-LINK_PADDING = 10
-REVERSE_LINK_MIN_OVERHANG = 10
-RANGE_COVER = 8
-STACKED_HSP_RATIO = 0.5
-INT_MIN = -(2 ** 62)
-INT_MAX = 2 ** 62
+from diamond_tpu.align.chain import ApproxHsp
 
-
-class _Node:
-    __slots__ = ("i", "j", "len", "score", "link_idx", "prefix_score",
-                 "path_max", "path_min")
-
-    def __init__(self, seg: DiagSegment):
-        self.i = seg.i
-        self.j = seg.j
-        self.len = seg.len
-        self.score = seg.score
-        self.link_idx = -1
-        self.prefix_score = seg.score
-        self.path_max = seg.score
-        self.path_min = seg.score
-
-    @property
-    def diag(self):
-        return self.i - self.j
-
-    @property
-    def query_end(self):
-        return self.i + self.len
-
-    @property
-    def subject_end(self):
-        return self.j + self.len
-
-    @property
-    def subject_last(self):
-        return self.j + self.len - 1
-
-    def rel_score(self):
-        return (self.prefix_score if self.prefix_score == self.path_max
-                else self.prefix_score - self.path_min)
+DRIFT_COST = 0.1          # per-letter penalty for unaligned span
+CROSS_PAD = 10            # columns scanned around the crossover point
+MIN_BACKLINK_HANG = 10    # subject overhang required for a reverse relay
+COVER_CAP = 8             # max dominating anchors before one is dropped
+STACK_RATIO = 0.5         # stacked-HSP admission ratio in the harvest
+CHAIN_CUTOFF = 19
+BAND_SHIFT_CAP = 2000
+NEG_INF = -(2 ** 62)
+POS_INF = 2 ** 62
 
 
-class _Edge:
-    __slots__ = ("prefix_score", "path_max", "j", "path_min",
-                 "prefix_score_begin", "node_in", "node_out")
+class _Anchor:
+    """One maximal ungapped run: query/subject start, length, score, plus
+    the chain state accumulated by the sweep (best carry into this anchor
+    and the peak/floor of that chain's running score)."""
 
-    def __init__(self, prefix_score, path_max, j, node_in, node_out,
-                 path_min, prefix_score_begin):
-        self.prefix_score = prefix_score
-        self.path_max = path_max
-        self.j = j
-        self.path_min = path_min
-        self.prefix_score_begin = prefix_score_begin
-        self.node_in = node_in
-        self.node_out = node_out
+    __slots__ = ("qa", "sa", "n", "score", "carry", "crest", "trough",
+                 "relays")
 
-
-class _Link:
-    __slots__ = ("subject_pos1", "query_pos1", "subject_pos2", "query_pos2",
-                 "score1", "score2")
-
-    def __init__(self):
-        self.subject_pos1 = -1
-        self.query_pos1 = 0
-        self.subject_pos2 = 0
-        self.query_pos2 = 0
-        self.score1 = 0
-        self.score2 = 0
-
-    def transpose(self):
-        self.subject_pos1, self.query_pos1 = self.query_pos1, self.subject_pos1
-        self.subject_pos2, self.query_pos2 = self.query_pos2, self.subject_pos2
-
-    def reset(self):
-        self.subject_pos1 = -1
-        self.score1 = 0
-        self.score2 = 0
-
-
-def _score_range(matrix32, query, subject, i, j, j_end):
-    s = 0
-    while j < j_end:
-        s += int(matrix32[int(query[i]) & 31, int(subject[j]) & 31])
-        i += 1
-        j += 1
-    return s
-
-
-class _Seg:
-    """Minimal (i, j, len, score) view used by the link routines (a
-    DiagonalSegment that can be transposed)."""
-
-    __slots__ = ("i", "j", "len", "score")
-
-    def __init__(self, i, j, ln, score):
-        self.i = i
-        self.j = j
-        self.len = ln
+    def __init__(self, qa, sa, n, score):
+        self.qa = qa
+        self.sa = sa
+        self.n = n
         self.score = score
+        self.carry = score
+        self.crest = score
+        self.trough = score
+        self.relays = []
 
     @property
-    def diag(self):
-        return self.i - self.j
+    def dg(self):
+        return self.qa - self.sa
 
     @property
-    def query_end(self):
-        return self.i + self.len
+    def qe(self):
+        return self.qa + self.n
 
     @property
-    def subject_end(self):
-        return self.j + self.len
+    def se(self):
+        return self.sa + self.n
 
-    @property
-    def subject_last(self):
-        return self.j + self.len - 1
+    def peak_gain(self):
+        """Chain value used to rank harvest starts: the full carry when
+        the chain never dipped, otherwise carry above its floor."""
+        return (self.carry if self.carry == self.crest
+                else self.carry - self.trough)
 
-    def transpose(self):
-        return _Seg(self.j, self.i, self.len, self.score)
+
+class _Relay:
+    """A scored crossing from an anchor back to a predecessor chain."""
+
+    __slots__ = ("carry", "crest", "trough", "carry0", "cut", "prev")
+
+    def __init__(self, carry, crest, trough, carry0, cut, prev):
+        self.carry = carry          # chain score through this relay
+        self.crest = crest          # running-score peak along the chain
+        self.trough = trough        # running-score floor
+        self.carry0 = carry0        # chain score just before this anchor
+        self.cut = cut              # subject column where the chain enters
+        self.prev = prev            # predecessor anchor index
 
 
-def _get_hgap_link(d1, d2, query, subject, link, padding, matrix32):
-    """reference greedy_align.cpp:150-200."""
-    d = d1.diag - d2.diag
-    j2_end = min(max(d2.j, d1.subject_last + d + 1 + padding),
-                 d2.subject_last)
-    if d1.subject_last < d2.j - d - 1:
-        j1 = d1.subject_last
-        space = True
+class _Handoff:
+    """Crossover placement between two anchors on different diagonals:
+    where the chain leaves the predecessor (uq/us) and enters the current
+    anchor (dq/ds), and how much of each anchor's score survives."""
+
+    __slots__ = ("total", "uq", "us", "dq", "ds", "keep_up", "keep_dn")
+
+
+def _pair_score(m, q, s, i, j, n):
+    """Substitution score of n aligned letter pairs starting at (i, j);
+    0 when n <= 0."""
+    if n <= 0:
+        return 0
+    return int(m[q[i : i + n] & 31, s[j : j + n] & 31].sum())
+
+
+def _crossover(m, q, s, ui, uj, un, uscore, di, dj, dn, dscore):
+    """Best switch column between predecessor anchor u (higher diagonal)
+    and current anchor d.  The chain follows u's diagonal to some column,
+    jumps, and continues on d's diagonal; every admissible split inside
+    the scan window is scored at once (prefix sums + argmax; ties go to
+    the earliest split, matching the reference's strict-improvement
+    sweep).  Returns a _Handoff or None when no split exists."""
+    gap = (ui - uj) - (di - dj)
+    u_last = uj + un - 1
+    d_last = dj + dn - 1
+    scan_last = min(max(dj, u_last + gap + 1 + CROSS_PAD), d_last)
+    if u_last < dj - gap - 1:
+        ja, spaced = u_last, True
     else:
-        j1 = max(d2.j - d - 1 - padding, d1.j)
-        space = False
-    j2 = j1 + d + 1
-    i1 = d1.i + (j1 - d1.j)
-    i2 = i1 + 1
-    if j2 > d2.subject_last:
-        link.reset()
-        return INT_MIN
-    score1 = 0
-    score2 = (_score_range(matrix32, query, subject, i2, j2, d2.j) + d2.score
-              - _score_range(matrix32, query, subject, d2.i, d2.j, j2))
-    max_score = INT_MIN
-    while True:
-        if score1 + score2 > max_score:
-            max_score = score1 + score2
-            link.query_pos1 = i1
-            link.subject_pos1 = j1
-            link.query_pos2 = i2
-            link.subject_pos2 = j2
-            link.score1 = score1
-            link.score2 = score2
-        score2 -= int(matrix32[int(query[i2]) & 31, int(subject[j2]) & 31])
-        i1 += 1
-        i2 += 1
-        j1 += 1
-        j2 += 1
-        if j2 > j2_end:
-            break
-        score1 += int(matrix32[int(query[i1]) & 31, int(subject[j1]) & 31])
-    j1_end = j2_end - d
-    if space:
-        link.score1 += d1.score
+        ja, spaced = max(dj - gap - 1 - CROSS_PAD, uj), False
+    jb = ja + gap + 1
+    if jb > d_last:
+        return None
+    ia = ui + (ja - uj)
+
+    # score of d's run kept when entering at column jb (head extends the
+    # run leftward to jb when jb < dj; tail clips it when jb > dj)
+    keep_dn0 = (_pair_score(m, q, s, ia + 1, jb, dj - jb) + dscore
+                - _pair_score(m, q, s, di, dj, jb - dj))
+
+    steps = max(0, scan_last - jb)
+    if steps:
+        # both running sums consume the same query letters (the exit row
+        # advances in lockstep with the entry row, one diagonal apart)
+        qrow = q[ia + 1 : ia + 1 + steps] & 31
+        gain_up = np.cumsum(m[qrow, s[ja + 1 : ja + 1 + steps] & 31])
+        lose_dn = np.cumsum(m[qrow, s[jb : jb + steps] & 31])
+        split = np.empty(steps + 1, dtype=np.int64)
+        split[0] = keep_dn0
+        split[1:] = keep_dn0 + gain_up - lose_dn
+        k = int(np.argmax(split))
+        total = int(split[k])
+        up_at_k = int(gain_up[k - 1]) if k else 0
+        dn_at_k = keep_dn0 - (int(lose_dn[k - 1]) if k else 0)
+        up_final = int(gain_up[-1])
     else:
-        link.score1 += (d1.score
-                        - _score_range(matrix32, query, subject,
-                                       d1.diag + j1_end, j1_end,
-                                       d1.subject_end)
-                        + _score_range(matrix32, query, subject,
-                                       d1.query_end, d1.subject_end, j1_end)
-                        - score1)
-    return max_score
+        k = 0
+        total = keep_dn0
+        up_at_k = 0
+        dn_at_k = keep_dn0
+        up_final = 0
+
+    h = _Handoff()
+    h.total = total
+    h.uq, h.us = ia + k, ja + k
+    h.dq, h.ds = ia + 1 + k, jb + k
+    h.keep_dn = dn_at_k
+
+    # score of u's run kept up to the exit: when the anchors are disjoint
+    # in subject the whole run survives; otherwise clip/extend u's run at
+    # the scan end and subtract the swept gains (they were already counted
+    # into the split)
+    keep_up = up_at_k
+    if spaced:
+        keep_up += uscore
+    else:
+        j_exit = scan_last - gap
+        use = uj + un
+        keep_up += (uscore
+                    - _pair_score(m, q, s, (ui - uj) + j_exit, j_exit,
+                                  use - j_exit)
+                    + _pair_score(m, q, s, ui + un, use, j_exit - use)
+                    - up_final)
+    h.keep_up = keep_up
+    return h
 
 
-def _get_link(d1, d2, query, subject, link, padding, matrix32):
-    if d1.diag < d2.diag:
-        s = _get_hgap_link(d1.transpose(), d2.transpose(), subject, query,
-                           link, padding, matrix32)
-        link.transpose()
-        return s
-    return _get_hgap_link(d1, d2, query, subject, link, padding, matrix32)
+def _place_handoff(m, q, s, prev, cur):
+    """Crossover between predecessor and current anchors; when the chain
+    moves to a HIGHER diagonal the roles of query and subject swap (the
+    jump is then horizontal in the transposed matrix)."""
+    if prev.dg < cur.dg:
+        h = _crossover(m, s, q, prev.sa, prev.qa, prev.n, prev.score,
+                       cur.sa, cur.qa, cur.n, cur.score)
+        if h is not None:
+            h.uq, h.us = h.us, h.uq
+            h.dq, h.ds = h.ds, h.dq
+        return h
+    return _crossover(m, q, s, prev.qa, prev.sa, prev.n, prev.score,
+                      cur.qa, cur.sa, cur.n, cur.score)
 
 
-class Graph:
-    """DiagGraph (reference diag_graph.h)."""
-
-    def __init__(self):
-        self.nodes: list[_Node] = []
-        self.edges: list[_Edge] = []
-
-    def load(self, segments):
-        """Segments sorted by (diag, j); one node per diagonal run start
-        (reference greedy_align.cpp:56-70)."""
-        d = INT_MIN
-        max_j_end = INT_MIN
-        for s in segments:
-            d2 = s.diag
-            if d2 != d:
-                d = d2
-                self.nodes.append(_Node(s))
-                max_j_end = self.nodes[-1].subject_end
-            elif max_j_end < s.j:
-                self.nodes.append(_Node(s))
-                max_j_end = max(max_j_end, self.nodes[-1].subject_end)
-
-    def sort(self):
-        self.nodes.sort(key=lambda n: (n.j, n.i))
-
-    def prune(self):
-        """reference greedy_align.cpp:100-122 (chaining-range-cover 8)."""
-        finished = []
-        window = []
-        for d in self.nodes:
-            n = 0
-            w2 = []
-            for e in window:
-                if e.subject_end > d.j:
-                    if (e.score >= d.score and e.j <= d.j
-                            and e.subject_end >= d.subject_end):
-                        n += 1
-                    w2.append(e)
-                else:
-                    finished.append(e)
-            window = w2
-            if n <= RANGE_COVER:
-                window.append(d)
-        finished.extend(window)
-        self.nodes = finished
-
-    def init_node(self, node):
-        self.nodes[node].link_idx = len(self.edges)
-
-    def add_edge(self, edge: _Edge):
-        """reference diag_graph.h:133-148."""
-        for j in range(edge.node_in + 1, len(self.nodes)):
-            if self.nodes[j].link_idx == -1:
-                break
-            self.nodes[j].link_idx += 1
-        d = self.nodes[edge.node_in]
-        if edge.prefix_score > d.prefix_score:
-            d.prefix_score = edge.prefix_score
-            d.path_max = edge.path_max
-            d.path_min = edge.path_min
-        self.edges.insert(d.link_idx, edge)
-        d.link_idx += 1
-
-    def get_edge(self, node, j):
-        """Best edge of `node` ending before subject pos j; None if the
-        node's own score wins (reference diag_graph.h:150-171)."""
-        d = self.nodes[node]
-        if d.score == 0:
-            return self.edges[d.link_idx - 1]
-        if not self.edges:
-            return None
-        max_score = d.score
-        max_i = -1
-        i = d.link_idx - 1
-        while i >= 0 and self.edges[i].node_in == node:
-            if self.edges[i].j < j and self.edges[i].prefix_score > max_score:
-                max_i = i
-                max_score = self.edges[i].prefix_score
-            i -= 1
-        return self.edges[max_i] if max_i >= 0 else None
-
-    def prefix_score(self, node, j):
-        """(prefix_score, path_max, path_min) at subject pos j
-        (reference diag_graph.h:173-179)."""
-        e = self.get_edge(node, j)
-        n = self.nodes[node]
-        if e is None:
-            return n.score, n.score, n.score
-        return (max(n.score, e.prefix_score), max(n.score, e.path_max),
-                e.path_min)
-
-
-class Aligner:
+class _Chainer:
     def __init__(self, query, subject, matrix32, gap_open, gap_extend,
-                 query_len=None, subject_len=None):
-        """query/subject: padded letter views; gap_open EXCLUDES the first
-        extension (reference score_matrix.gap_open()).  query_len/
-        subject_len: true sequence lengths (the views are padded)."""
-        self.query = query
-        self.subject = subject
-        self.matrix32 = matrix32
+                 query_len, subject_len):
+        self.q = query
+        self.s = subject
+        self.m = matrix32
         self.gap_open = gap_open
         self.gap_extend = gap_extend
-        self.query_len = len(query) if query_len is None else query_len
-        self.subject_len = (len(subject) if subject_len is None
-                            else subject_len)
-        self.diags = Graph()
+        self.query_len = query_len
+        self.subject_len = subject_len
+        self.anchors: list[_Anchor] = []
 
-    # -- forward pass ----------------------------------------------------
-    def get_approximate_link(self, d_idx, e_idx, space_penalty):
-        """reference greedy_align.cpp:221-275."""
-        diags = self.diags
-        d = diags.nodes[d_idx]
-        e = diags.nodes[e_idx]
-        shift = d.diag - e.diag
-        gap_score = (-self.gap_open - abs(shift) * self.gap_extend
-                     if shift != 0 else 0)
-        space = d.j - e.subject_end if shift > 0 else d.i - e.query_end
-        prefix_score = 0
-        path_max = path_min = prefix_score_begin = 0
-        link_j = 0
-        if space <= 0 or space_penalty == 0.0:
-            edge = diags.get_edge(d_idx, d.j)
-            if (edge is not None
-                    and edge.prefix_score > e.prefix_score + gap_score
-                    + d.score):
+    # -- relay bookkeeping ------------------------------------------------
+
+    def _best_relay(self, a: _Anchor, s_cap: int):
+        """Highest-carry relay of `a` whose cut lies before subject column
+        s_cap; None when the anchor's own score wins.  Newest relay wins
+        carry ties (reverse scan with strict improvement).  A zero-score
+        anchor degenerately yields its newest relay (decision parity with
+        the reference's unguarded lookup)."""
+        if a.score == 0:
+            return a.relays[-1] if a.relays else None
+        best = None
+        bar = a.score
+        for r in reversed(a.relays):
+            if r.cut < s_cap and r.carry > bar:
+                best, bar = r, r.carry
+        return best
+
+    def _carry_at(self, a: _Anchor, s_cap: int):
+        """(carry, crest, trough) of the best chain into `a` restricted to
+        relays cut before s_cap."""
+        r = self._best_relay(a, s_cap)
+        if r is None:
+            return a.score, a.score, a.score
+        return (max(a.score, r.carry), max(a.score, r.crest), r.trough)
+
+    def _add_relay(self, cur_idx: int, relay: _Relay):
+        a = self.anchors[cur_idx]
+        if relay.carry > a.carry:
+            a.carry = relay.carry
+            a.crest = relay.crest
+            a.trough = relay.trough
+        a.relays.append(relay)
+
+    # -- sweep ------------------------------------------------------------
+
+    def _try_relay(self, cur_idx: int, prev_idx: int, drift_cost: float):
+        """Score a relay from chain-so-far at `prev` into `cur`; record it
+        when it beats every existing relay of `cur` and the anchor's own
+        score.  Returns the candidate carry (0 = rejected early)."""
+        cur = self.anchors[cur_idx]
+        prev = self.anchors[prev_idx]
+        slide = cur.dg - prev.dg
+        bend = (-self.gap_open - abs(slide) * self.gap_extend
+                if slide != 0 else 0)
+        span = cur.sa - prev.se if slide > 0 else cur.qa - prev.qe
+        carry_new = 0
+        crest = trough = carry0 = 0
+        cut = 0
+        if span <= 0 or drift_cost == 0.0:
+            held = self._best_relay(cur, cur.sa)
+            if (held is not None
+                    and held.carry > prev.carry + bend + cur.score):
                 return 0
-            link = _Link()
-            if _get_link(_Seg(e.i, e.j, e.len, e.score),
-                         _Seg(d.i, d.j, d.len, d.score), self.query,
-                         self.subject, link, LINK_PADDING,
-                         self.matrix32) > 0:
-                diff1 = e.score - link.score1
-                prefix_e, path_max, path_min = diags.prefix_score(
-                    e_idx, link.subject_pos1)
-                prefix_score = prefix_e - diff1 + gap_score + link.score2
-                edge = diags.get_edge(d_idx, link.subject_pos2)
-                if edge is not None and edge.prefix_score > prefix_score:
+            h = _place_handoff(self.m, self.q, self.s, prev, cur)
+            if h is not None and h.total > 0:
+                lost_up = prev.score - h.keep_up
+                carry_prev, crest, trough = self._carry_at(prev, h.us)
+                carry_new = carry_prev - lost_up + bend + h.keep_dn
+                held = self._best_relay(cur, h.ds)
+                if held is not None and held.carry > carry_new:
                     return 0
-                prefix_score_begin = prefix_score - link.score2
-                path_min = min(path_min, prefix_score - link.score2)
-                if prefix_e == path_max:
-                    path_max -= diff1
-                link_j = link.subject_pos2
+                carry0 = carry_new - h.keep_dn
+                trough = min(trough, carry0)
+                if carry_prev == crest:
+                    crest -= lost_up
+                cut = h.ds
         else:
-            prefix_score = (e.prefix_score + gap_score
-                            - int(space_penalty * max(space - 1, 0))
-                            + d.score)
-            edge = diags.get_edge(d_idx, d.j)
-            if edge is not None and edge.prefix_score > prefix_score:
+            carry_new = (prev.carry + bend
+                         - int(drift_cost * max(span - 1, 0)) + cur.score)
+            held = self._best_relay(cur, cur.sa)
+            if held is not None and held.carry > carry_new:
                 return 0
-            prefix_score_begin = prefix_score - d.score
-            path_max = e.path_max
-            path_min = min(e.path_min, prefix_score - d.score)
-            link_j = d.j
+            carry0 = carry_new - cur.score
+            crest = prev.crest
+            trough = min(prev.trough, carry0)
+            cut = cur.sa
 
-        if prefix_score > d.score:
-            path_max = max(path_max, prefix_score)
-            diags.add_edge(_Edge(
-                prefix_score, path_max, link_j, d_idx, e_idx,
-                prefix_score if prefix_score == path_max else path_min,
-                prefix_score_begin))
-        return prefix_score
+        if carry_new > cur.score:
+            crest = max(crest, carry_new)
+            self._add_relay(cur_idx, _Relay(
+                carry_new, crest,
+                carry_new if carry_new == crest else trough,
+                carry0, cut, prev_idx))
+        return carry_new
 
-    def forward_pass(self, space_penalty):
-        """reference greedy_align.cpp:277-360.  window: ordered map
-        diag -> node, kept as a sorted key list + dict."""
-        diags = self.diags
-        keys: list[int] = []
-        vals: dict[int, int] = {}
-        for node in range(len(diags.nodes)):
-            diags.init_node(node)
-            d = diags.nodes[node]
-            dd = d.diag
-            if dd not in vals:
-                insort(keys, dd)
-                vals[dd] = node
-            i_idx = bisect_left(keys, dd)
+    def _stale(self, e: _Anchor, cur: _Anchor, drift_cost: float) -> bool:
+        """Frontier eviction: the chain at `e` cannot reach `cur` with
+        positive score once the drift cost of the subject span is paid."""
+        return (e.carry
+                - int(drift_cost * max(cur.sa - e.se, 0))) <= 0
 
-            # downward loop (smaller diagonals)
-            j = i_idx
-            max_j = 0
-            if i_idx > 0:
-                while True:
-                    j -= 1
-                    de = keys[j]
-                    e_node = vals[de]
-                    e = diags.nodes[e_node]
-                    if (e.prefix_score
-                            - int(space_penalty
-                                  * max(d.j - e.subject_end, 0))) <= 0:
-                        del keys[j]
-                        del vals[de]
-                        i_idx -= 1
-                        if j == 0:
-                            break
-                        continue
-                    if e.subject_end < max_j:
-                        if j == 0:
-                            break
-                        continue
-                    self.get_approximate_link(node, e_node, space_penalty)
-                    max_j = max(max_j, min(d.j, e.subject_end))
-                    if (e.subject_end - (d.subject_end
-                                         - min(e.diag - d.diag, 0))
-                            >= REVERSE_LINK_MIN_OVERHANG):
-                        self.get_approximate_link(e_node, node, space_penalty)
-                    if j == 0:
-                        break
+    def sweep(self, drift_cost: float):
+        """One pass over anchors in (subject, query) order; the frontier
+        maps each diagonal to its latest anchor.  For every anchor, walk
+        the frontier outward on both sides — evicting stale chains,
+        skipping anchors shadowed by a nearer one — and try relays in both
+        directions."""
+        frontier: list[int] = []       # sorted diagonals
+        latest: dict[int, int] = {}    # diagonal -> newest anchor index
+        for cur_idx, cur in enumerate(self.anchors):
+            dg = cur.dg
+            if dg not in latest:
+                insort(frontier, dg)
+                latest[dg] = cur_idx
+            at = bisect_left(frontier, dg)
 
-            # upward loop (larger diagonals)
-            j = i_idx
-            if j < len(keys) and vals[keys[j]] == node:
-                j += 1
-            max_i = 0
-            while j < len(keys):
-                de = keys[j]
-                e_node = vals[de]
-                e = diags.nodes[e_node]
-                if (e.prefix_score
-                        - int(space_penalty
-                              * max(d.j - e.subject_end, 0))) <= 0 \
-                        and de != dd:
-                    del keys[j]
-                    del vals[de]
+            # lower diagonals: nearest first, shadowed by subject extent
+            k = at
+            shadow_s = 0
+            while k > 0:
+                k -= 1
+                e_dg = frontier[k]
+                e_idx = latest[e_dg]
+                e = self.anchors[e_idx]
+                if self._stale(e, cur, drift_cost):
+                    del frontier[k]
+                    del latest[e_dg]
+                    at -= 1
                     continue
-                if e.query_end < max_i:
-                    j += 1
+                if e.se < shadow_s:
                     continue
-                self.get_approximate_link(node, e_node, space_penalty)
-                if e.i < d.i:
-                    max_i = max(max_i, min(e.query_end, d.i))
-                if (e.subject_end - (d.subject_end
-                                     - min(e.diag - d.diag, 0))
-                        >= REVERSE_LINK_MIN_OVERHANG):
-                    self.get_approximate_link(e_node, node, space_penalty)
-                j += 1
-            vals[dd] = node
+                self._try_relay(cur_idx, e_idx, drift_cost)
+                shadow_s = max(shadow_s, min(cur.sa, e.se))
+                if (e.se - (cur.se - min(e.dg - cur.dg, 0))
+                        >= MIN_BACKLINK_HANG):
+                    self._try_relay(e_idx, cur_idx, drift_cost)
 
-    # -- backtrace -------------------------------------------------------
-    def _backtrace_old(self, node, j_end, t, score_max, score_min,
-                       max_shift, next_holder):
-        """reference backtrace.cpp:70-164 (no transcript output)."""
-        diags = self.diags
-        d = diags.nodes[node]
-        f = diags.get_edge(node, j_end)
-        at_end = f is None
-        prefix_score = d.score if at_end else f.prefix_score
-        if prefix_score > score_max:
-            return False
-        score_min = min(score_min, 0 if at_end else f.prefix_score_begin)
-        if not at_end:
-            e = diags.nodes[f.node_out]
-            shift = d.diag - e.diag
-            j = f.j
-            if abs(shift) <= max_shift:
-                bt = self._backtrace_old(f.node_out,
-                                         j if shift > 0 else j + shift, t,
-                                         score_max, score_min, max_shift,
-                                         next_holder)
-                if not bt:
-                    if f.prefix_score_begin > score_min:
-                        return False
-                    at_end = True
-            else:
-                next_holder[0] = f.node_out
-                at_end = True
-        if at_end:
-            t.query_begin = d.i
-            t.subject_begin = d.j
-            t.score = score_max - score_min
-        dd = d.diag
-        t.d_max = max(t.d_max, dd)
-        t.d_min = min(t.d_min, dd)
-        return True
+            # higher diagonals: nearest first, shadowed by query extent
+            k = at
+            if k < len(frontier) and latest[frontier[k]] == cur_idx:
+                k += 1
+            shadow_q = 0
+            while k < len(frontier):
+                e_dg = frontier[k]
+                e_idx = latest[e_dg]
+                e = self.anchors[e_idx]
+                if self._stale(e, cur, drift_cost) and e_dg != dg:
+                    del frontier[k]
+                    del latest[e_dg]
+                    continue
+                if e.qe < shadow_q:
+                    k += 1
+                    continue
+                self._try_relay(cur_idx, e_idx, drift_cost)
+                if e.qa < cur.qa:
+                    shadow_q = max(shadow_q, min(e.qe, cur.qa))
+                if (e.se - (cur.se - min(e.dg - cur.dg, 0))
+                        >= MIN_BACKLINK_HANG):
+                    self._try_relay(e_idx, cur_idx, drift_cost)
+                k += 1
+            latest[dg] = cur_idx
 
-    def _backtrace_one(self, top_node, max_shift, max_j):
-        """reference backtrace.cpp:272-295; returns (t, next)."""
-        t = ApproxHsp(d_min=INT_MAX, d_max=INT_MIN, score=0, query_begin=0,
-                      query_end=0, subject_begin=0, subject_end=0)
-        next_holder = [None]
-        d = self.diags.nodes[top_node]
-        t.subject_end = d.subject_end
-        t.query_end = d.query_end
-        self._backtrace_old(top_node, min(d.subject_end, max_j), t,
-                            d.prefix_score, d.prefix_score, max_shift,
-                            next_holder)
-        return t, next_holder[0]
+    # -- harvest ----------------------------------------------------------
 
-    def _disjoint(self, ts, t_begin, qr, sr, score, cutoff):
-        """reference backtrace.cpp:37-68 (both overloads share this)."""
-        for h in ts[t_begin:]:
-            lt = sr[1] - sr[0]
+    def _walk_chain(self, head: int, s_limit: int, shift_cap: int):
+        """Follow the best-relay chain from `head` downward and emit one
+        ApproxHsp.  Two phases: descend while each relay improves on the
+        running ceiling, then settle on the terminal anchor (natural chain
+        start, a relay whose band shift exceeds the cap — which yields the
+        next head — or the deepest frame whose pre-anchor carry stays at
+        the chain floor).  Returns (hsp, next_head or None)."""
+        anchors = self.anchors
+        top = anchors[head]
+        t = ApproxHsp(d_min=POS_INF, d_max=NEG_INF, score=0, query_begin=0,
+                      query_end=top.qe, subject_begin=0, subject_end=top.se)
+        ceiling = top.carry
+        floor = ceiling
+        next_head = None
+
+        trail: list[tuple[int, _Relay, int]] = []   # (anchor, relay, floor)
+        node = head
+        s_cap = min(top.se, s_limit)
+        terminal = None
+        term_floor = 0
+        while True:
+            a = anchors[node]
+            r = self._best_relay(a, s_cap)
+            if r is None:
+                if a.score > ceiling:
+                    break                      # dead walk: unwind below
+                floor = min(floor, 0)
+                terminal, term_floor = node, floor
+                break
+            if r.carry > ceiling:
+                break                          # dead walk: unwind below
+            floor = min(floor, r.carry0)
+            slide = a.dg - anchors[r.prev].dg
+            if abs(slide) > shift_cap:
+                next_head = r.prev
+                terminal, term_floor = node, floor
+                break
+            trail.append((node, r, floor))
+            s_cap = r.cut if slide > 0 else r.cut + slide
+            node = r.prev
+
+        if terminal is None:
+            # the descent died: settle on the deepest trail frame whose
+            # pre-anchor carry did not undercut its floor
+            while trail:
+                node_k, r_k, floor_k = trail.pop()
+                if r_k.carry0 > floor_k:
+                    continue
+                terminal, term_floor = node_k, floor_k
+                trail.append((node_k, r_k, floor_k))
+                break
+            if terminal is None:
+                return t, next_head            # nothing emitted
+
+        term = anchors[terminal]
+        t.query_begin = term.qa
+        t.subject_begin = term.sa
+        t.score = ceiling - term_floor
+        for node_k, _r, _f in trail:
+            dgk = anchors[node_k].dg
+            t.d_max = max(t.d_max, dgk)
+            t.d_min = min(t.d_min, dgk)
+        t.d_max = max(t.d_max, term.dg)
+        t.d_min = min(t.d_min, term.dg)
+        return t, next_head
+
+    def _admissible(self, ts, first, qr, sr, score, cutoff):
+        """Stacked-HSP test against the HSPs already harvested this round:
+        reject when the candidate is mostly covered by a stronger one and
+        the uncovered remainder falls under the cutoff."""
+        for h in ts[first:]:
+            ls = sr[1] - sr[0]
             lq = qr[1] - qr[0]
-            ot = (_overlap(sr, (h.subject_begin, h.subject_end)) / lt
-                  if lt else 0.0)
+            os_ = (_overlap(sr, (h.subject_begin, h.subject_end)) / ls
+                   if ls else 0.0)
             oq = (_overlap(qr, (h.query_begin, h.query_end)) / lq
                   if lq else 0.0)
-            if (1.0 - min(ot, oq)) * score / h.score >= STACKED_HSP_RATIO:
+            if (1.0 - min(os_, oq)) * score / h.score >= STACK_RATIO:
                 continue
-            if (1.0 - max(ot, oq)) * score < cutoff:
+            if (1.0 - max(os_, oq)) * score < cutoff:
                 return False
         return True
 
-    def _backtrace_node(self, top_node, ts, t_begin_holder, cutoff,
-                        max_shift):
-        """reference backtrace.cpp:297-327."""
-        max_score = 0
-        max_j = self.subject_len
-        next_node = top_node
-        while next_node is not None:
-            t, nxt = self._backtrace_one(next_node, max_shift, max_j)
-            if t.score > 0:
-                max_j = t.subject_begin
-            if t.score >= cutoff and self._disjoint(
-                    ts, t_begin_holder[0],
-                    (t.query_begin, t.query_end),
-                    (t.subject_begin, t.subject_end), t.score, cutoff):
-                if t_begin_holder[0] is None or t_begin_holder[0] >= len(ts):
-                    t_begin_holder[0] = len(ts)
-                ts.append(t)
-                max_score = max(max_score, t.score)
-            next_node = nxt
-        return max_score
+    def harvest(self, ts: list, cutoff: int, shift_cap: int):
+        """Emit chains best-first.  Each candidate head may yield several
+        HSPs: when a relay's band shift exceeds the cap the walk restarts
+        from the far side, constrained to earlier subject columns."""
+        anchors = self.anchors
+        heads = [k for k in range(len(anchors))
+                 if anchors[k].peak_gain() >= cutoff]
+        heads.sort(key=lambda k: (-anchors[k].peak_gain(), k))
+        first = len(ts)
+        for k in heads:
+            a = anchors[k]
+            if not self._admissible(ts, first, (a.qa, a.qe), (a.sa, a.se),
+                                    a.score, cutoff):
+                continue
+            s_limit = self.subject_len
+            head = k
+            while head is not None:
+                t, head = self._walk_chain(head, s_limit, shift_cap)
+                if t.score > 0:
+                    s_limit = t.subject_begin
+                if t.score >= cutoff and self._admissible(
+                        ts, first, (t.query_begin, t.query_end),
+                        (t.subject_begin, t.subject_end), t.score, cutoff):
+                    ts.append(t)
 
-    def backtrace(self, ts, cutoff, max_shift):
-        """reference backtrace.cpp:329-357."""
-        diags = self.diags
-        cands = [k for k in range(len(diags.nodes))
-                 if diags.nodes[k].rel_score() >= cutoff]
-        cands.sort(key=lambda k: (-diags.nodes[k].rel_score(), k))
-        max_score = 0
-        t_begin_holder = [len(ts)]
-        for k in cands:
-            d = diags.nodes[k]
-            if self._disjoint(ts, t_begin_holder[0], (d.i, d.query_end),
-                              (d.j, d.subject_end), d.score, cutoff):
-                max_score = max(max_score,
-                                self._backtrace_node(k, ts, t_begin_holder,
-                                                     cutoff, max_shift))
-        return max_score
+    # -- setup ------------------------------------------------------------
 
-    def run(self, segments, space_penalty=SPACE_PENALTY, cutoff=19,
-            max_shift=2000):
-        """reference greedy_align.cpp:362-391 Aligner::run
-        (chaining-len-cap 2.0 above chaining-min-nodes 200)."""
-        self.diags.load(segments)
-        nodes = self.diags.nodes
-        if len(nodes) > 200:
-            order = sorted(range(len(nodes)),
-                           key=lambda k: (-nodes[k].score, k))
-            cap = self.query_len * 2.0
-            total = 0.0
-            it = 0
-            while it < len(order) and total < cap:
-                total += nodes[order[it]].len
-                it += 1
-            keep = order[: max(200, it)]
-            self.diags.nodes = [nodes[k] for k in sorted(keep)]
-        self.diags.sort()
-        self.diags.prune()
+    def load(self, segments):
+        """One anchor per diagonal run start: segments arrive sorted by
+        (diagonal, subject); consecutive same-diagonal segments collapse
+        unless they start beyond the running subject extent."""
+        dg = NEG_INF
+        reach = NEG_INF
+        for seg in segments:
+            d2 = seg.diag
+            if d2 != dg:
+                dg = d2
+                self.anchors.append(_Anchor(seg.i, seg.j, seg.len,
+                                            seg.score))
+                reach = self.anchors[-1].se
+            elif reach < seg.j:
+                self.anchors.append(_Anchor(seg.i, seg.j, seg.len,
+                                            seg.score))
+                reach = max(reach, self.anchors[-1].se)
+
+    def prune(self):
+        """Drop anchors dominated by more than COVER_CAP stronger anchors
+        covering the same subject range; eviction order of the running
+        window fixes the final anchor order."""
+        settled: list[_Anchor] = []
+        window: list[_Anchor] = []
+        for a in self.anchors:
+            dominated = 0
+            live = []
+            for e in window:
+                if e.se > a.sa:
+                    if e.score >= a.score and e.sa <= a.sa and e.se >= a.se:
+                        dominated += 1
+                    live.append(e)
+                else:
+                    settled.append(e)
+            window = live
+            if dominated <= COVER_CAP:
+                window.append(a)
+        settled.extend(window)
+        self.anchors = settled
+
+    def chain(self, segments, drift_cost=DRIFT_COST, cutoff=CHAIN_CUTOFF,
+              shift_cap=BAND_SHIFT_CAP):
+        """Full pipeline: load anchors, cap the anchor count by cumulative
+        length (2x query length, floor 200), order by (subject, query),
+        prune, sweep, harvest."""
+        self.load(segments)
+        anchors = self.anchors
+        if len(anchors) > 200:
+            order = sorted(range(len(anchors)),
+                           key=lambda k: (-anchors[k].score, k))
+            budget = self.query_len * 2.0
+            used = 0.0
+            take = 0
+            while take < len(order) and used < budget:
+                used += anchors[order[take]].n
+                take += 1
+            keep = sorted(order[: max(200, take)])
+            self.anchors = anchors = [anchors[k] for k in keep]
+        anchors.sort(key=lambda a: (a.sa, a.qa))
+        self.prune()
+        self.sweep(drift_cost)
         ts: list[ApproxHsp] = []
-        self.forward_pass(space_penalty)
-        self.backtrace(ts, cutoff, max_shift)
+        self.harvest(ts, cutoff, shift_cap)
         return ts
 
 
@@ -577,9 +538,10 @@ def _overlap(a, b):
 
 def chain_graph(segments, query, subject, matrix32, gap_open, gap_extend,
                 query_len=None, subject_len=None):
-    """Chaining::run (reference greedy_align.cpp:482-497): single segments
-    pass through uncut; multi-segment targets run the graph aligner, then
-    merge_hsps."""
+    """Chain one target's anchor segments into band-selecting ApproxHsps
+    (reference greedy_align.cpp:482-497 Chaining::run): a single segment
+    passes through uncut; multiple run the graph chainer, then adjacent
+    compatible HSPs merge."""
     from diamond_tpu.align.chain import merge_hsps
 
     if not segments:
@@ -590,8 +552,8 @@ def chain_graph(segments, query, subject, matrix32, gap_open, gap_extend,
                           query_begin=s.i, query_end=s.query_end,
                           subject_begin=s.j, subject_end=s.subject_end)]
     segs = sorted(segments, key=lambda s: (s.diag, s.j))
-    al = Aligner(query, subject, matrix32, gap_open, gap_extend,
-                 query_len=query_len, subject_len=subject_len)
-    ts = al.run(segs)
-    ts = merge_hsps(ts)
-    return ts
+    ch = _Chainer(query, subject, matrix32, gap_open, gap_extend,
+                  len(query) if query_len is None else query_len,
+                  len(subject) if subject_len is None else subject_len)
+    ts = ch.chain(segs)
+    return merge_hsps(ts)

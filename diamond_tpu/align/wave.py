@@ -51,28 +51,38 @@ class _WaveState:
         self.bias_all[qs : qs + len(bias)] = bias
 
 
-def _tb_multi(items, mat, state):
-    """One native DP+traceback call for the std jobs of every traceback
-    request in the round.  items: [(qid, req, std_idx, out_list)].
-    Returns a set of qids whose batch failed (caller responds None)."""
-    from diamond_tpu import native
+class _PackedJobs:
+    """Flat arrays for a cross-query native DP batch (score or traceback):
+    the per-request job lists of a whole wave round packed into the
+    (concatenated-targets, offsets, lengths, diagonals) layout the native
+    multi-job entry points consume."""
 
+    __slots__ = ("jobs_flat", "n", "t_cat", "t_off", "t_len", "q_off",
+                 "q_len", "use_bias", "d_begins", "bands", "bias_base")
+
+
+def _pack_jobs(items, state):
+    """Pack every listed (qid, req, job-indices) into one _PackedJobs.
+
+    items: [(qid, req, job_indices, out)].  Returns None when there are
+    no jobs.  Targets that are views into the target block's letters are
+    referenced zero-copy (offsets by pointer arithmetic, t_cat IS the
+    block array); anything else falls back to an explicit concat."""
     qblock = state.ctx.query_block
+    p = _PackedJobs()
     jobs_flat = []   # (qid, k, tgt, d0, d1, use_bias)
-    for qid, req, std_idx, _out in items:
+    for qid, req, ks, _out in items:
         if req.bias is not None:
             state.fill_bias(qid, req.bias)
-        for k in std_idx:
+        for k in ks:
             t, d0, d1 = req.jobs[k]
             jobs_flat.append((qid, k, t, d0, d1, req.bias is not None))
-    n = len(jobs_flat)
+    p.jobs_flat = jobs_flat
+    p.n = n = len(jobs_flat)
     if n == 0:
-        return set()
+        return None
     t_len = np.fromiter((len(j[2]) for j in jobs_flat), dtype=np.int64,
                         count=n)
-    # zero-copy when every job's target is a view into the target
-    # block's letters (the standard path): offsets come from pointer
-    # arithmetic and t_cat IS the block array — no per-job slice copies
     base = state.ctx.target_block.letters
     base_addr = base.__array_interface__["data"][0]
     t_cat = base
@@ -92,28 +102,48 @@ def _tb_multi(items, mat, state):
         for k, j in enumerate(jobs_flat):
             t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(
                 j[2], dtype=np.int8)
-    q_off = np.fromiter((int(qblock.starts[j[0]]) for j in jobs_flat),
-                        dtype=np.int64, count=n)
-    q_len = np.fromiter((int(qblock.lengths[j[0]]) for j in jobs_flat),
-                        dtype=np.int64, count=n)
-    use_bias = np.fromiter((j[5] for j in jobs_flat), dtype=np.uint8,
-                           count=n)
-    d_begins = np.fromiter((j[3] for j in jobs_flat), dtype=np.int64,
-                           count=n)
-    bands = np.fromiter((j[4] - j[3] for j in jobs_flat), dtype=np.int64,
-                        count=n)
-    bias_base = state.bias_all if use_bias.any() else None
-    if bias_base is None and use_bias.any():
-        bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
+    p.t_cat, p.t_off, p.t_len = t_cat, t_off, t_len
+    p.q_off = np.fromiter((int(qblock.starts[j[0]]) for j in jobs_flat),
+                          dtype=np.int64, count=n)
+    p.q_len = np.fromiter((int(qblock.lengths[j[0]]) for j in jobs_flat),
+                          dtype=np.int64, count=n)
+    p.use_bias = np.fromiter((j[5] for j in jobs_flat), dtype=np.uint8,
+                             count=n)
+    p.d_begins = np.fromiter((j[3] for j in jobs_flat), dtype=np.int64,
+                             count=n)
+    p.bands = np.fromiter((j[4] - j[3] for j in jobs_flat), dtype=np.int64,
+                          count=n)
+    p.bias_base = state.bias_all if p.use_bias.any() else None
+    if p.bias_base is None and p.use_bias.any():
+        p.bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
+    return p
+
+
+def _count_cells(p, prefix):
     from diamond_tpu.utils.log import pcount
-    _j0 = np.maximum(0, -d_begins - bands + 1)
-    _j1 = np.minimum(t_len, q_len - d_begins)
-    pcount("ext.tb_cells", int((np.maximum(_j1 - _j0, 0) * bands).sum()))
-    pcount("ext.tb_jobs", n)
+
+    j0 = np.maximum(0, -p.d_begins - p.bands + 1)
+    j1 = np.minimum(p.t_len, p.q_len - p.d_begins)
+    pcount(prefix + "_cells", int((np.maximum(j1 - j0, 0) * p.bands).sum()))
+    pcount(prefix + "_jobs", p.n)
+
+
+def _tb_multi(items, mat, state):
+    """One native DP+traceback call for the std jobs of every traceback
+    request in the round.  items: [(qid, req, std_idx, out_list)].
+    Returns a set of qids whose batch failed (caller responds None)."""
+    from diamond_tpu import native
+
+    qblock = state.ctx.query_block
+    p = _pack_jobs(items, state)
+    if p is None:
+        return set()
+    jobs_flat = p.jobs_flat
+    _count_cells(p, "ext.tb")
     r = native.banded_swipe_tb_multi_native(
-        qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
-        t_len, d_begins, bands, mat.matrix32, mat.gap_open + mat.gap_extend,
-        mat.gap_extend)
+        qblock.letters, p.bias_base, p.q_off, p.q_len, p.use_bias, p.t_cat,
+        p.t_off, p.t_len, p.d_begins, p.bands, mat.matrix32,
+        mat.gap_open + mat.gap_extend, mat.gap_extend)
     if r is None:
         return None  # native unavailable: caller uses the per-query path
     ok = r[1][:, 11] != 0
@@ -139,62 +169,15 @@ def _score_multi(items, mat, state):
     if native.lib() is None:
         return False
     qblock = state.ctx.query_block
-    jobs_flat = []
-    for qid, req, ks, _out in items:
-        if req.bias is not None:
-            state.fill_bias(qid, req.bias)
-        for k in ks:
-            t, d0, d1 = req.jobs[k]
-            jobs_flat.append((qid, k, t, d0, d1, req.bias is not None))
-    n = len(jobs_flat)
-    if n == 0:
+    p = _pack_jobs(items, state)
+    if p is None:
         return True
-    t_len = np.fromiter((len(j[2]) for j in jobs_flat), dtype=np.int64,
-                        count=n)
-    # zero-copy when every job's target is a view into the target
-    # block's letters (the standard path): offsets come from pointer
-    # arithmetic and t_cat IS the block array — no per-job slice copies
-    base = state.ctx.target_block.letters
-    base_addr = base.__array_interface__["data"][0]
-    t_cat = base
-    t_off = np.empty(n, dtype=np.int64)
-    for k, j in enumerate(jobs_flat):
-        t = j[2]
-        a = t.__array_interface__["data"][0] - base_addr
-        if 0 <= a <= base.nbytes - len(t) and t.dtype == np.int8:
-            t_off[k] = a
-        else:
-            t_off = None
-            break
-    if t_off is None:
-        t_off = np.zeros(n, dtype=np.int64)
-        np.cumsum(t_len[:-1], out=t_off[1:])
-        t_cat = np.empty(int(t_len.sum()), dtype=np.int8)
-        for k, j in enumerate(jobs_flat):
-            t_cat[t_off[k] : t_off[k] + t_len[k]] = np.asarray(
-                j[2], dtype=np.int8)
-    q_off = np.fromiter((int(qblock.starts[j[0]]) for j in jobs_flat),
-                        dtype=np.int64, count=n)
-    q_len = np.fromiter((int(qblock.lengths[j[0]]) for j in jobs_flat),
-                        dtype=np.int64, count=n)
-    use_bias = np.fromiter((j[5] for j in jobs_flat), dtype=np.uint8,
-                           count=n)
-    d_begins = np.fromiter((j[3] for j in jobs_flat), dtype=np.int64,
-                           count=n)
-    bands = np.fromiter((j[4] - j[3] for j in jobs_flat), dtype=np.int64,
-                        count=n)
-    bias_base = state.bias_all if use_bias.any() else None
-    if bias_base is None and use_bias.any():
-        bias_base = np.zeros(len(qblock.letters), dtype=np.int32)
-    from diamond_tpu.utils.log import pcount
-    _j0 = np.maximum(0, -d_begins - bands + 1)
-    _j1 = np.minimum(t_len, q_len - d_begins)
-    pcount("ext.score_cells", int((np.maximum(_j1 - _j0, 0) * bands).sum()))
-    pcount("ext.score_jobs", n)
+    jobs_flat = p.jobs_flat
+    _count_cells(p, "ext.score")
     res = native.banded_swipe_score_multi_native(
-        qblock.letters, bias_base, q_off, q_len, use_bias, t_cat, t_off,
-        t_len, d_begins, bands, mat.matrix32, mat.gap_open + mat.gap_extend,
-        mat.gap_extend)
+        qblock.letters, p.bias_base, p.q_off, p.q_len, p.use_bias, p.t_cat,
+        p.t_off, p.t_len, p.d_begins, p.bands, mat.matrix32,
+        mat.gap_open + mat.gap_extend, mat.gap_extend)
     if res is None:
         return False
     by_req = {}

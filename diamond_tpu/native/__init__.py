@@ -502,7 +502,10 @@ def banded_3frame_forward_native(q_frames, target, d_begin, d_end, matrix32,
                                  go: int, ge: int, fs: int):
     """Native 3-frame banded-SWIPE forward pass; returns
     (S [(ncols+1), R+2] int32, best, max_col, cols_done) or None.
-    Bit-identical to the ops/swipe3.py forward recurrence."""
+    Bit-identical to the ops/swipe3.py forward recurrence for scores that
+    fit int32 (the C kernel accumulates in int32 while the numpy oracle
+    uses int64; alignment scores above 2^31 are unreachable for real
+    protein inputs — that would need a ~2×10^8-residue exact match)."""
     import numpy as np
 
     l = lib()
@@ -517,13 +520,14 @@ def banded_3frame_forward_native(q_frames, target, d_begin, d_end, matrix32,
         return None
     qf = [np.ascontiguousarray(f, dtype=np.int8) for f in q_frames]
     t8 = np.ascontiguousarray(target, dtype=np.int8)
+    m32 = np.ascontiguousarray(matrix32, dtype=np.int32)
     S = np.zeros((ncols + 1, R + 2), dtype=np.int32)
     out = np.empty(3, dtype=np.int64)
     l.banded_3frame_forward(
         qf[0].ctypes.data, qf[1].ctypes.data, qf[2].ctypes.data,
         len(qf[0]), len(qf[1]), len(qf[2]),
         t8.ctypes.data, len(t8),
-        int(d_begin), int(d_end), matrix32.ctypes.data,
+        int(d_begin), int(d_end), m32.ctypes.data,
         int(go), int(ge), int(fs), S.ctypes.data, out.ctypes.data)
     return S, int(out[0]), int(out[1]), int(out[2])
 

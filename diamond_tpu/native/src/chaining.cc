@@ -1,15 +1,16 @@
-// Greedy diagonal-graph chaining + fused per-query first-round stage
-// (native twin of diamond_tpu/align/chaining_graph.py and the per-target
-// loop of align/extend.py ungapped_stage; reference semantics from
-// src/chaining/greedy_align.cpp, backtrace.cpp, diag_graph.h and
-// src/align/ungapped.cpp:62-150).
+// Band-selection chaining over an anchor relay graph + the fused
+// per-query first-round stage (native twin of
+// diamond_tpu/align/chaining_graph.py and the per-target loop of
+// align/extend.py ungapped_stage; decision-compatible with the
+// reference chainer, src/chaining/greedy_align.cpp, diag_graph.h,
+// backtrace.cpp — same scores and tie-breaks, own structure).
 //
 // ungapped_stage_many runs, for every target of one query's ranking
 // chunk: the (diag, j) stable sort of its seed hits, the x-drop chain
-// extension with the skip rule, the DiagGraph forward pass + backtrace,
-// and the pairwise HSP merge — emitting ApproxHsp rows
+// extension with the skip rule, the relay-graph sweep + harvest, and
+// the pairwise HSP merge — emitting ApproxHsp rows
 // [d_min, d_max, score, query_begin, query_end, subject_begin,
-// subject_end] in a CSR layout.  The Python modules remain the
+// subject_end] in a CSR layout.  The Python module remains the
 // bit-identical oracle.
 
 #include <algorithm>
@@ -22,14 +23,14 @@ extern "C" void xdrop_ungapped_one(const int8_t*, const int8_t*,
 
 namespace {
 
-constexpr double SPACE_PENALTY = 0.1;
+constexpr double DRIFT_COST = 0.1;
 constexpr double GAP_PENALTY = 0.5;
-constexpr int64_t LINK_PADDING = 10;
-constexpr int64_t REVERSE_LINK_MIN_OVERHANG = 10;
-constexpr int64_t RANGE_COVER = 8;
-constexpr double STACKED_HSP_RATIO = 0.5;
+constexpr int64_t CROSS_PAD = 10;
+constexpr int64_t MIN_BACKLINK_HANG = 10;
+constexpr int64_t COVER_CAP = 8;
+constexpr double STACK_RATIO = 0.5;
 constexpr int64_t CHAIN_CUTOFF = 19;
-constexpr int64_t MAX_SHIFT = 2000;
+constexpr int64_t BAND_SHIFT_CAP = 2000;
 constexpr int64_t I64_MIN = -(int64_t(1) << 62);
 constexpr int64_t I64_MAX = int64_t(1) << 62;
 
@@ -38,8 +39,6 @@ struct Seg {
     int64_t diag() const { return i - j; }
     int64_t query_end() const { return i + len; }
     int64_t subject_end() const { return j + len; }
-    int64_t subject_last() const { return j + len - 1; }
-    Seg transpose() const { return Seg{j, i, len, score}; }
 };
 
 struct Hsp {
@@ -47,523 +46,568 @@ struct Hsp {
     int64_t query_begin, query_end, subject_begin, subject_end;
 };
 
-struct Edge {
-    int64_t prefix_score, path_max, j, path_min, prefix_score_begin;
-    int32_t node_in, node_out;
+// A scored crossing from an anchor back to a predecessor chain.
+struct Relay {
+    int64_t carry;   // chain score through this relay
+    int64_t crest;   // running-score peak along the chain
+    int64_t trough;  // running-score floor
+    int64_t carry0;  // chain score just before this anchor
+    int64_t cut;     // subject column where the chain enters
+    int32_t prev;    // predecessor anchor index
 };
 
-struct Node {
-    int64_t i, j, len, score;
-    int64_t prefix_score, path_max, path_min;
-    std::vector<Edge> edges;  // per-node edge storage (the reference's
-                              // single shifted vector, node-local)
-    int64_t diag() const { return i - j; }
-    int64_t query_end() const { return i + len; }
-    int64_t subject_end() const { return j + len; }
-    int64_t rel_score() const {
-        return prefix_score == path_max ? prefix_score
-                                        : prefix_score - path_min;
-    }
-};
-
-struct Link {
-    int64_t subject_pos1 = -1, query_pos1 = 0;
-    int64_t subject_pos2 = 0, query_pos2 = 0;
-    int64_t score1 = 0, score2 = 0;
-    void transpose() {
-        std::swap(subject_pos1, query_pos1);
-        std::swap(subject_pos2, query_pos2);
-    }
-    void reset() {
-        subject_pos1 = -1;
-        score1 = 0;
-        score2 = 0;
+// One maximal ungapped run plus the chain state the sweep accumulates.
+struct Anchor {
+    int64_t qa, sa, n, score;
+    int64_t carry, crest, trough;
+    std::vector<Relay> relays;
+    int64_t dg() const { return qa - sa; }
+    int64_t qe() const { return qa + n; }
+    int64_t se() const { return sa + n; }
+    // chain value ranking harvest starts: full carry when the chain
+    // never dipped, otherwise carry above its floor
+    int64_t peak_gain() const {
+        return carry == crest ? carry : carry - trough;
     }
 };
 
-inline int64_t score_range(const int32_t* m, const int8_t* q,
-                           const int8_t* s, int64_t i, int64_t j,
-                           int64_t j_end) {
-    int64_t sc = 0;
-    while (j < j_end) {
-        sc += m[(q[i] & 31) * 32 + (s[j] & 31)];
-        ++i;
-        ++j;
-    }
-    return sc;
+// Crossover placement between two anchors: where the chain leaves the
+// predecessor (uq/us) and enters the current anchor (dq/ds), and how
+// much of each anchor's score survives.
+struct Handoff {
+    int64_t total;
+    int64_t uq, us, dq, ds;
+    int64_t keep_up, keep_dn;
+};
+
+inline int64_t pair_score(const int32_t* m, const int8_t* q,
+                          const int8_t* s, int64_t i, int64_t j, int64_t n) {
+    int64_t acc = 0;
+    for (int64_t k = 0; k < n; ++k)
+        acc += m[(q[i + k] & 31) * 32 + (s[j + k] & 31)];
+    return acc;
 }
 
-// reference greedy_align.cpp:150-200
-int64_t get_hgap_link(const Seg& d1, const Seg& d2, const int8_t* query,
-                      const int8_t* subject, Link& link, int64_t padding,
-                      const int32_t* m) {
-    const int64_t d = d1.diag() - d2.diag();
-    const int64_t j2_end = std::min(
-        std::max(d2.j, d1.subject_last() + d + 1 + padding),
-        d2.subject_last());
-    int64_t j1;
-    bool space;
-    if (d1.subject_last() < d2.j - d - 1) {
-        j1 = d1.subject_last();
-        space = true;
+// Best switch column between predecessor anchor u (higher diagonal) and
+// current anchor d: scan every admissible split once tracking only the
+// best index (first max wins), then reconstruct the handoff from it.
+// Returns false when no split exists.
+bool crossover(const int32_t* m, const int8_t* q, const int8_t* s,
+               int64_t ui, int64_t uj, int64_t un, int64_t uscore,
+               int64_t di, int64_t dj, int64_t dn, int64_t dscore,
+               Handoff& h) {
+    const int64_t gap = (ui - uj) - (di - dj);
+    const int64_t u_last = uj + un - 1;
+    const int64_t d_last = dj + dn - 1;
+    const int64_t scan_last =
+        std::min(std::max(dj, u_last + gap + 1 + CROSS_PAD), d_last);
+    int64_t ja;
+    bool spaced;
+    if (u_last < dj - gap - 1) {
+        ja = u_last;
+        spaced = true;
     } else {
-        j1 = std::max(d2.j - d - 1 - padding, d1.j);
-        space = false;
+        ja = std::max(dj - gap - 1 - CROSS_PAD, uj);
+        spaced = false;
     }
-    int64_t j2 = j1 + d + 1;
-    int64_t i1 = d1.i + (j1 - d1.j);
-    int64_t i2 = i1 + 1;
-    if (j2 > d2.subject_last()) {
-        link.reset();
-        return I64_MIN;
-    }
-    int64_t score1 = 0;
-    int64_t score2 = score_range(m, query, subject, i2, j2, d2.j) + d2.score -
-                     score_range(m, query, subject, d2.i, d2.j, j2);
-    int64_t max_score = I64_MIN;
-    while (true) {
-        if (score1 + score2 > max_score) {
-            max_score = score1 + score2;
-            link.query_pos1 = i1;
-            link.subject_pos1 = j1;
-            link.query_pos2 = i2;
-            link.subject_pos2 = j2;
-            link.score1 = score1;
-            link.score2 = score2;
+    const int64_t jb = ja + gap + 1;
+    if (jb > d_last)
+        return false;
+    const int64_t ia = ui + (ja - uj);
+
+    // d's run entered at column jb: head extends it leftward when
+    // jb < dj, tail clips it when jb > dj
+    const int64_t keep_dn0 = pair_score(m, q, s, ia + 1, jb, dj - jb) +
+                             dscore - pair_score(m, q, s, di, dj, jb - dj);
+
+    const int64_t steps = std::max(int64_t(0), scan_last - jb);
+    // both running sums consume the same query letters (the exit row
+    // advances in lockstep with the entry row, one diagonal apart)
+    int64_t up_run = 0, dn_run = 0;
+    int64_t best = keep_dn0, best_k = 0;
+    for (int64_t k = 1; k <= steps; ++k) {
+        const int64_t letter = q[ia + k] & 31;
+        up_run += m[letter * 32 + (s[ja + k] & 31)];
+        dn_run += m[letter * 32 + (s[jb + k - 1] & 31)];
+        const int64_t val = keep_dn0 + up_run - dn_run;
+        if (val > best) {
+            best = val;
+            best_k = k;
         }
-        score2 -= m[(query[i2] & 31) * 32 + (subject[j2] & 31)];
-        ++i1;
-        ++i2;
-        ++j1;
-        ++j2;
-        if (j2 > j2_end)
-            break;
-        score1 += m[(query[i1] & 31) * 32 + (subject[j1] & 31)];
     }
-    const int64_t j1_end = j2_end - d;
-    if (space) {
-        link.score1 += d1.score;
+    const int64_t up_final = up_run;
+    const int64_t up_at_k =
+        pair_score(m, q, s, ia + 1, ja + 1, best_k);
+    const int64_t dn_at_k =
+        keep_dn0 - pair_score(m, q, s, ia + 1, jb, best_k);
+
+    h.total = best;
+    h.uq = ia + best_k;
+    h.us = ja + best_k;
+    h.dq = ia + 1 + best_k;
+    h.ds = jb + best_k;
+    h.keep_dn = dn_at_k;
+
+    // u's run kept up to the exit: disjoint anchors keep the whole run;
+    // otherwise clip/extend u's run at the scan end and subtract the
+    // swept gains (already counted into the split)
+    int64_t keep_up = up_at_k;
+    if (spaced) {
+        keep_up += uscore;
     } else {
-        link.score1 += d1.score -
-                       score_range(m, query, subject, d1.diag() + j1_end,
-                                   j1_end, d1.subject_end()) +
-                       score_range(m, query, subject, d1.query_end(),
-                                   d1.subject_end(), j1_end) -
-                       score1;
+        const int64_t j_exit = scan_last - gap;
+        const int64_t use = uj + un;
+        keep_up += uscore -
+                   pair_score(m, q, s, (ui - uj) + j_exit, j_exit,
+                              use - j_exit) +
+                   pair_score(m, q, s, ui + un, use, j_exit - use) -
+                   up_final;
     }
-    return max_score;
+    h.keep_up = keep_up;
+    return true;
 }
 
-int64_t get_link(const Seg& d1, const Seg& d2, const int8_t* query,
-                 const int8_t* subject, Link& link, int64_t padding,
-                 const int32_t* m) {
-    if (d1.diag() < d2.diag()) {
-        const int64_t s = get_hgap_link(d1.transpose(), d2.transpose(),
-                                        subject, query, link, padding, m);
-        link.transpose();
-        return s;
-    }
-    return get_hgap_link(d1, d2, query, subject, link, padding, m);
-}
-
-struct Aligner {
-    const int8_t* query;
-    const int8_t* subject;
-    const int32_t* matrix32;
-    int64_t gap_open, gap_extend;
-    int64_t query_len, subject_len;
-    std::vector<Node> nodes;
-
-    // reference diag_graph.h:150-171 (the node's edges iterated in
-    // reverse insertion order; strict > keeps the later edge on ties)
-    const Edge* get_edge(int32_t node, int64_t j) const {
-        const Node& d = nodes[node];
-        if (d.score == 0)
-            return d.edges.empty() ? nullptr : &d.edges.back();
-        int64_t max_score = d.score;
-        const Edge* best = nullptr;
-        for (auto it = d.edges.rbegin(); it != d.edges.rend(); ++it) {
-            if (it->j < j && it->prefix_score > max_score) {
-                best = &*it;
-                max_score = it->prefix_score;
-            }
-        }
-        return best;
-    }
-
-    void add_edge(const Edge& e) {
-        Node& d = nodes[e.node_in];
-        if (e.prefix_score > d.prefix_score) {
-            d.prefix_score = e.prefix_score;
-            d.path_max = e.path_max;
-            d.path_min = e.path_min;
-        }
-        d.edges.push_back(e);
-    }
-
-    void prefix_score3(int32_t node, int64_t j, int64_t& ps, int64_t& pmax,
-                       int64_t& pmin) const {
-        const Edge* e = get_edge(node, j);
-        const Node& n = nodes[node];
-        if (!e) {
-            ps = pmax = pmin = n.score;
-            return;
-        }
-        ps = std::max(n.score, e->prefix_score);
-        pmax = std::max(n.score, e->path_max);
-        pmin = e->path_min;
-    }
-
-    // reference greedy_align.cpp:221-275
-    int64_t get_approximate_link(int32_t d_idx, int32_t e_idx,
-                                 double space_penalty) {
-        Node& d = nodes[d_idx];
-        Node& e = nodes[e_idx];
-        const int64_t shift = d.diag() - e.diag();
-        const int64_t gap_score =
-            shift != 0 ? -gap_open - std::abs(shift) * gap_extend : 0;
-        const int64_t space =
-            shift > 0 ? d.j - e.subject_end() : d.i - e.query_end();
-        int64_t prefix_score = 0;
-        int64_t path_max = 0, path_min = 0, prefix_score_begin = 0;
-        int64_t link_j = 0;
-        if (space <= 0 || space_penalty == 0.0) {
-            const Edge* edge = get_edge(d_idx, d.j);
-            if (edge &&
-                edge->prefix_score > e.prefix_score + gap_score + d.score)
-                return 0;
-            Link link;
-            if (get_link(Seg{e.i, e.j, e.len, e.score},
-                         Seg{d.i, d.j, d.len, d.score}, query, subject, link,
-                         LINK_PADDING, matrix32) > 0) {
-                const int64_t diff1 = e.score - link.score1;
-                int64_t prefix_e;
-                prefix_score3(e_idx, link.subject_pos1, prefix_e, path_max,
-                              path_min);
-                prefix_score = prefix_e - diff1 + gap_score + link.score2;
-                edge = get_edge(d_idx, link.subject_pos2);
-                if (edge && edge->prefix_score > prefix_score)
-                    return 0;
-                prefix_score_begin = prefix_score - link.score2;
-                path_min = std::min(path_min, prefix_score - link.score2);
-                if (prefix_e == path_max)
-                    path_max -= diff1;
-                link_j = link.subject_pos2;
-            }
-        } else {
-            prefix_score = e.prefix_score + gap_score -
-                           (int64_t)(space_penalty *
-                                     (double)std::max(space - 1, int64_t(0))) +
-                           d.score;
-            const Edge* edge = get_edge(d_idx, d.j);
-            if (edge && edge->prefix_score > prefix_score)
-                return 0;
-            prefix_score_begin = prefix_score - d.score;
-            path_max = e.path_max;
-            path_min = std::min(e.path_min, prefix_score - d.score);
-            link_j = d.j;
-        }
-        if (prefix_score > d.score) {
-            path_max = std::max(path_max, prefix_score);
-            add_edge(Edge{prefix_score, path_max, link_j,
-                          prefix_score == path_max ? prefix_score : path_min,
-                          prefix_score_begin, d_idx, e_idx});
-        }
-        return prefix_score;
-    }
-
-    // reference greedy_align.cpp:277-360; window = sorted (diag, node)
-    void forward_pass(double space_penalty) {
-        std::vector<std::pair<int64_t, int32_t>> win;  // (diag, node)
-        win.reserve(nodes.size());
-        for (int32_t node = 0; node < (int32_t)nodes.size(); ++node) {
-            Node& d = nodes[node];
-            const int64_t dd = d.diag();
-            auto pos = std::lower_bound(
-                win.begin(), win.end(), std::make_pair(dd, INT32_MIN));
-            if (pos == win.end() || pos->first != dd)
-                pos = win.insert(pos, {dd, node});
-            int64_t i_idx = pos - win.begin();
-
-            // downward loop (smaller diagonals)
-            int64_t j = i_idx;
-            int64_t max_j = 0;
-            if (i_idx > 0) {
-                while (true) {
-                    --j;
-                    const int32_t e_node = win[j].second;
-                    const Node& e = nodes[e_node];
-                    if (e.prefix_score -
-                            (int64_t)(space_penalty *
-                                      (double)std::max(d.j - e.subject_end(),
-                                                       int64_t(0))) <=
-                        0) {
-                        win.erase(win.begin() + j);
-                        --i_idx;
-                        if (j == 0)
-                            break;
-                        continue;
-                    }
-                    if (e.subject_end() < max_j) {
-                        if (j == 0)
-                            break;
-                        continue;
-                    }
-                    get_approximate_link(node, e_node, space_penalty);
-                    max_j = std::max(max_j,
-                                     std::min(d.j, e.subject_end()));
-                    if (e.subject_end() -
-                            (d.subject_end() -
-                             std::min(e.diag() - d.diag(), int64_t(0))) >=
-                        REVERSE_LINK_MIN_OVERHANG)
-                        get_approximate_link(e_node, node, space_penalty);
-                    if (j == 0)
-                        break;
-                }
-            }
-
-            // upward loop (larger diagonals)
-            j = i_idx;
-            if (j < (int64_t)win.size() && win[j].second == node)
-                ++j;
-            int64_t max_i = 0;
-            while (j < (int64_t)win.size()) {
-                const int64_t de = win[j].first;
-                const int32_t e_node = win[j].second;
-                const Node& e = nodes[e_node];
-                if (e.prefix_score -
-                            (int64_t)(space_penalty *
-                                      (double)std::max(d.j - e.subject_end(),
-                                                       int64_t(0))) <=
-                        0 &&
-                    de != dd) {
-                    win.erase(win.begin() + j);
-                    continue;
-                }
-                if (e.query_end() < max_i) {
-                    ++j;
-                    continue;
-                }
-                get_approximate_link(node, e_node, space_penalty);
-                if (e.i < d.i)
-                    max_i = std::max(max_i, std::min(e.query_end(), d.i));
-                if (e.subject_end() -
-                        (d.subject_end() -
-                         std::min(e.diag() - d.diag(), int64_t(0))) >=
-                    REVERSE_LINK_MIN_OVERHANG)
-                    get_approximate_link(e_node, node, space_penalty);
-                ++j;
-            }
-            // (re)bind this diagonal to the current node
-            auto pos2 = std::lower_bound(
-                win.begin(), win.end(), std::make_pair(dd, INT32_MIN));
-            if (pos2 != win.end() && pos2->first == dd)
-                pos2->second = node;
-            else
-                win.insert(pos2, {dd, node});
-        }
-    }
-
-    // reference backtrace.cpp:70-164 (no transcript output)
-    bool backtrace_old(int32_t node, int64_t j_end, Hsp& t,
-                       int64_t score_max, int64_t score_min,
-                       int32_t* next_holder) const {
-        const Node& d = nodes[node];
-        const Edge* f = get_edge(node, j_end);
-        bool at_end = f == nullptr;
-        const int64_t prefix_score = at_end ? d.score : f->prefix_score;
-        if (prefix_score > score_max)
+// When the chain moves to a HIGHER diagonal the roles of query and
+// subject swap (the jump is then horizontal in the transposed matrix).
+bool place_handoff(const int32_t* m, const int8_t* q, const int8_t* s,
+                   const Anchor& prev, const Anchor& cur, Handoff& h) {
+    if (prev.dg() < cur.dg()) {
+        if (!crossover(m, s, q, prev.sa, prev.qa, prev.n, prev.score,
+                       cur.sa, cur.qa, cur.n, cur.score, h))
             return false;
-        score_min =
-            std::min(score_min, at_end ? int64_t(0) : f->prefix_score_begin);
-        if (!at_end) {
-            const Node& e = nodes[f->node_out];
-            const int64_t shift = d.diag() - e.diag();
-            const int64_t j = f->j;
-            if (std::abs(shift) <= MAX_SHIFT) {
-                const bool bt =
-                    backtrace_old(f->node_out, shift > 0 ? j : j + shift, t,
-                                  score_max, score_min, next_holder);
-                if (!bt) {
-                    if (f->prefix_score_begin > score_min)
-                        return false;
-                    at_end = true;
-                }
-            } else {
-                *next_holder = f->node_out;
-                at_end = true;
-            }
-        }
-        if (at_end) {
-            t.query_begin = d.i;
-            t.subject_begin = d.j;
-            t.score = score_max - score_min;
-        }
-        const int64_t dd = d.diag();
-        t.d_max = std::max(t.d_max, dd);
-        t.d_min = std::min(t.d_min, dd);
+        std::swap(h.uq, h.us);
+        std::swap(h.dq, h.ds);
         return true;
     }
+    return crossover(m, q, s, prev.qa, prev.sa, prev.n, prev.score,
+                     cur.qa, cur.sa, cur.n, cur.score, h);
+}
 
-    // reference backtrace.cpp:272-295
-    void backtrace_one(int32_t top_node, int64_t max_j, Hsp& t,
-                       int32_t& next) const {
-        const Node& d = nodes[top_node];
-        t = Hsp{I64_MAX, I64_MIN, 0, 0, d.query_end(), 0, d.subject_end()};
-        next = -1;
-        backtrace_old(top_node, std::min(d.subject_end(), max_j), t,
-                      d.prefix_score, d.prefix_score, &next);
+struct Chainer {
+    const int8_t* q;
+    const int8_t* s;
+    const int32_t* m;
+    int64_t gap_open, gap_extend;
+    int64_t query_len, subject_len;
+    std::vector<Anchor> anchors;
+
+    // Highest-carry relay of `a` cut before subject column s_cap;
+    // null when the anchor's own score wins.  Newest relay wins carry
+    // ties (reverse scan, strict improvement).  A zero-score anchor
+    // degenerately yields its newest relay (decision parity with the
+    // reference's unguarded lookup).
+    const Relay* best_relay(const Anchor& a, int64_t s_cap) const {
+        if (a.score == 0)
+            return a.relays.empty() ? nullptr : &a.relays.back();
+        const Relay* pick = nullptr;
+        int64_t bar = a.score;
+        for (auto it = a.relays.rbegin(); it != a.relays.rend(); ++it)
+            if (it->cut < s_cap && it->carry > bar) {
+                pick = &*it;
+                bar = it->carry;
+            }
+        return pick;
     }
 
-    // reference backtrace.cpp:37-68
-    static bool disjoint(const std::vector<Hsp>& ts, int64_t t_begin,
-                         int64_t qb, int64_t qe, int64_t sb, int64_t se,
-                         int64_t score, int64_t cutoff) {
-        for (int64_t k = t_begin; k < (int64_t)ts.size(); ++k) {
+    // (carry, crest, trough) of the best chain into `a` restricted to
+    // relays cut before s_cap.
+    void carry_at(const Anchor& a, int64_t s_cap, int64_t& carry,
+                  int64_t& crest, int64_t& trough) const {
+        const Relay* r = best_relay(a, s_cap);
+        if (!r) {
+            carry = crest = trough = a.score;
+            return;
+        }
+        carry = std::max(a.score, r->carry);
+        crest = std::max(a.score, r->crest);
+        trough = r->trough;
+    }
+
+    void add_relay(Anchor& a, const Relay& r) {
+        if (r.carry > a.carry) {
+            a.carry = r.carry;
+            a.crest = r.crest;
+            a.trough = r.trough;
+        }
+        a.relays.push_back(r);
+    }
+
+    // Score a relay from the chain-so-far at `prev` into `cur`; record
+    // it when it beats every existing relay of `cur` and the anchor's
+    // own score.
+    void try_relay(int32_t cur_idx, int32_t prev_idx, double drift_cost) {
+        Anchor& cur = anchors[cur_idx];
+        Anchor& prev = anchors[prev_idx];
+        const int64_t slide = cur.dg() - prev.dg();
+        const int64_t bend =
+            slide != 0 ? -gap_open - std::abs(slide) * gap_extend : 0;
+        const int64_t span =
+            slide > 0 ? cur.sa - prev.se() : cur.qa - prev.qe();
+        int64_t carry_new = 0;
+        int64_t crest = 0, trough = 0, carry0 = 0, cut = 0;
+        if (span <= 0 || drift_cost == 0.0) {
+            const Relay* held = best_relay(cur, cur.sa);
+            if (held && held->carry > prev.carry + bend + cur.score)
+                return;
+            Handoff h;
+            if (place_handoff(m, q, s, prev, cur, h) && h.total > 0) {
+                const int64_t lost_up = prev.score - h.keep_up;
+                int64_t carry_prev;
+                carry_at(prev, h.us, carry_prev, crest, trough);
+                carry_new = carry_prev - lost_up + bend + h.keep_dn;
+                held = best_relay(cur, h.ds);
+                if (held && held->carry > carry_new)
+                    return;
+                carry0 = carry_new - h.keep_dn;
+                trough = std::min(trough, carry0);
+                if (carry_prev == crest)
+                    crest -= lost_up;
+                cut = h.ds;
+            }
+        } else {
+            carry_new =
+                prev.carry + bend -
+                (int64_t)(drift_cost *
+                          (double)std::max(span - 1, int64_t(0))) +
+                cur.score;
+            const Relay* held = best_relay(cur, cur.sa);
+            if (held && held->carry > carry_new)
+                return;
+            carry0 = carry_new - cur.score;
+            crest = prev.crest;
+            trough = std::min(prev.trough, carry0);
+            cut = cur.sa;
+        }
+        if (carry_new > cur.score) {
+            crest = std::max(crest, carry_new);
+            add_relay(cur, Relay{carry_new, crest,
+                                 carry_new == crest ? carry_new : trough,
+                                 carry0, cut, prev_idx});
+        }
+    }
+
+    // Frontier eviction: the chain at `e` cannot reach `cur` with a
+    // positive score once the drift cost of the subject span is paid.
+    bool stale(const Anchor& e, const Anchor& cur,
+               double drift_cost) const {
+        return e.carry -
+                   (int64_t)(drift_cost *
+                             (double)std::max(cur.sa - e.se(),
+                                              int64_t(0))) <=
+               0;
+    }
+
+    // One pass over anchors in (subject, query) order; the frontier
+    // maps each diagonal to its latest anchor.  Walk the frontier
+    // outward on both sides — evicting stale chains, skipping anchors
+    // shadowed by a nearer one — and try relays in both directions.
+    void sweep(double drift_cost) {
+        std::vector<std::pair<int64_t, int32_t>> frontier;  // (diag, idx)
+        frontier.reserve(anchors.size());
+        for (int32_t cur_idx = 0; cur_idx < (int32_t)anchors.size();
+             ++cur_idx) {
+            const Anchor& cur = anchors[cur_idx];
+            const int64_t dg = cur.dg();
+            auto pos = std::lower_bound(frontier.begin(), frontier.end(),
+                                        std::make_pair(dg, INT32_MIN));
+            if (pos == frontier.end() || pos->first != dg)
+                pos = frontier.insert(pos, {dg, cur_idx});
+            int64_t at = pos - frontier.begin();
+
+            // lower diagonals: nearest first, shadowed by subject extent
+            int64_t k = at;
+            int64_t shadow_s = 0;
+            while (k > 0) {
+                --k;
+                const int32_t e_idx = frontier[k].second;
+                const Anchor& e = anchors[e_idx];
+                if (stale(e, cur, drift_cost)) {
+                    frontier.erase(frontier.begin() + k);
+                    --at;
+                    continue;
+                }
+                if (e.se() < shadow_s)
+                    continue;
+                try_relay(cur_idx, e_idx, drift_cost);
+                shadow_s = std::max(shadow_s, std::min(cur.sa, e.se()));
+                if (e.se() - (cur.se() - std::min(e.dg() - cur.dg(),
+                                                  int64_t(0))) >=
+                    MIN_BACKLINK_HANG)
+                    try_relay(e_idx, cur_idx, drift_cost);
+            }
+
+            // higher diagonals: nearest first, shadowed by query extent
+            k = at;
+            if (k < (int64_t)frontier.size() &&
+                frontier[k].second == cur_idx)
+                ++k;
+            int64_t shadow_q = 0;
+            while (k < (int64_t)frontier.size()) {
+                const int64_t e_dg = frontier[k].first;
+                const int32_t e_idx = frontier[k].second;
+                const Anchor& e = anchors[e_idx];
+                if (stale(e, cur, drift_cost) && e_dg != dg) {
+                    frontier.erase(frontier.begin() + k);
+                    continue;
+                }
+                if (e.qe() < shadow_q) {
+                    ++k;
+                    continue;
+                }
+                try_relay(cur_idx, e_idx, drift_cost);
+                if (e.qa < cur.qa)
+                    shadow_q = std::max(shadow_q,
+                                        std::min(e.qe(), cur.qa));
+                if (e.se() - (cur.se() - std::min(e.dg() - cur.dg(),
+                                                  int64_t(0))) >=
+                    MIN_BACKLINK_HANG)
+                    try_relay(e_idx, cur_idx, drift_cost);
+                ++k;
+            }
+            // (re)bind this diagonal to the current anchor
+            auto pos2 = std::lower_bound(frontier.begin(), frontier.end(),
+                                         std::make_pair(dg, INT32_MIN));
+            if (pos2 != frontier.end() && pos2->first == dg)
+                pos2->second = cur_idx;
+            else
+                frontier.insert(pos2, {dg, cur_idx});
+        }
+    }
+
+    // Follow the best-relay chain from `head` downward and emit one
+    // HSP.  Two phases: descend while each relay improves on the
+    // running ceiling, then settle on the terminal anchor (natural
+    // chain start, a relay whose band shift exceeds the cap — which
+    // yields the next head — or the deepest frame whose pre-anchor
+    // carry stays at the chain floor).
+    void walk_chain(int32_t head, int64_t s_limit, Hsp& t,
+                    int32_t& next_head) const {
+        const Anchor& top = anchors[head];
+        t = Hsp{I64_MAX, I64_MIN, 0, 0, top.qe(), 0, top.se()};
+        const int64_t ceiling = top.carry;
+        int64_t floor = ceiling;
+        next_head = -1;
+
+        struct Frame {
+            int32_t node;
+            const Relay* relay;
+            int64_t floor;
+        };
+        std::vector<Frame> trail;
+        int32_t node = head;
+        int64_t s_cap = std::min(top.se(), s_limit);
+        int32_t terminal = -1;
+        int64_t term_floor = 0;
+        for (;;) {
+            const Anchor& a = anchors[node];
+            const Relay* r = best_relay(a, s_cap);
+            if (!r) {
+                if (a.score > ceiling)
+                    break;  // dead walk: unwind below
+                floor = std::min(floor, int64_t(0));
+                terminal = node;
+                term_floor = floor;
+                break;
+            }
+            if (r->carry > ceiling)
+                break;  // dead walk: unwind below
+            floor = std::min(floor, r->carry0);
+            const int64_t slide = a.dg() - anchors[r->prev].dg();
+            if (std::abs(slide) > BAND_SHIFT_CAP) {
+                next_head = r->prev;
+                terminal = node;
+                term_floor = floor;
+                break;
+            }
+            trail.push_back({node, r, floor});
+            s_cap = slide > 0 ? r->cut : r->cut + slide;
+            node = r->prev;
+        }
+
+        if (terminal < 0) {
+            // the descent died: settle on the deepest trail frame whose
+            // pre-anchor carry did not undercut its floor
+            while (!trail.empty()) {
+                const Frame f = trail.back();
+                trail.pop_back();
+                if (f.relay->carry0 > f.floor)
+                    continue;
+                terminal = f.node;
+                term_floor = f.floor;
+                trail.push_back(f);
+                break;
+            }
+            if (terminal < 0)
+                return;  // nothing emitted
+        }
+
+        const Anchor& term = anchors[terminal];
+        t.query_begin = term.qa;
+        t.subject_begin = term.sa;
+        t.score = ceiling - term_floor;
+        for (const Frame& f : trail) {
+            const int64_t dgk = anchors[f.node].dg();
+            t.d_max = std::max(t.d_max, dgk);
+            t.d_min = std::min(t.d_min, dgk);
+        }
+        t.d_max = std::max(t.d_max, term.dg());
+        t.d_min = std::min(t.d_min, term.dg());
+    }
+
+    // Stacked-HSP test against the HSPs already harvested this round:
+    // reject when the candidate is mostly covered by a stronger one and
+    // the uncovered remainder falls under the cutoff.
+    static bool admissible(const std::vector<Hsp>& ts, int64_t first,
+                           int64_t qb, int64_t qe, int64_t sb, int64_t se,
+                           int64_t score, int64_t cutoff) {
+        for (int64_t k = first; k < (int64_t)ts.size(); ++k) {
             const Hsp& h = ts[k];
-            const int64_t lt = se - sb;
+            const int64_t ls = se - sb;
             const int64_t lq = qe - qb;
-            const int64_t ovt = std::max(
+            const int64_t ovs = std::max(
                 int64_t(0),
                 std::min(se, h.subject_end) - std::max(sb, h.subject_begin));
             const int64_t ovq = std::max(
                 int64_t(0),
                 std::min(qe, h.query_end) - std::max(qb, h.query_begin));
-            const double ot = lt ? (double)ovt / (double)lt : 0.0;
+            const double os = ls ? (double)ovs / (double)ls : 0.0;
             const double oq = lq ? (double)ovq / (double)lq : 0.0;
-            if ((1.0 - std::min(ot, oq)) * (double)score / (double)h.score >=
-                STACKED_HSP_RATIO)
+            if ((1.0 - std::min(os, oq)) * (double)score /
+                    (double)h.score >=
+                STACK_RATIO)
                 continue;
-            if ((1.0 - std::max(ot, oq)) * (double)score < (double)cutoff)
+            if ((1.0 - std::max(os, oq)) * (double)score < (double)cutoff)
                 return false;
         }
         return true;
     }
 
-    // reference backtrace.cpp:297-327
-    int64_t backtrace_node(int32_t top_node, std::vector<Hsp>& ts,
-                           int64_t& t_begin, int64_t cutoff) const {
-        int64_t max_score = 0;
-        int64_t max_j = subject_len;
-        int32_t next_node = top_node;
-        while (next_node >= 0) {
-            Hsp t;
-            int32_t nxt;
-            backtrace_one(next_node, max_j, t, nxt);
-            if (t.score > 0)
-                max_j = t.subject_begin;
-            if (t.score >= cutoff &&
-                disjoint(ts, t_begin, t.query_begin, t.query_end,
-                         t.subject_begin, t.subject_end, t.score, cutoff)) {
-                if (t_begin >= (int64_t)ts.size())
-                    t_begin = ts.size();
-                ts.push_back(t);
-                max_score = std::max(max_score, t.score);
-            }
-            next_node = nxt;
-        }
-        return max_score;
-    }
-
-    // reference backtrace.cpp:329-357
-    void backtrace(std::vector<Hsp>& ts, int64_t cutoff) const {
-        std::vector<int32_t> cands;
-        for (int32_t k = 0; k < (int32_t)nodes.size(); ++k)
-            if (nodes[k].rel_score() >= cutoff)
-                cands.push_back(k);
-        std::stable_sort(cands.begin(), cands.end(),
+    // Emit chains best-first.  Each candidate head may yield several
+    // HSPs: when a relay's band shift exceeds the cap the walk restarts
+    // from the far side, constrained to earlier subject columns.
+    void harvest(std::vector<Hsp>& ts, int64_t cutoff) const {
+        std::vector<int32_t> heads;
+        for (int32_t k = 0; k < (int32_t)anchors.size(); ++k)
+            if (anchors[k].peak_gain() >= cutoff)
+                heads.push_back(k);
+        std::stable_sort(heads.begin(), heads.end(),
                          [&](int32_t a, int32_t b) {
-                             return nodes[a].rel_score() >
-                                    nodes[b].rel_score();
+                             return anchors[a].peak_gain() >
+                                    anchors[b].peak_gain();
                          });
-        int64_t t_begin = ts.size();
-        for (const int32_t k : cands) {
-            const Node& d = nodes[k];
-            if (disjoint(ts, t_begin, d.i, d.query_end(), d.j,
-                         d.subject_end(), d.score, cutoff))
-                backtrace_node(k, ts, t_begin, cutoff);
-        }
-    }
-
-    // reference greedy_align.cpp:56-70 — one node per diagonal run start
-    void load(const Seg* segs, int64_t n) {
-        int64_t d = I64_MIN;
-        int64_t max_j_end = I64_MIN;
-        for (int64_t k = 0; k < n; ++k) {
-            const Seg& s = segs[k];
-            const int64_t d2 = s.diag();
-            if (d2 != d) {
-                d = d2;
-                nodes.push_back(Node{s.i, s.j, s.len, s.score, s.score,
-                                     s.score, s.score, {}});
-                max_j_end = nodes.back().subject_end();
-            } else if (max_j_end < s.j) {
-                nodes.push_back(Node{s.i, s.j, s.len, s.score, s.score,
-                                     s.score, s.score, {}});
-                max_j_end = std::max(max_j_end, nodes.back().subject_end());
+        const int64_t first = ts.size();
+        for (const int32_t k : heads) {
+            const Anchor& a = anchors[k];
+            if (!admissible(ts, first, a.qa, a.qe(), a.sa, a.se(), a.score,
+                            cutoff))
+                continue;
+            int64_t s_limit = subject_len;
+            int32_t head = k;
+            while (head >= 0) {
+                Hsp t;
+                int32_t next_head;
+                walk_chain(head, s_limit, t, next_head);
+                if (t.score > 0)
+                    s_limit = t.subject_begin;
+                if (t.score >= cutoff &&
+                    admissible(ts, first, t.query_begin, t.query_end,
+                               t.subject_begin, t.subject_end, t.score,
+                               cutoff))
+                    ts.push_back(t);
+                head = next_head;
             }
         }
     }
 
-    // reference greedy_align.cpp:100-122 (chaining-range-cover 8)
+    // One anchor per diagonal run start: segments arrive sorted by
+    // (diagonal, subject); consecutive same-diagonal segments collapse
+    // unless they start beyond the running subject extent.
+    void load(const Seg* segs, int64_t count) {
+        int64_t dg = I64_MIN;
+        int64_t reach = I64_MIN;
+        for (int64_t k = 0; k < count; ++k) {
+            const Seg& seg = segs[k];
+            const int64_t d2 = seg.diag();
+            if (d2 != dg) {
+                dg = d2;
+                anchors.push_back(Anchor{seg.i, seg.j, seg.len, seg.score,
+                                         seg.score, seg.score, seg.score,
+                                         {}});
+                reach = anchors.back().se();
+            } else if (reach < seg.j) {
+                anchors.push_back(Anchor{seg.i, seg.j, seg.len, seg.score,
+                                         seg.score, seg.score, seg.score,
+                                         {}});
+                reach = std::max(reach, anchors.back().se());
+            }
+        }
+    }
+
+    // Drop anchors dominated by more than COVER_CAP stronger anchors
+    // covering the same subject range; the eviction order of the
+    // running window fixes the final anchor order.
     void prune() {
-        std::vector<Node> finished;
-        std::vector<Node> window;
-        for (Node& d : nodes) {
-            int64_t n = 0;
-            std::vector<Node> w2;
-            for (Node& e : window) {
-                if (e.subject_end() > d.j) {
-                    if (e.score >= d.score && e.j <= d.j &&
-                        e.subject_end() >= d.subject_end())
-                        ++n;
-                    w2.push_back(std::move(e));
+        std::vector<Anchor> settled;
+        std::vector<Anchor> window;
+        for (Anchor& a : anchors) {
+            int64_t dominated = 0;
+            std::vector<Anchor> live;
+            for (Anchor& e : window) {
+                if (e.se() > a.sa) {
+                    if (e.score >= a.score && e.sa <= a.sa &&
+                        e.se() >= a.se())
+                        ++dominated;
+                    live.push_back(std::move(e));
                 } else {
-                    finished.push_back(std::move(e));
+                    settled.push_back(std::move(e));
                 }
             }
-            window = std::move(w2);
-            if (n <= RANGE_COVER)
-                window.push_back(std::move(d));
+            window = std::move(live);
+            if (dominated <= COVER_CAP)
+                window.push_back(std::move(a));
         }
-        for (Node& e : window)
-            finished.push_back(std::move(e));
-        nodes = std::move(finished);
+        for (Anchor& e : window)
+            settled.push_back(std::move(e));
+        anchors = std::move(settled);
     }
 
-    // reference greedy_align.cpp:362-391 Aligner::run
-    void run(const Seg* segs, int64_t n, std::vector<Hsp>& ts) {
-        load(segs, n);
-        if ((int64_t)nodes.size() > 200) {
-            std::vector<int32_t> order(nodes.size());
+    // Full pipeline: load anchors, cap the anchor count by cumulative
+    // length (2x query length, floor 200), order by (subject, query),
+    // prune, sweep, harvest.
+    void chain(const Seg* segs, int64_t count, std::vector<Hsp>& ts) {
+        load(segs, count);
+        if ((int64_t)anchors.size() > 200) {
+            std::vector<int32_t> order(anchors.size());
             for (size_t k = 0; k < order.size(); ++k)
                 order[k] = (int32_t)k;
             std::stable_sort(order.begin(), order.end(),
                              [&](int32_t a, int32_t b) {
-                                 return nodes[a].score > nodes[b].score;
+                                 return anchors[a].score >
+                                        anchors[b].score;
                              });
-            const double cap = (double)query_len * 2.0;
-            double total = 0.0;
-            int64_t it = 0;
-            while (it < (int64_t)order.size() && total < cap) {
-                total += (double)nodes[order[it]].len;
-                ++it;
+            const double budget = (double)query_len * 2.0;
+            double used = 0.0;
+            int64_t take = 0;
+            while (take < (int64_t)order.size() && used < budget) {
+                used += (double)anchors[order[take]].n;
+                ++take;
             }
-            order.resize(std::max(int64_t(200), it));
+            order.resize(std::max(int64_t(200), take));
             std::sort(order.begin(), order.end());
-            std::vector<Node> kept;
+            std::vector<Anchor> kept;
             kept.reserve(order.size());
             for (const int32_t k : order)
-                kept.push_back(std::move(nodes[k]));
-            nodes = std::move(kept);
+                kept.push_back(std::move(anchors[k]));
+            anchors = std::move(kept);
         }
-        std::stable_sort(nodes.begin(), nodes.end(),
-                         [](const Node& a, const Node& b) {
-                             return a.j != b.j ? a.j < b.j : a.i < b.i;
+        std::stable_sort(anchors.begin(), anchors.end(),
+                         [](const Anchor& a, const Anchor& b) {
+                             return a.sa != b.sa ? a.sa < b.sa
+                                                 : a.qa < b.qa;
                          });
         prune();
-        forward_pass(SPACE_PENALTY);
-        backtrace(ts, CHAIN_CUTOFF);
+        sweep(DRIFT_COST);
+        harvest(ts, CHAIN_CUTOFF);
     }
 };
 
@@ -576,9 +620,9 @@ inline int64_t merge_score(const Hsp& h1, const Hsp& h2) {
     const int64_t s = h1.score + h2.score;
     if (gq > gt)
         return (int64_t)((double)s - (double)gq * GAP_PENALTY -
-                         (double)gt * SPACE_PENALTY);
+                         (double)gt * DRIFT_COST);
     return (int64_t)((double)s - (double)gt * GAP_PENALTY -
-                     (double)gq * SPACE_PENALTY);
+                     (double)gq * DRIFT_COST);
 }
 
 inline Hsp merge2(const Hsp& h1, const Hsp& h2) {
@@ -609,12 +653,9 @@ void merge_hsps(std::vector<Hsp>& out) {
     }
 }
 
-}  // namespace
-
-// Chaining::run for one target (reference greedy_align.cpp:482-497):
-// a single segment passes through uncut; multiple run the graph aligner
-// then merge_hsps.  Appends to ts.
-namespace {
+// Chaining for one target (reference greedy_align.cpp:482-497
+// Chaining::run): a single segment passes through uncut; multiple run
+// the graph chainer then merge_hsps.  Appends to ts.
 void chain_one(const int8_t* query, const int8_t* subject,
                const int32_t* matrix32, int64_t gap_open, int64_t gap_extend,
                int64_t query_len, int64_t subject_len, Seg* segs, int64_t n,
@@ -631,11 +672,12 @@ void chain_one(const int8_t* query, const int8_t* subject,
         const int64_t da = a.diag(), db = b.diag();
         return da != db ? da < db : a.j < b.j;
     });
-    Aligner al{query, subject, matrix32, gap_open, gap_extend, query_len,
+    Chainer ch{query, subject, matrix32, gap_open, gap_extend, query_len,
                subject_len, {}};
-    al.run(segs, n, ts);
+    ch.chain(segs, n, ts);
     merge_hsps(ts);
 }
+
 }  // namespace
 
 // Fused first-round extension stage for one query over a chunk of
@@ -646,7 +688,7 @@ void chain_one(const int8_t* query, const int8_t* subject,
 // score, and ApproxHsp rows [d_min, d_max, score, qb, qe, sb, se] in CSR
 // (out_start[nt+1], out_hsp capacity = total hit count).  Returns total
 // HSP rows written, or -1 if the output would exceed `cap` rows (the
-// caller falls back to the Python oracle; the backtrace can in rare
+// caller falls back to the Python oracle; the harvest can in rare
 // cases emit more HSPs than seed hits).
 extern "C" int64_t ungapped_stage_many(
     const int8_t* q,           // padded query view (letters + q_start)

@@ -2,21 +2,12 @@
 
 Each case is a full data.faa self-search (~15 s on CPU after the round-2
 native hot paths; was ~8-10 min), gated behind RUN_EXTENDED_GOLDENS=1 so
-the default suite stays short on slow windows of this time-shared host.  All configurations below were
-verified byte-identical to the reference goldens except the documented
-2-line tie delta (see test_golden_e2e.test_blastp_more_sensitive_golden).
+the default suite stays short on slow windows of this time-shared host.
 
-Verified matrix (2026-08-16):
-  diamond-test-blastp-more-sensitive   2069/2071 (known delta)
-  diamond-test-blastp-very-sensitive   2399/2401 (known delta)
-  diamond-test-blastp-ultra-sensitive  2564/2566 (known delta)
-  diamond-test-blastp-evalue           2075/2077 (known delta)
-  diamond-test-blastp-comp-based-stats-0  2078/2080 (known delta)
-  diamond-test-blastp-comp-based-stats-2  2068/2070 (known delta)
-  diamond-test-blastp-comp-based-stats-3  2068/2070 (known delta)
-  diamond-test-blastp-comp-based-stats-4  2073/2075 (known delta)
-  diamond-test-blastp-query-indexed    == more-sensitive golden (same file)
-  diamond-test-blastp-target-parallel  == more-sensitive golden (same file)
+Every configuration below is byte-identical to the reference golden
+(the round-1 2-line BackwardCell tie delta was fixed by
+native/src/backward_stats.cc in round 2; these asserts are exact so any
+regression fails loudly).
 """
 import os
 
@@ -27,9 +18,6 @@ from test_golden_e2e import TD, golden, run_blastp
 pytestmark = pytest.mark.skipif(
     not os.environ.get("RUN_EXTENDED_GOLDENS"),
     reason="set RUN_EXTENDED_GOLDENS=1 (each case ~15 s - 2 min)")
-
-KNOWN_PAIR = {("XP_015783916.1", "XP_026225122.1"),
-              ("XP_026225122.1", "XP_015783916.1")}
 
 CASES = [
     ("diamond-test-blastp-very-sensitive.out", dict(sensitivity="very-sensitive", index_chunks=1)),
@@ -45,14 +33,7 @@ CASES = [
 @pytest.mark.parametrize("name,kw", CASES, ids=[c[0] for c in CASES])
 def test_extended_golden(name, kw):
     lines = run_blastp(f"{TD}/data.faa", f"{TD}/data.faa", **kw)
-    g = golden(name)
-    assert len(lines) == len(g)
-    diffs = [(a, b) for a, b in zip(lines, g) if a != b]
-    assert len(diffs) <= 2
-    for a, b in diffs:
-        fa, fb = a.split("\t"), b.split("\t")
-        assert (fa[0], fa[1]) in KNOWN_PAIR
-        assert fa[:4] == fb[:4] and fa[6:] == fb[6:]
+    assert lines == golden(name)
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
