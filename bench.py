@@ -1,30 +1,89 @@
-"""Benchmark: end-to-end blastp queries/sec/chip (north star) + kernel GCUPS.
+"""Benchmark: end-to-end blastp queries/sec (north star) + kernel GCUPS.
 
 Prints ONE JSON line.  Headline metric: queries/sec for a default-
 sensitivity blastp of the reference's nr_10k fixture against itself
-(10,000 queries x 10,000 targets, 4M letters each side) on this machine's
-default JAX device, with the TPU wave driver active when a chip is
-attached.  vs_baseline is measured against the reference DIAMOND binary
-(/tmp/dbuild/diamond) run on the same inputs on this host with 1 thread
-(the host has 1 core); extra fields carry the kernel GCUPS and the
-reference timing so the judge can normalize differently.
+(10,000 queries x 10,000 targets, ~4M letters each side).
 
-The chip is time-shared through a tunnel: every timing is best-of-N.
+Three measurements, each honestly labeled:
+
+- e2e (headline `value`): the production configuration on this machine —
+  the cost router picks the DP engine per job, and on this dev host
+  (chip behind a ~1s network tunnel) it prices every extension job onto
+  the host C++ engines.  `extra.e2e.dp_engine` says what actually ran.
+- device_forced: the same search with every DP job forced onto the TPU
+  (DIAMOND_TPU_DEVICE_DP=1, DIAMOND_TPU_DP_MIN_CELLS=0,
+  DIAMOND_TPU_STAGE12=1) on a query slice, with the device call count,
+  measured per-dispatch latency, and the derived co-located projection
+  t_coloc = t - calls x (latency - 100us): what this run would cost on a
+  normally-deployed (co-located) chip where dispatch is ~100us.
+- kernel: banded-SWIPE device kernel GCUPS (batch 2048 x 512 x band 128).
+
+`vs_baseline` is ALWAYS the e2e ratio ours_qps / reference_qps for the
+reference DIAMOND binary on the same inputs with 1 thread (this host has
+1 core).  The binary is timed live when present at /tmp/dbuild/diamond;
+otherwise the committed recording below (same host, same inputs, date
+stamped) is used and `extra.reference.source` says so.  It NEVER falls
+back to a kernel ratio.
+
+The chip is time-shared through a tunnel and the host core is
+time-shared too: every timing is best-of-N; user time rides along.
 """
 import json
 import os
 import subprocess
+import sys
 import time
 
-import numpy as np
-
-BASELINE_GCUPS = 40.0
 TD = "/root/reference/src/test"
 REF_BIN = "/tmp/dbuild/diamond"
 
+# REFBENCH.json records the reference binary's timing whenever it is
+# measured live (same host, same inputs, date-stamped); a later
+# binary-less run reports the e2e ratio from it with
+# extra.reference.source = "recorded <date>".  Re-measure by rebuilding
+# the binary (see .claude/skills/verify/SKILL.md) and rerunning bench.py.
+_REF_RECORD_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "REFBENCH.json")
 
-def _kernel_gcups():
+
+# ---------------------------------------------------------------------------
+# child modes (each runs in its own subprocess so env routing is clean and
+# a stalled chip cannot take the whole benchmark down)
+# ---------------------------------------------------------------------------
+
+def _load_blocks(n_queries=None):
+    from diamond_tpu.data.blastdb import BlastDB
+    from diamond_tpu.data.block import Block
+
+    ids, seqs = BlastDB(f"{TD}/blast/nr_10k").load()
+    tb = Block.from_sequences(seqs, ids)
+    if n_queries is not None:
+        ids, seqs = ids[:n_queries], seqs[:n_queries]
+    qb = Block.from_sequences(seqs, ids)  # independent copy (masked in place)
+    return qb, tb
+
+
+def _search(qb, tb):
+    import resource
+
+    from diamond_tpu.output.tabular import format_results
+    from diamond_tpu.search.config import SearchConfig
+    from diamond_tpu.search.pipeline import Pipeline
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    u0 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
+    t0 = time.perf_counter()
+    cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"), sensitivity="default")
+    res = Pipeline(cfg, qb, tb).search()
+    lines = list(format_results(res, qb, tb))
+    u1 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
+    return time.perf_counter() - t0, u1 - u0, lines
+
+
+def _child_kernel():
+    """Kernel GCUPS on the default backend; prints 'GCUPS <v> <backend>'."""
     import jax
+    import numpy as np
 
     from diamond_tpu.ops.swipe_pallas import (banded_swipe_pallas,
                                               prepare_pallas_batch)
@@ -52,39 +111,118 @@ def _kernel_gcups():
             jax.block_until_ready(run())
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_iter)
     cells = float(B) * tgt.shape[0] * band_
-    return cells / best_dt / 1e9
+    print("GCUPS", cells / best_dt / 1e9, jax.default_backend())
 
 
-def _load_blocks():
-    from diamond_tpu.data.blastdb import BlastDB
-    from diamond_tpu.data.block import Block
+def _out_hash(lines):
+    import hashlib
 
-    ids, seqs = BlastDB(f"{TD}/blast/nr_10k").load()
-    tb = Block.from_sequences(seqs, ids)
-    qb = Block.from_sequences(seqs, ids)  # independent copy (masked in place)
-    return qb, tb
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
-def _run_ours(qb, tb):
-    import resource
-
-    from diamond_tpu.output.tabular import format_results
-    from diamond_tpu.search.config import SearchConfig
-    from diamond_tpu.search.pipeline import Pipeline
-    from diamond_tpu.stats.score_matrix import ScoreMatrix
-
-    u0 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
+def _child_e2e_host(budget_s=420.0, reps=3, n_queries=None):
+    """Host-routed e2e, best-of-reps inside one process; prints JSON."""
+    os.environ["DIAMOND_TPU_DEVICE_DP"] = "0"
+    best = best_user = None
+    lines = None
     t0 = time.perf_counter()
-    cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"), sensitivity="default")
-    pipe = Pipeline(cfg, qb, tb)
-    res = pipe.search()
-    lines = list(format_results(res, qb, tb))
-    u1 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
-    return time.perf_counter() - t0, u1 - u0, lines
+    nq = 0
+    for _ in range(reps):
+        qb, tb = _load_blocks(n_queries)
+        nq = len(qb)
+        dt, du, lines = _search(qb, tb)
+        best = dt if best is None else min(best, dt)
+        best_user = du if best_user is None else min(best_user, du)
+        if time.perf_counter() - t0 > budget_s:
+            break
+    print(json.dumps({
+        "seconds": round(best, 2), "user_seconds": round(best_user, 2),
+        "n_queries": nq, "n_output_lines": len(lines),
+        "output_sha": _out_hash(lines),
+        "dp_engine": "host-native-c++ (cost-routed)"}))
+
+
+def _child_e2e_device(n_queries=1024):
+    """Device-forced e2e on a query slice; prints JSON with dispatch
+    accounting.  Every DP job and the stage-1/2 seeding filter run on
+    the chip regardless of the cost router."""
+    os.environ["DIAMOND_TPU_DEVICE_DP"] = "1"
+    os.environ["DIAMOND_TPU_DP_MIN_CELLS"] = "0"
+    os.environ["DIAMOND_TPU_STAGE12"] = "1"
+    from diamond_tpu.utils.device import probe_default_backend
+
+    backend = probe_default_backend()
+    if backend not in ("tpu",):
+        print(json.dumps({"skipped": f"no tpu (backend={backend})"}))
+        return
+    from diamond_tpu.ops import stage12_jax, swipe_device
+
+    swipe_device.reset_dispatch_stats()
+    stage12_jax.reset_dispatch_stats()
+    qb, tb = _load_blocks(n_queries)
+    dt, du, lines = _search(qb, tb)
+    print(json.dumps({
+        "seconds": round(dt, 2), "user_seconds": round(du, 2),
+        "n_queries": len(qb), "n_output_lines": len(lines),
+        "output_sha": _out_hash(lines),
+        "dp_engine": "tpu (forced: DP_MIN_CELLS=0, STAGE12=1)",
+        "dp_calls": swipe_device.dispatch_count,
+        "dp_padded_cells": swipe_device.dispatch_cells,
+        "dp_wait_s": round(swipe_device.dispatch_wait_s, 2),
+        "stage12_calls": stage12_jax.dispatch_count,
+        "stage12_pairs": stage12_jax.dispatch_pairs,
+        "stage12_wait_s": round(stage12_jax.dispatch_wait_s, 2)}))
+
+
+# ---------------------------------------------------------------------------
+# parent orchestration
+# ---------------------------------------------------------------------------
+
+def _run_child(args, timeout_s, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                           capture_output=True, text=True, timeout=timeout_s,
+                           cwd=os.path.dirname(os.path.abspath(__file__)),
+                           env=e)
+        return r.stdout
+    except subprocess.TimeoutExpired:
+        return None
+
+
+def _parse_json_line(out):
+    if not out:
+        return None
+    for ln in reversed(out.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                return json.loads(ln)
+            except ValueError:
+                pass
+    return None
+
+
+def _kernel_gcups_guarded(timeout_s=360, force_cpu=False):
+    env = ({"JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu"}
+           if force_cpu else None)
+    out = _run_child(["_kernel"], timeout_s, env)
+    if out:
+        for ln in out.splitlines():
+            if ln.startswith("GCUPS "):
+                parts = ln.split()
+                try:
+                    return float(parts[1]), parts[2]
+                except (ValueError, IndexError):
+                    pass
+    return None
 
 
 def _ref_seconds():
-    """Reference binary on the same inputs, 1 thread; None if unavailable."""
+    """Reference binary on the same inputs, 1 thread, best of 3; None if
+    the binary is unavailable."""
     if not os.path.exists(REF_BIN):
         return None
     qf = "/tmp/dtpu_bench_nr10k.faa"
@@ -111,92 +249,126 @@ def _ref_seconds():
         if r.returncode != 0:
             return None
         best = dt if best is None else min(best, dt)
+    # refresh the committed recording so a later binary-less run can
+    # still report an e2e ratio (with source labeled "recorded")
+    try:
+        with open(_REF_RECORD_FILE, "w") as f:
+            json.dump({"seconds": round(best, 2),
+                       "date": time.strftime("%Y-%m-%d"),
+                       "binary": "diamond v2.2.2 (cmake Release, this host)",
+                       "cmd": "blastp nr_10k self-search -p1 -f6",
+                       "host": "1-core time-shared dev host"}, f)
+    except OSError:
+        pass
     return best
 
 
-def _kernel_gcups_guarded(timeout_s=360):
-    """Kernel GCUPS + backend name in a subprocess under a hard timeout:
-    the tunneled chip is time-shared and can stall for minutes (even
-    jax.default_backend() can hang on it) — a stuck chip must not take
-    the whole benchmark down, so the parent process never touches jax."""
-    import sys
-
-    code = ("import jax, bench; "
-            "b = jax.default_backend(); "
-            "print('GCUPS', bench._kernel_gcups(), b)")
+def _ref_recorded():
     try:
-        r = subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(
-            os.path.abspath(__file__)), capture_output=True, text=True,
-            timeout=timeout_s)
-        for ln in r.stdout.splitlines():
-            if ln.startswith("GCUPS "):
-                parts = ln.split()
-                return float(parts[1]), parts[2]
-    except (subprocess.TimeoutExpired, ValueError, OSError, IndexError):
-        pass
-    return None
+        with open(_REF_RECORD_FILE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def main():
-    r = _kernel_gcups_guarded()
-    gcups, backend = (r if r else (None, None))
-    if gcups is None:
-        # chip unreachable/stalled: measure on CPU so the field exists,
-        # and keep the e2e DP on the host C++ path (cost routing would
-        # stall on the same chip)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["JAX_PLATFORM_NAME"] = "cpu"
-        os.environ["DIAMOND_TPU_DEVICE_DP"] = "0"
-        backend = "cpu (chip stalled)"
-        r = _kernel_gcups_guarded(timeout_s=300)
-        gcups = r[0] if r else 0.0
-    # e2e always runs the host DP engines here: this chip sits behind a
-    # time-shared tunnel whose per-dispatch latency (1.4 s to minutes)
-    # would otherwise dominate — exactly what the production cost router
-    # (DIAMOND_TPU_DP_MIN_CELLS) concludes.  The chip's kernel rate is
-    # the guarded GCUPS row above; on a co-located chip the wave driver
-    # runs device DP by default (see PERF.md).
-    os.environ.setdefault("DIAMOND_TPU_DEVICE_DP", "0")
-    qb, tb = _load_blocks()
-    n_queries = len(qb)
-    # the host CPU is time-shared (kdamond reclaim + other tenants):
-    # wall clock varies up to 5x between identical runs, so take the
-    # best of 3 and carry user time alongside for the judge
-    best = None
-    best_user = None
-    lines = None
-    t_budget0 = time.perf_counter()
-    for rep in range(3):
-        qb2, tb2 = _load_blocks()
-        dt, du, lines = _run_ours(qb2, tb2)
-        best = dt if best is None else min(best, dt)
-        best_user = du if best_user is None else min(best_user, du)
-        # tunneled-chip runs are slow; don't let best-of-3 blow the
-        # driver's budget
-        if time.perf_counter() - t_budget0 > 420 and rep >= 0:
-            break
-    qps = n_queries / best
+    # 1) kernel rate (guarded: the tunneled chip can stall for minutes)
+    kr = _kernel_gcups_guarded()
+    if kr is None:
+        kr = _kernel_gcups_guarded(timeout_s=300, force_cpu=True)
+        kernel = ({"banded_swipe_gcups": round(kr[0], 2),
+                   "backend": "cpu (chip stalled)"} if kr else None)
+        chip_ok = False
+    else:
+        kernel = {"banded_swipe_gcups": round(kr[0], 2), "backend": kr[1]}
+        chip_ok = kr[1] == "tpu"
+
+    # 2) host-routed e2e (the production routing on this host)
+    e2e = _parse_json_line(_run_child(
+        ["_e2e", "host"], 900,
+        {"DIAMOND_TPU_DEVICE_DP": "0"}))
+
+    # 3) device-forced e2e with dispatch accounting (only when the chip
+    #    answers; a query slice keeps the tunneled run inside the budget)
+    dev = None
+    if chip_ok:
+        n_dev = int(os.environ.get("DIAMOND_TPU_BENCH_DEV_QUERIES", "1024"))
+        dev = _parse_json_line(_run_child(
+            ["_e2e", "device", str(n_dev)], 900))
+        if dev and "seconds" in dev:
+            # co-located projection: on a normally-deployed chip the host
+            # waits only for kernel compute (+ ~100us dispatch per call),
+            # not the tunnel's transfer/time-share stalls.  Compute time
+            # is padded cells at the measured kernel rate.
+            gcups = kernel["banded_swipe_gcups"] if kernel else 0.0
+            calls = dev["dp_calls"] + dev["stage12_calls"]
+            wait = dev["dp_wait_s"] + dev["stage12_wait_s"]
+            compute = (dev["dp_padded_cells"] / (gcups * 1e9)
+                       if gcups else 0.0)
+            proj = max(dev["seconds"] - wait, 0.0) + compute + calls * 1e-4
+            dev["tunnel_overhead_s"] = round(max(wait - compute, 0.0), 2)
+            dev["kernel_compute_s"] = round(compute, 2)
+            dev["colocated_projection_seconds"] = round(proj, 2)
+            dev["colocated_projection_qps"] = (
+                round(dev["n_queries"] / proj, 2) if proj > 0 else None)
+            dev["note"] = ("projection replaces measured device-wait "
+                           "(tunnel transfers + time-sharing) with padded-"
+                           "cell compute at the measured kernel rate plus "
+                           "100us dispatch per call — the co-located "
+                           "deployment this design targets")
+            # parity: the same query slice through the host engines must
+            # produce byte-identical output
+            hs = _parse_json_line(_run_child(
+                ["_e2e", "host", str(n_dev)], 420,
+                {"DIAMOND_TPU_DEVICE_DP": "0"}))
+            if hs:
+                dev["output_matches_host"] = (hs.get("output_sha")
+                                              == dev.get("output_sha"))
+                dev["host_seconds_same_slice"] = hs["seconds"]
+
+    # 4) reference ratio: live binary, else the committed recording
     ref_dt = _ref_seconds()
-    vs = round(qps / (n_queries / ref_dt), 3) if ref_dt else None
+    ref_src = "live"
+    if ref_dt is None:
+        rec = _ref_recorded()
+        if rec:
+            ref_dt, ref_src = rec["seconds"], f"recorded {rec['date']}"
+
+    vs = None
+    reference = {"source": None, "seconds": None, "qps": None}
+    if e2e and ref_dt:
+        ref_qps = e2e["n_queries"] / ref_dt
+        vs = round((e2e["n_queries"] / e2e["seconds"]) / ref_qps, 3)
+        reference = {"source": ref_src, "seconds": round(ref_dt, 2),
+                     "qps": round(ref_qps, 2)}
+
+    qps = round(e2e["n_queries"] / e2e["seconds"], 2) if e2e else 0.0
     print(json.dumps({
         "metric": "blastp_nr10k_self_qps",
-        "value": round(qps, 2),
-        "unit": "queries/s/chip",
-        "vs_baseline": vs if vs is not None else round(gcups / BASELINE_GCUPS, 2),
+        "value": qps,
+        "unit": "queries/s",
+        "vs_baseline": vs,
         "extra": {
-            "backend": backend,
-            "seconds": round(best, 2),
-            "n_queries": n_queries,
-            "n_output_lines": len(lines) if lines else 0,
-            "user_seconds": round(best_user, 2),
-            "banded_swipe_kernel_gcups": round(gcups, 2),
-            "kernel_vs_40gcups_core": round(gcups / BASELINE_GCUPS, 2),
-            "reference_1core_seconds": round(ref_dt, 2) if ref_dt else None,
-            "reference_1core_qps": (round(n_queries / ref_dt, 2)
-                                    if ref_dt else None),
+            "e2e": e2e,
+            "device_forced": dev,
+            "kernel": kernel,
+            "reference": reference,
+            "vs_baseline_meaning": ("ours_qps / reference_binary_qps on "
+                                    "the same host+inputs (e2e ratio; "
+                                    "null when no reference timing "
+                                    "exists — never a kernel ratio)"),
         },
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "_kernel":
+        _child_kernel()
+    elif len(sys.argv) > 1 and sys.argv[1] == "_e2e":
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        if sys.argv[2] == "host":
+            _child_e2e_host(n_queries=n)
+        else:
+            _child_e2e_device(n if n is not None else 1024)
+    else:
+        main()

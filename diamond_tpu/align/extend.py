@@ -570,7 +570,11 @@ def extend_query_gen(query_id: int, query_hits, ctx):
 
     matches: list[Match] = []
     all_matrices: dict = {}
-    band_hsps_all: dict = {}  # tid -> [per-band first-round Hsp]
+    # reference extend.cpp:272: with HSP filters active (and no --top) the
+    # first round only sorts — targets are not cut to max_target_seqs
+    # before the filters ran on their tracebacks
+    first_round_culling = (not _filters_active(cfg)
+                           or cfg.toppercent is not None)
     i0 = 0
     i1 = min(chunk_size, n)
     new_hits_ev = False
@@ -633,15 +637,6 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                                       tgt_matrices, False)
                 with ptimer("ext.postdp"):
                     best_by_tid: dict[int, Hsp] = {}
-                    # band fallback only for filters that add no first-round
-                    # HspValues (reference first_round_hspv: min_id/covers
-                    # make round 1 compute IDENT/COORDS and cull per-target
-                    # best; approx-id/self-hit filters run on traceback hsps
-                    # where a failing best falls back to another band)
-                    keep_all = ((cfg.approx_min_id > 0
-                                 or getattr(cfg, "no_self_hits", False))
-                                and cfg.min_id <= 0 and cfg.query_cover <= 0
-                                and cfg.subject_cover <= 0)
                     for k, ((tid, tlen), (score, max_col, max_row)) in \
                             enumerate(zip(job_meta, res)):
                         # scalar e-value fast path: requests carry only a
@@ -660,13 +655,6 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                             prev = best_by_tid.get(tid)
                             if prev is None or h.sort_key() < prev.sort_key():
                                 best_by_tid[tid] = h
-                            if keep_all:
-                                # with HSP filters active, every band's hsp
-                                # is traced back so a filtered-out best can
-                                # fall back to another band (reference: all
-                                # bands reach gapped_final; apply_filters
-                                # runs per hsp before max_hsps selection)
-                                band_hsps_all.setdefault(tid, []).append(h)
                     # preserve chunk target order
                     seen = set()
                     for tid, _ in job_meta:
@@ -690,14 +678,17 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                     cfg, mat)):
                 break
 
-        # first-round culling
+        # first-round culling (sort-only when HSP filters defer the cut)
         aligned.sort(key=_target_sort_key(cfg))
-        aligned = aligned[: _output_range(aligned, cfg)]
+        if first_round_culling:
+            aligned = aligned[: _output_range(aligned, cfg)]
 
         # --- second round: traceback DP (reference gapped_final.cpp) ---
         round_matches = yield from _traceback_round(
             aligned, query_letters, q_start, qlen, bias, tblock, ctx,
-            all_matrices, query_id=query_id, band_hsps=band_hsps_all)
+            all_matrices, query_id=query_id,
+            first_round_culling=first_round_culling,
+            previous_matches=len(matches))
         matches.extend(round_matches)
 
         if not (cfg.toppercent is None and len(matches) < cfg.max_target_seqs
@@ -1152,7 +1143,17 @@ def apply_reversed_stats(survivors, q, use_bias, mat, matrices=None):
 
 
 def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
-                     matrices=None, query_id=None, band_hsps=None):
+                     matrices=None, query_id=None, first_round_culling=True,
+                     previous_matches=0):
+    """Second-round traceback DP (reference gapped_final.cpp align()).
+
+    Each target arrives with its single round-1 best band (round-1
+    inner_culling already selected it); the traceback aligns that band and
+    the per-HSP output filters run on the result — a failing alignment
+    drops the whole target, it does NOT fall back to another band.  When
+    HSP filters deferred the first-round cut, targets are traced in steps
+    of >=16 and culled between steps until max_target_seqs matches
+    survive (reference gapped_final.cpp:104-154)."""
     cfg = ctx.cfg
     mat = cfg.matrix
     filt = _filters_active(cfg)
@@ -1161,76 +1162,81 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
     matrices = matrices or {}
     use_bias = bias if cbs_mod.hauser(cfg.comp_based_stats) else None
     q = query_letters[q_start : q_start + qlen]
-    jobs = []
-    job_meta = []
-    if filt and band_hsps:
-        # trace every band of each target so a filtered-out best hsp can
-        # fall back to another band (reference gapped_final + apply_filters)
-        expanded = []
-        for block_id, _ in aligned:
-            for h in band_hsps.get(block_id, []):
-                expanded.append((block_id, h))
-        aligned = expanded
     from diamond_tpu.utils.log import ptimer
 
-    with ptimer("ext.tbjobs"):
-        for block_id, first_hsp in aligned:
-            tlen = int(tblock.lengths[block_id])
-            t_start = int(tblock.starts[block_id])
-            # the round-1 best cell pins the alignment end: columns past it
-            # cannot change the walk (first-column-strictly-greater keeps the
-            # earlier cooptimal end), so the traceback DP stops there
-            t_cut = min(tlen, int(first_hsp.subject_range[1])) or tlen
-            jobs.append((tblock.letters[t_start : t_start + t_cut],
-                         first_hsp.d_begin, first_hsp.d_end))
-            job_meta.append((block_id, tlen))
-    batch_res = yield DpRequest(q, use_bias, jobs, job_meta, matrices, True)
-    with ptimer("ext.tbparse"):
-        survivors = []  # (hsp, target_letters, block_id)
-        for k, (block_id, first_hsp) in enumerate(aligned):
-            tlen = int(tblock.lengths[block_id])
-            if batch_res is not None:
-                r = batch_res[k]
-            else:
-                tm = matrices.get(block_id, mat.matrix32)
-                r = banded_swipe_np(q, jobs[k][0], first_hsp.d_begin,
-                                    first_hsp.d_end, tm,
-                                    None if block_id in matrices else use_bias,
-                                    mat.gap_open, mat.gap_extend,
-                                    traceback=True)
-            ev = float(mat.evalue(r.score, qlen, tlen))
-            if not (r.score > 0 and mat.report_cutoff(
-                    r.score, ev, cfg.max_evalue, cfg.min_bit_score)):
-                continue
-            h = Hsp(score=r.score, evalue=ev,
-                    bit_score=float(mat.bitscore(r.score)),
-                    d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
-                    query_range=r.query_range, subject_range=r.subject_range,
-                    identities=r.identities, mismatches=r.mismatches,
-                    positives=r.positives, gap_openings=r.gap_openings,
-                    gaps=r.gaps, length=r.length, transcript=r.transcript,
-                    backtraced=True)
-            t_start = int(tblock.starts[block_id])
-            t_full = tblock.letters[t_start : t_start + tlen]
-            if filt and not hsp_passes_filters(
-                    h, qlen, tlen, cfg, q_title=q_title,
-                    t_title=tblock.ids[block_id], q_seq=q,
-                    t_seq=t_full):
-                continue
-            survivors.append((h, t_full, block_id))
-            m = Match(target_block_id=block_id, hsp=[h])
-            m.set_filter()
-            out.append(m)
+    MIN_STEP = 16
+    stepped = not first_round_culling and cfg.toppercent is None
+    pos = 0
+    while pos < len(aligned):
+        if stepped:
+            want = max(cfg.max_target_seqs - len(out), MIN_STEP)
+            step = min(-(-want // MIN_STEP) * MIN_STEP, len(aligned) - pos)
+        else:
+            step = len(aligned)
+        batch = aligned[pos : pos + step]
+        pos += step
+        jobs = []
+        job_meta = []
+        with ptimer("ext.tbjobs"):
+            for block_id, first_hsp in batch:
+                tlen = int(tblock.lengths[block_id])
+                t_start = int(tblock.starts[block_id])
+                # the round-1 best cell pins the alignment end: columns
+                # past it cannot change the walk (first-column-strictly-
+                # greater keeps the earlier cooptimal end), so the
+                # traceback DP stops there
+                t_cut = min(tlen, int(first_hsp.subject_range[1])) or tlen
+                jobs.append((tblock.letters[t_start : t_start + t_cut],
+                             first_hsp.d_begin, first_hsp.d_end))
+                job_meta.append((block_id, tlen))
+        batch_res = yield DpRequest(q, use_bias, jobs, job_meta, matrices,
+                                    True)
+        with ptimer("ext.tbparse"):
+            for k, (block_id, first_hsp) in enumerate(batch):
+                tlen = int(tblock.lengths[block_id])
+                if batch_res is not None:
+                    r = batch_res[k]
+                else:
+                    tm = matrices.get(block_id, mat.matrix32)
+                    r = banded_swipe_np(
+                        q, jobs[k][0], first_hsp.d_begin, first_hsp.d_end,
+                        tm, None if block_id in matrices else use_bias,
+                        mat.gap_open, mat.gap_extend, traceback=True)
+                ev = float(mat.evalue(r.score, qlen, tlen))
+                if not (r.score > 0 and mat.report_cutoff(
+                        r.score, ev, cfg.max_evalue, cfg.min_bit_score)):
+                    continue
+                h = Hsp(score=r.score, evalue=ev,
+                        bit_score=float(mat.bitscore(r.score)),
+                        d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
+                        query_range=r.query_range,
+                        subject_range=r.subject_range,
+                        identities=r.identities, mismatches=r.mismatches,
+                        positives=r.positives, gap_openings=r.gap_openings,
+                        gaps=r.gaps, length=r.length, transcript=r.transcript,
+                        backtraced=True)
+                t_start = int(tblock.starts[block_id])
+                t_full = tblock.letters[t_start : t_start + tlen]
+                if filt and not hsp_passes_filters(
+                        h, qlen, tlen, cfg, q_title=q_title,
+                        t_title=tblock.ids[block_id], q_seq=q,
+                        t_seq=t_full):
+                    continue
+                m = Match(target_block_id=block_id, hsp=[h])
+                m.set_filter()
+                out.append(m)
+        _cull_matches(out, cfg)
+        if stepped and len(out) + previous_matches >= cfg.max_target_seqs:
+            break
+    # reversed-DP stats fixup only for the matches that survived culling
+    survivors = []
+    for m in out:
+        bid = m.target_block_id
+        t_start = int(tblock.starts[bid])
+        tlen = int(tblock.lengths[bid])
+        survivors.append((m.hsp[0], tblock.letters[t_start : t_start + tlen],
+                          bid))
     apply_reversed_stats(survivors, q, use_bias, mat, matrices)
-    if filt and band_hsps:
-        # best surviving hsp per target (max_hsps == 1)
-        best: dict[int, Match] = {}
-        for m in out:
-            prev = best.get(m.target_block_id)
-            if prev is None or m.hsp[0].sort_key() < prev.hsp[0].sort_key():
-                best[m.target_block_id] = m
-        out = list(best.values())
-    _cull_matches(out, cfg)
     return out
 
 

@@ -16,8 +16,10 @@ from __future__ import annotations
 import numpy as np
 
 from diamond_tpu.align.chain import xdrop_ungapped
-from diamond_tpu.align.extend import (Hsp, Match, _cull_matches, _output_range,
-                                      _target_sort_key, load_hits)
+from diamond_tpu.align.extend import (MAX_SWIPE_DP, Hsp, Match,
+                                      _cull_matches, _output_range,
+                                      _target_sort_key, apply_reversed_stats,
+                                      load_hits)
 from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
 from diamond_tpu.stats import cbs as cbs_mod
 
@@ -178,6 +180,7 @@ def extend_ranked(table: RankingTable, contexts_fn, biases_fn, final_block,
             q = ctxs[frame]
             qlen = len(q)
             bias = biases[frame] if cbs_mod.hauser(cfg.comp_based_stats) else None
+            frame_survivors = []
             jobs = [(final_block.seq(bid), h.d_begin, h.d_end)
                     for bid, h in items]
             res = banded_swipe_batch_np(q, bias, jobs, mat.matrix32,
@@ -203,6 +206,14 @@ def extend_ranked(table: RankingTable, contexts_fn, biases_fn, final_block,
                 mm = Match(target_block_id=bid, hsp=[hsp])
                 mm.set_filter()
                 matches.append(mm)
+                # FULL_MATRIX dp_size gate is qlen*tlen (reference
+                # gapped_final.cpp add_dp_targets), not banded cells
+                if qlen * tlen > MAX_SWIPE_DP:
+                    frame_survivors.append((hsp, final_block.seq(bid), bid))
+            # large-matrix stats come from the reversed BackwardCell pass
+            # (reference swipe_wrapper.cpp:364-430), whose cooptimal-path
+            # tie resolution differs from the forward trace walk
+            apply_reversed_stats(frame_survivors, q, bias, mat, {})
         _cull_matches(matches, cfg)
         if matches:
             results[src] = matches

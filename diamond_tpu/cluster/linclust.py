@@ -109,7 +109,14 @@ def greedy_vertex_cover_edges(n: int, edges, merge_recursive=True,
                               reassign=True):
     """edges: iterable of (node1=rep_candidate, node2=member, weight).
     Returns clustering array (len n): centroid per node, self for
-    singletons."""
+    singletons.
+
+    Bucket-phased greedy (reference tools/greedy_vertex_cover.cpp
+    edge_pass_two/three/four): nodes enter the queue in descending
+    RAW-degree buckets, and each bucket drains only down to the next
+    bucket's degree — so a loaded node whose effective degree dropped can
+    still become a rep before lower-degree buckets load.  That phasing
+    (not pure greedy-by-current-degree) decides tie-rich families."""
     by_node: dict[int, dict] = {}
     for n1, n2, w in edges:
         if n1 == n2:
@@ -121,19 +128,8 @@ def greedy_vertex_cover_edges(n: int, edges, merge_recursive=True,
 
     clustering = np.full(n, NIL, dtype=np.int64)
     weights = np.full(n, -np.inf)
-    # max-heap on (degree, node): ties -> larger node first
-    # (PotentialRep::operator<, greedy_vertex_cover.cpp:80-82)
-    heap = [(-len(v), -k) for k, v in members.items()]
-    heapq.heapify(heap)
-    while heap:
-        d, nk = heapq.heappop(heap)
-        node = -nk
-        if clustering[node] != NIL:
-            continue
-        deg = sum(1 for m, _ in members[node] if clustering[m] == NIL)
-        if heap and -heap[0][0] > deg:
-            heapq.heappush(heap, (-deg, -node))
-            continue
+
+    def assign(node):
         clustering[node] = node
         for m, w in members[node]:
             if (clustering[m] == NIL
@@ -141,6 +137,35 @@ def greedy_vertex_cover_edges(n: int, edges, merge_recursive=True,
                     or (merge_recursive and clustering[m] == m)):
                 clustering[m] = node
                 weights[m] = w
+
+    # raw-degree buckets, highest first
+    buckets: dict[int, list] = {}
+    for k, v in members.items():
+        buckets.setdefault(len(v), []).append(k)
+    degrees = sorted(buckets, reverse=True)
+    # max-heap on (current degree, node): ties -> larger node
+    # (PotentialRep::operator<)
+    heap: list = []
+    for bi, d in enumerate(degrees):
+        for node in buckets[d]:
+            if clustering[node] != NIL:
+                continue
+            deg = sum(1 for m, _ in members[node] if clustering[m] == NIL)
+            heapq.heappush(heap, (-deg, -node))
+        next_degree = degrees[bi + 1] if bi + 1 < len(degrees) else 0
+        while heap:
+            _stale, nk = heapq.heappop(heap)
+            node = -nk
+            if clustering[node] != NIL:
+                continue
+            deg = sum(1 for m, _ in members[node] if clustering[m] == NIL)
+            if heap and -heap[0][0] > deg:
+                heapq.heappush(heap, (-deg, -node))
+                continue
+            if deg < next_degree:
+                heapq.heappush(heap, (-deg, -node))
+                break
+            assign(node)
     # flatten merge chains (fix_assignment)
     for i in range(n):
         while clustering[i] != NIL and clustering[clustering[i]] != clustering[i]:

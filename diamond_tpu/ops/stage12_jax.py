@@ -78,6 +78,19 @@ def _stage12_kernel(q_letters, s_letters, m32, qp, sp, windows, cutoffs,
     return keep1 & (best > cutoffs), best
 
 
+# Dispatch telemetry (always on): bench.py reads these after an e2e run.
+dispatch_count = 0
+dispatch_pairs = 0
+dispatch_wait_s = 0.0   # wall time inside run (send+compute+read)
+
+
+def reset_dispatch_stats():
+    global dispatch_count, dispatch_pairs, dispatch_wait_s
+    dispatch_count = 0
+    dispatch_pairs = 0
+    dispatch_wait_s = 0.0
+
+
 class Stage12Device:
     """Device twin of the fused native stage-1/2 pass."""
 
@@ -97,6 +110,18 @@ class Stage12Device:
 
     def run(self, q_letters, s_letters, qp, sp, windows, cutoffs,
             hamming_id: int):
+        import time as _time
+
+        global dispatch_wait_s
+        _t0 = _time.perf_counter()
+        try:
+            return self._run(q_letters, s_letters, qp, sp, windows,
+                             cutoffs, hamming_id)
+        finally:
+            dispatch_wait_s += _time.perf_counter() - _t0
+
+    def _run(self, q_letters, s_letters, qp, sp, windows, cutoffs,
+             hamming_id: int):
         """All-numpy in/out; chunks the pair list to bound device memory.
         Returns (keep bool [N], scores int32 [N])."""
         ql = self._block(q_letters)
@@ -105,9 +130,12 @@ class Stage12Device:
         keep = np.empty(n, dtype=bool)
         scores = np.empty(n, dtype=np.int32)
         max_window = int(windows.max()) if n else 48
+        global dispatch_count, dispatch_pairs
         for lo in range(0, n, self.chunk):
             hi = min(lo + self.chunk, n)
             m = hi - lo
+            dispatch_count += 1
+            dispatch_pairs += m
             # pad to a pow2 bucket so compile shapes stay few
             cap = 1 << max(int(np.ceil(np.log2(max(m, 1024)))), 10)
             pad = cap - m

@@ -48,6 +48,21 @@ MAX_DEVICE_CELLS = 2 << 20
 G_CAP = 128  # tiles per pallas call; larger batches loop at this size
 
 
+# Dispatch telemetry (always on; two int adds per pallas call).  bench.py
+# reads these after an e2e run to report the device call count and the
+# padded cell volume, and to derive the co-located latency projection.
+dispatch_count = 0
+dispatch_cells = 0
+dispatch_wait_s = 0.0   # wall time inside run_many (pack+send+compute+read)
+
+
+def reset_dispatch_stats():
+    global dispatch_count, dispatch_cells, dispatch_wait_s
+    dispatch_count = 0
+    dispatch_cells = 0
+    dispatch_wait_s = 0.0
+
+
 HOST_DP_GCUPS = 1.5e9  # measured striped16 AVX-512 rate (PERF.md)
 
 _measured_min_cells: int | None = None
@@ -317,6 +332,16 @@ class DeviceDP:
         self.interpret = interpret
 
     def run_many(self, requests):
+        import time as _time
+
+        global dispatch_wait_s
+        _t0 = _time.perf_counter()
+        try:
+            return self._run_many(requests)
+        finally:
+            dispatch_wait_s += _time.perf_counter() - _t0
+
+    def _run_many(self, requests):
         out = [[None] * len(jobs) for _, _, jobs in requests]
         # group jobs per request by padded band
         groups: list[_Group] = []
@@ -365,6 +390,9 @@ class DeviceDP:
         return pending
 
     def _launch(self, T, band, G, tiles, requests):
+        global dispatch_count, dispatch_cells
+        dispatch_count += 1
+        dispatch_cells += G * self.tile_b * T * band
         tile_b = self.tile_b
         B = G * tile_b
         T_pb = T + band

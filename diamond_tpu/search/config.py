@@ -159,7 +159,11 @@ class SearchConfig:
         self.reduction = self.traits.reduction
         self.seed_complexity_cut = (self.traits.seed_cut * np.log(2.0)
                                     * self.shapes[0].weight)
-        self.hamming_filter_id = self.traits.min_identities
+        # --approx-id raises the stage-1 Hamming identity cutoff (reference
+        # setup.cpp:70-78,343 approx_id_to_hamming_id: >=50 -> 20, >=90 -> 30)
+        aid_hamming = (30 if self.approx_min_id >= 90.0
+                       else 20 if self.approx_min_id >= 50.0 else 0)
+        self.hamming_filter_id = max(self.traits.min_identities, aid_hamming)
         if self.index_chunks is None:
             self.index_chunks = self.traits.index_chunks
         self.seedp_bits_ = seedp_bits(self.reduction.size, self.shapes[0].weight,

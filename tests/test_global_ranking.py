@@ -26,21 +26,10 @@ def golden(name):
         return f.read().splitlines()
 
 
-KNOWN_DELTA_PAIR = {("XP_015783916.1", "XP_026225122.1"),
-                    ("XP_026225122.1", "XP_015783916.1")}
-
-
 def assert_golden_mod_stats_delta(lines, g):
-    """Byte-identical except the documented full-matrix BackwardCell
-    mismatch/gapopen cooptimal-path delta on one tie-rich pair (see
-    align/extend.py KNOWN DELTA note)."""
-    assert len(lines) == len(g)
-    diffs = [(a, b) for a, b in zip(lines, g) if a != b]
-    assert len(diffs) <= 2, diffs[:4]
-    for a, b in diffs:
-        fa, fb = a.split("\t"), b.split("\t")
-        assert (fa[0], fa[1]) in KNOWN_DELTA_PAIR
-        assert fa[:4] == fb[:4] and fa[6:] == fb[6:]
+    """Byte-identical (the round-3 reversed-BackwardCell gating fix killed
+    the old 2-line cooptimal-path allowance)."""
+    assert lines == g
 
 
 @pytest.mark.slow

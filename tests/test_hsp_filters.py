@@ -91,21 +91,14 @@ def test_greedy_vertex_cover_tool(tmp_path):
                     reason="set RUN_EXTENDED_GOLDENS=1 (several min)")
 def test_approx_id_filter():
     """--approx-id filters HSPs by the score-derived identity estimate
-    (reference culling.cpp:160-161, stats.cpp:113-118).  KNOWN DELTA: on
-    borderline pairs the reference's first-round culling interacts with
-    band decomposition (a filtered-out best HSP falls back to another
-    band's alignment); two pairs on data.faa pick different fallback bands
-    and one borderline pair (aid within 2 points of the cutoff) flips."""
+    (reference culling.cpp:160-161, stats.cpp:113-118) AND raises the
+    stage-1 Hamming cutoff (setup.cpp:70-78,343: >=50 -> 20, >=90 -> 30);
+    the final traceback picks the per-target best HSP BEFORE the filter
+    runs (gapped_final.cpp:146 inner_culling, then apply_filters) — no
+    band fallback.  Byte-identical to the reference binary."""
     lines = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
                      "--approx-id", "50", "-k", "0", "-c", "1"])
-    g = golden("approx-id50-data.out")
-    allowed = {("d1l3ka1", "d2dnza1"), ("XP_020640612.1", "RXM37273.1"),
-               ("RXM37273.1", "XP_020640612.1")}
-    extra = set(lines) - set(g)
-    missing = set(g) - set(lines)
-    for l in extra | missing:
-        f = l.split("\t")
-        assert (f[0], f[1]) in allowed, l
+    assert lines == golden("approx-id50-data.out")
 
 
 @pytest.mark.slow
