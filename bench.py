@@ -123,6 +123,7 @@ def _out_hash(lines):
 def _child_e2e_host(budget_s=420.0, reps=3, n_queries=None):
     """Host-routed e2e, best-of-reps inside one process; prints JSON."""
     os.environ["DIAMOND_TPU_DEVICE_DP"] = "0"
+    os.environ["DIAMOND_TPU_STAGE12"] = "0"
     best = best_user = None
     lines = None
     t0 = time.perf_counter()
@@ -156,7 +157,9 @@ def _child_e2e_device(n_queries=1024):
         print(json.dumps({"skipped": f"no tpu (backend={backend})"}))
         return
     from diamond_tpu.ops import stage12_jax, swipe_device
+    from diamond_tpu.utils.device import measure_transfer_latency
 
+    xfer = measure_transfer_latency()
     swipe_device.reset_dispatch_stats()
     stage12_jax.reset_dispatch_stats()
     qb, tb = _load_blocks(n_queries)
@@ -171,7 +174,8 @@ def _child_e2e_device(n_queries=1024):
         "dp_wait_s": round(swipe_device.dispatch_wait_s, 2),
         "stage12_calls": stage12_jax.dispatch_count,
         "stage12_pairs": stage12_jax.dispatch_pairs,
-        "stage12_wait_s": round(stage12_jax.dispatch_wait_s, 2)}))
+        "stage12_wait_s": round(stage12_jax.dispatch_wait_s, 2),
+        "transfer_4mb_rtt_s": round(xfer, 4)}))
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,25 @@ def run_benchmark():
     cells = 64.0 * tgt3.shape[0] * band_f
     rows.append(("full-matrix SWIPE (pallas)", cells, dt))
 
+    # stage-1 fingerprint identity as one-hot MXU matmul (seeding hot
+    # loop 1; one "cell" = one fingerprint letter comparison)
+    from diamond_tpu.ops.stage12_jax import (TILE_Q, TILE_S,
+                                             _stage1_matmul_kernel)
+
+    L12 = 1 << 20
+    letters12 = rng.integers(0, 20, L12 + 512).astype(np.int8)
+    G12 = 512
+    qp_t = rng.integers(256, L12, (G12, TILE_Q)).astype(np.int32)
+    sp_t = rng.integers(256, L12, (G12, TILE_S)).astype(np.int32)
+    import jax.numpy as jnp
+
+    l12 = jnp.asarray(letters12)
+    qp_d, sp_d = jnp.asarray(qp_t), jnp.asarray(sp_t)
+    dt = _time(lambda: _stage1_matmul_kernel(l12, l12, qp_d, sp_d,
+                                             TILE_Q, TILE_S))
+    cells = float(G12) * TILE_Q * TILE_S * 48
+    rows.append(("stage1 fingerprint (MXU)", cells, dt))
+
     # host-native (C++) kernels, when the toolchain is available
     from diamond_tpu import native
 

@@ -83,6 +83,42 @@ dispatch_count = 0
 dispatch_pairs = 0
 dispatch_wait_s = 0.0   # wall time inside run (send+compute+read)
 
+# A seed group (all query occurrences x all target occurrences) with at
+# least this many candidate pairs runs stage 1 as a one-hot MXU matmul
+# over its all-vs-all tile; smaller groups stay on the fused pair kernel
+# (the VPU gather path) where MXU tiles would be mostly padding.
+MATMUL_MIN_PAIRS = 512
+TILE_Q = 8     # query occurrences per matmul tile
+TILE_S = 128   # target occurrences per matmul tile (MXU lane width)
+
+
+@partial(jax.jit, static_argnames=("TQ", "TS"))
+def _stage1_matmul_kernel(q_letters, s_letters, qp_tile, sp_tile,
+                          TQ: int, TS: int):
+    """Stage-1 fingerprint identity counts as a one-hot MXU matmul
+    (SURVEY §7; reference src/search/hamming/kernel.h:29-75 computes the
+    same all-vs-all byte-match popcount with SIMD tiles).
+
+    qp_tile [G, TQ] / sp_tile [G, TS]: int32 global seed positions of the
+    query/target occurrences of one seed group per tile (padded entries
+    repeat a valid position; the caller masks them out).  Each 48-letter
+    fingerprint window becomes a 48x32 one-hot (bf16 — exact for 0/1
+    values), and identity counts are the [G, TQ, TS] batched matmul over
+    the contracted 1536 axis with fp32 accumulation (counts <= 48,
+    exact)."""
+    offs_fp = jnp.arange(-WINDOW_LEFT, -WINDOW_LEFT + FP_LEN,
+                         dtype=jnp.int32)
+    qw = q_letters[qp_tile[:, :, None] + offs_fp[None, None, :]] & 31
+    sw = s_letters[sp_tile[:, :, None] + offs_fp[None, None, :]] & 31
+    q1 = jax.nn.one_hot(qw, 32, dtype=jnp.bfloat16).reshape(
+        qp_tile.shape[0], TQ, FP_LEN * 32)
+    s1 = jax.nn.one_hot(sw, 32, dtype=jnp.bfloat16).reshape(
+        sp_tile.shape[0], TS, FP_LEN * 32)
+    counts = jax.lax.dot_general(
+        q1, s1, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return counts.astype(jnp.int32)
+
 
 def reset_dispatch_stats():
     global dispatch_count, dispatch_pairs, dispatch_wait_s
@@ -107,6 +143,83 @@ class Stage12Device:
             d = jnp.asarray(np.ascontiguousarray(letters, dtype=np.int8))
             self._dev_blocks[key] = d
         return d
+
+    def run_join(self, q_letters, s_letters, join, qp, sp, windows,
+                 cutoffs, hamming_id: int):
+        """Like run(), but with the seed-group structure available:
+        large all-vs-all groups run stage 1 as the one-hot MXU matmul
+        (one [TILE_Q, TILE_S] tile per sub-block), and only their
+        survivors (plus every small-group pair) reach the fused pair
+        kernel.  Results stay aligned with the expanded (qp, sp) pair
+        order, so output bytes are unchanged."""
+        import time as _time
+
+        global dispatch_count, dispatch_wait_s
+        q_counts = np.diff(join.q_start)
+        s_counts = np.diff(join.s_start)
+        totals = (q_counts * s_counts).astype(np.int64)
+        big = np.nonzero(totals >= MATMUL_MIN_PAIRS)[0]
+        if len(big) == 0:
+            return self.run(q_letters, s_letters, qp, sp, windows, cutoffs,
+                            hamming_id)
+        t0 = _time.perf_counter()
+        n = len(qp)
+        pair_starts = np.zeros(len(totals) + 1, dtype=np.int64)
+        np.cumsum(totals, out=pair_starts[1:])
+        is_big = np.zeros(n, dtype=bool)
+        for g in big:
+            is_big[pair_starts[g] : pair_starts[g + 1]] = True
+        keep1 = np.zeros(n, dtype=bool)
+
+        tiles = []  # (group, q_lo, s_lo)
+        for g in big:
+            for ql in range(0, int(q_counts[g]), TILE_Q):
+                for sl in range(0, int(s_counts[g]), TILE_S):
+                    tiles.append((int(g), ql, sl))
+        ql_dev = self._block(q_letters)
+        sl_dev = self._block(s_letters)
+        GCAP = 1024
+        pos = 0
+        while pos < len(tiles):
+            chunk = tiles[pos : pos + GCAP]
+            pos += len(chunk)
+            G = 1 << max(int(np.ceil(np.log2(len(chunk)))), 0)
+            qp_t = np.empty((G, TILE_Q), dtype=np.int32)
+            sp_t = np.empty((G, TILE_S), dtype=np.int32)
+            for k in range(G):
+                g, ql, sl = chunk[min(k, len(chunk) - 1)]
+                qs = join.q_pos[join.q_start[g] + ql :
+                                join.q_start[g] + min(ql + TILE_Q,
+                                                      q_counts[g])]
+                ss = join.s_pos[join.s_start[g] + sl :
+                                join.s_start[g] + min(sl + TILE_S,
+                                                      s_counts[g])]
+                qp_t[k, : len(qs)] = qs
+                qp_t[k, len(qs) :] = qs[0]
+                sp_t[k, : len(ss)] = ss
+                sp_t[k, len(ss) :] = ss[0]
+            dispatch_count += 1
+            counts = np.asarray(_stage1_matmul_kernel(
+                ql_dev, sl_dev, jnp.asarray(qp_t), jnp.asarray(sp_t),
+                TILE_Q, TILE_S))
+            for k, (g, ql, sl) in enumerate(chunk):
+                nq = min(TILE_Q, int(q_counts[g]) - ql)
+                ns = min(TILE_S, int(s_counts[g]) - sl)
+                rows = (pair_starts[g] + (ql + np.arange(nq)[:, None])
+                        * s_counts[g] + sl + np.arange(ns)[None, :])
+                keep1[rows.ravel()] = \
+                    (counts[k, :nq, :ns] >= hamming_id).ravel()
+        dispatch_wait_s += _time.perf_counter() - t0
+
+        sel = np.nonzero(~is_big | keep1)[0]
+        keep = np.zeros(n, dtype=bool)
+        scores = np.zeros(n, dtype=np.int32)
+        if len(sel):
+            k2, s2 = self.run(q_letters, s_letters, qp[sel], sp[sel],
+                              windows[sel], cutoffs[sel], hamming_id)
+            keep[sel] = k2
+            scores[sel] = s2
+        return keep, scores
 
     def run(self, q_letters, s_letters, qp, sp, windows, cutoffs,
             hamming_id: int):

@@ -551,9 +551,9 @@ class Pipeline:
             dev = self._s12_dev = Stage12Device(cfg.matrix.matrix32)
         qidx, qoff = self.q.global_to_local(qp)
         cut, win = self._per_query_cutoffs()
-        keep, scores = dev.run(self.q.letters, self.t.letters, qp, sp,
-                               win[qidx], cut[qidx],
-                               cfg.hamming_filter_id)
+        keep, scores = dev.run_join(self.q.letters, self.t.letters, join,
+                                    qp, sp, win[qidx], cut[qidx],
+                                    cfg.hamming_filter_id)
         if cfg.self_search:
             sidx, _ = self.t.global_to_local(sp)
             keep &= ~(sidx == qidx)
@@ -588,9 +588,9 @@ class Pipeline:
                 s_pos=join.s_pos[join.s_start[:-1]])
         skip_lm = bool(cfg.traits.sketch or cfg.lin_stage1_target
                        or cfg.minimizer_window)
-        import os
+        from diamond_tpu.utils.device import stage12_device_enabled
 
-        if os.environ.get("DIAMOND_TPU_STAGE12"):
+        if stage12_device_enabled():
             return self._stage12_device(join, shape, sid, part_lo, part_hi,
                                         skip_lm, group_keep)
         r = self._stage12_native(join, shape, sid, part_lo, part_hi, skip_lm,

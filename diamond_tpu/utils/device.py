@@ -144,6 +144,51 @@ def dp_interpret() -> bool:
     return bool(os.environ.get("DIAMOND_TPU_DP_INTERPRET"))
 
 
+def stage12_device_enabled() -> bool:
+    """Stage-1/2 seeding on the accelerator (cost-routed like the DP).
+
+    DIAMOND_TPU_STAGE12 overrides: "0" never, any other set value forces
+    the device path (byte-identical — pinned by
+    tests/test_device.py::test_stage12_device_golden_on_tpu).  Unset =
+    auto, which is HOST: measured on the v5e (PERF.md round 3), the
+    stage-1 all-vs-all tile as a one-hot MXU matmul beats the host ~100x
+    (954 vs 8.9 G letter-comparisons/s), but the stage-2 window scan is
+    memory-bound on linear data (~8 us/pair on-device vs ~0.13 us/pair
+    in the fused native pass — the device pays HBM round trips for ~100
+    int ops over ~100 bytes per pair), and stage 2 dominates the funnel
+    at every sensitivity.  The device seeding path therefore only wins
+    when something else already forced the data on-chip; routing it by
+    default would slow co-located deployments too."""
+    v = os.environ.get("DIAMOND_TPU_STAGE12")
+    if v == "0":
+        return False
+    if v:
+        return True
+    return False
+
+
+def measure_transfer_latency(nbytes: int = 4 << 20) -> float:
+    """Round-trip time of an nbytes host->device transfer plus a scalar
+    readback, best of 2 (seconds).  The tiny-op dispatch probe under-
+    estimates a network-tunneled chip whose cost is per-byte, not
+    per-call; this is the routing signal for transfer-heavy stages."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    buf = np.zeros(nbytes, dtype=np.int8)
+    f = jax.jit(lambda x: x.sum())
+    jax.block_until_ready(f(jnp.asarray(buf)))  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(jnp.asarray(buf)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 _distributed_up = False
 
 

@@ -178,3 +178,44 @@ def test_stage12_device_golden_on_tpu():
     finally:
         os.environ.pop("DIAMOND_TPU_STAGE12", None)
     assert lines == golden("diamond-test-blastp-default.out")
+
+
+def test_stage12_matmul_groups_parity():
+    """run_join (one-hot MXU matmul stage 1 for large all-vs-all seed
+    groups + fused kernel tail) vs run (fused kernel for every pair):
+    identical keep/scores in expanded-pair order (any backend)."""
+    from diamond_tpu.ops.stage12_jax import MATMUL_MIN_PAIRS, Stage12Device
+    from diamond_tpu.search.stages import SeedJoin, expand_pairs
+
+    m = ScoreMatrix("BLOSUM62")
+    rng = np.random.default_rng(5)
+    L = 60_000
+    letters = rng.integers(0, 20, L + 512).astype(np.int8)
+    letters[:256] = 31
+    letters[-256:] = 31
+    letters[rng.integers(300, L, 120)] = 31
+    # group sizes straddling the matmul threshold, including tiles that
+    # need q- and s-side splitting
+    sizes = [(1, 1), (3, 5), (2, 300), (20, 40), (9, 130), (1, 700),
+             (40, 17), (2, 2)]
+    q_pos, s_pos, q_start, s_start = [], [], [0], [0]
+    for nq, ns in sizes:
+        q_pos.extend(rng.integers(300, L, nq))
+        s_pos.extend(rng.integers(300, L, ns))
+        q_start.append(len(q_pos))
+        s_start.append(len(s_pos))
+    join = SeedJoin(
+        keys=np.arange(len(sizes), dtype=np.uint64),
+        q_start=np.array(q_start, dtype=np.int64),
+        q_pos=np.array(q_pos, dtype=np.int64),
+        s_start=np.array(s_start, dtype=np.int64),
+        s_pos=np.array(s_pos, dtype=np.int64))
+    assert any(nq * ns >= MATMUL_MIN_PAIRS for nq, ns in sizes)
+    qp, sp = expand_pairs(join)
+    win = np.full(len(qp), 48, np.int64)
+    cut = np.full(len(qp), 15, np.int32)
+    dev = Stage12Device(m.matrix32)
+    k1, s1 = dev.run_join(letters, letters, join, qp, sp, win, cut, 11)
+    k2, s2 = dev.run(letters, letters, qp, sp, win, cut, 11)
+    assert (k1 == k2).all()
+    assert (s1[k1] == s2[k1]).all()
