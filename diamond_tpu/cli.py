@@ -157,6 +157,7 @@ def build_parser():
         sp.add_argument("--mcl-max-iterations", type=int, default=100)
         sp.add_argument("--multiprocessing", action="store_true")
         sp.add_argument("--parallel-tmpdir", default=None)
+        sp.add_argument("--mp-recover", action="store_true")
         sp.add_argument("--block-size", "-b", type=float, default=None)
         sp.add_argument("--mcl-nonsymmetric", action="store_true")
 

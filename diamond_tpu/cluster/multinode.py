@@ -18,7 +18,16 @@ volume.h:30-154) on the framework's shared-filesystem primitives
   round (combo checkpoints + stacks are the state).
 
 N=1 worker produces byte-identical clusters to N=k workers: edges are
-consumed in combo order regardless of who computed them.
+consumed in combo order regardless of who computed them
+(tests/test_multinode.py pins this, plus crash recovery and the
+streaming-len_sort RSS bound).
+
+Output contract: volume blocking makes borderline assignments differ
+from the in-memory cascade (`linclust` without --multiprocessing) — the
+same block-decomposition dependence the reference has.  The canonical
+single-machine result is the in-memory cascade (byte-identical to the
+reference binary, tests/test_linclust.py); this path's contract is
+worker-count invariance + crash recovery + bounded memory.
 """
 from __future__ import annotations
 
@@ -47,42 +56,53 @@ class VolumedFile:
         self.ids = d["ids"]          # OID -> seqid (length-sorted order)
 
     @staticmethod
-    def create(records, tmpdir: str, max_letters: int,
-               name: str = "volumes") -> "VolumedFile":
-        """records: [(seqid, seq_str_or_bytes)]; globally length-sorted
-        descending (stable) into volumes of <= max_letters
-        (reference len_sort.cpp:45-65)."""
+    def create_streaming(reader_fn, tmpdir: str, max_letters: int,
+                         name: str = "volumes") -> "VolumedFile":
+        """Streaming len_sort (reference len_sort.cpp:45-112): the input
+        is never fully resident.  Pass 1 spools sequences to a flat temp
+        store recording (seqid, offset, length); pass 2 writes the
+        length-sorted volumes by seeking into the spool.  Memory is
+        O(records) small tuples, not letters."""
         os.makedirs(tmpdir, exist_ok=True)
-        order = sorted(range(len(records)),
-                       key=lambda i: (-len(records[i][1]), i))
+        spool = os.path.join(tmpdir, f"{name}_spool.tmp{os.getpid()}")
+        meta = []  # (seqid, offset, length)
+        with open(spool, "w") as f:
+            for sid, seq in reader_fn():
+                s = seq.decode() if isinstance(seq, bytes) else str(seq)
+                meta.append((sid, f.tell(), len(s)))
+                f.write(s)
+        order = sorted(range(len(meta)), key=lambda i: (-meta[i][2], i))
         vols = []
         ids = []
-        oid = 0
         vi = 0
-        f = None
+        out = None
         letters = 0
         begin = 0
-        for k in order:
-            sid, seq = records[k]
-            s = seq.decode() if isinstance(seq, bytes) else str(seq)
-            if f is None or (letters + len(s) > max_letters and letters > 0):
-                if f is not None:
-                    f.close()
-                    vols.append({"path": path, "oid_begin": begin,
-                                 "oid_end": oid, "letters": letters})
-                path = os.path.join(tmpdir, f"{name}_{vi}.faa")
-                f = open(path, "w")
-                vi += 1
-                letters = 0
-                begin = oid
-            f.write(f">{sid}\n{s}\n")
-            ids.append(sid)
-            letters += len(s)
-            oid += 1
-        if f is not None:
-            f.close()
+        oid = 0
+        with open(spool) as src:
+            for k in order:
+                sid, off, ln = meta[k]
+                if out is None or (letters + ln > max_letters
+                                   and letters > 0):
+                    if out is not None:
+                        out.close()
+                        vols.append({"path": path, "oid_begin": begin,
+                                     "oid_end": oid, "letters": letters})
+                    path = os.path.join(tmpdir, f"{name}_{vi}.faa")
+                    out = open(path, "w")
+                    vi += 1
+                    letters = 0
+                    begin = oid
+                src.seek(off)
+                out.write(f">{sid}\n{src.read(ln)}\n")
+                ids.append(sid)
+                letters += ln
+                oid += 1
+        if out is not None:
+            out.close()
             vols.append({"path": path, "oid_begin": begin, "oid_end": oid,
                          "letters": letters})
+        os.unlink(spool)
         manifest = os.path.join(tmpdir, f"{name}.json")
         tmp = manifest + f".tmp{os.getpid()}"
         with open(tmp, "w") as fm:
@@ -97,6 +117,26 @@ class VolumedFile:
         recs = list(read_fasta(v["path"]))
         return Block.from_sequences([r[1].upper() for r in recs],
                                     [r[0] for r in recs])
+
+    def read_records(self, oids):
+        """Yield (seqid, seq_str) for the given SORTED global oids by
+        scanning volumes sequentially (no full-input materialization)."""
+        from diamond_tpu.data.fasta import read_fasta
+
+        it = iter(oids)
+        want = next(it, None)
+        for v in self.volumes:
+            if want is None:
+                return
+            if want >= v["oid_end"]:
+                continue
+            for k, (sid, seq) in enumerate(read_fasta(v["path"])):
+                if want is None:
+                    break
+                if v["oid_begin"] + k == want:
+                    yield sid, (seq.decode() if isinstance(seq, bytes)
+                                else seq)
+                    want = next(it, None)
 
 
 def _await(path: str, poll: float = 0.3):
@@ -159,18 +199,22 @@ def multinode_cluster(records, out_path: str, steps, tmpdir: str,
                       max_letters: int = 50_000_000,
                       matrix_name: str = "BLOSUM62",
                       member_cover: float = 80.0, approx_id: float = 0.0,
-                      mutual_cover=None, reps_out=None, verbose=False):
+                      mutual_cover=None, reps_out=None, verbose=False,
+                      recover: bool = False):
     """Run (or join) an out-of-core multi-worker clustering job.
 
     Every invocation is one worker; concurrent invocations with the same
-    tmpdir share the work.  records: [(seqid, seq)] in input order (only
-    the first worker materializes volumes; later rounds re-volume the
-    surviving representatives)."""
+    tmpdir share the work.  records: either a [(seqid, seq)] list, or a
+    zero-arg callable returning a fresh (seqid, seq) iterator — with a
+    callable the input is NEVER fully resident (streaming len_sort;
+    later rounds re-read representative sequences from the volumes).
+    recover=True requeues crashed workers' WIP combos (--mp-recover)."""
+    reader = records if callable(records) else (lambda: iter(records))
     os.makedirs(tmpdir, exist_ok=True)
     worker_id = AtomicCounter(os.path.join(tmpdir, "workers")).fetch_add()
     root_manifest = os.path.join(tmpdir, "volumes.json")
     if worker_id == 0 and not os.path.exists(root_manifest):
-        VolumedFile.create(records, tmpdir, max_letters)
+        VolumedFile.create_streaming(reader, tmpdir, max_letters)
         with open(os.path.join(tmpdir, "volumes_ready"), "w"):
             pass
     _await(os.path.join(tmpdir, "volumes_ready"))
@@ -179,7 +223,6 @@ def multinode_cluster(records, out_path: str, steps, tmpdir: str,
 
     cur_manifest = root_manifest
     root_oid = {sid.split()[0]: o for o, sid in enumerate(vols.ids)}
-    id2seq = {sid.split()[0]: seq for sid, seq in records}
     last_done = None
     for rnd, step in enumerate(steps):
         cur = VolumedFile(cur_manifest)
@@ -207,6 +250,10 @@ def multinode_cluster(records, out_path: str, steps, tmpdir: str,
             return _combo_edges(_cur, r, i, _step, matrix_name,
                                 member_cover, approx_id, mutual_cover)
 
+        if recover:
+            from diamond_tpu.parallel.mp import mp_recover
+
+            mp_recover(rdir)
         mp_worker(rdir, run_combo)
         with open(os.path.join(rdir, "shape.json")) as f:
             combos = [tuple(c) for c in json.load(f)]
@@ -240,12 +287,12 @@ def multinode_cluster(records, out_path: str, steps, tmpdir: str,
             np.save(os.path.join(rdir, "reps.npy"),
                     np.asarray(sorted(new_reps), dtype=np.int64))
             if rnd + 1 < len(steps) and len(new_reps) > 1:
-                rep_records = []
-                for o in sorted(new_reps):
-                    sid = vols.ids[o]
-                    rep_records.append((sid, id2seq[sid.split()[0]]))
-                VolumedFile.create(rep_records, rdir, max_letters,
-                                   name="reps")
+                # representative sequences come back out of the root
+                # volumes (sequential scan) — the input list is not held
+                rep_oids = sorted(new_reps)
+                VolumedFile.create_streaming(
+                    lambda: vols.read_records(rep_oids), rdir, max_letters,
+                    name="reps")
             with open(os.path.join(rdir, "round_done"), "w"):
                 pass
         _await(os.path.join(rdir, "round_done"))
@@ -263,7 +310,7 @@ def multinode_cluster(records, out_path: str, steps, tmpdir: str,
     if out_lock.fetch_add() == 0 and not os.path.exists(done_path):
         oid_of = {sid.split()[0]: o for o, sid in enumerate(ids)}
         with open(out_path + ".tmp", "w") as f:
-            for sid, _seq in records:
+            for sid, _seq in reader():
                 o = oid_of[sid.split()[0]]
                 rep = ids[int(assign[o])].split()[0]
                 f.write(f"{rep}\t{sid.split()[0]}\n")
@@ -272,7 +319,7 @@ def multinode_cluster(records, out_path: str, steps, tmpdir: str,
             rep_ids = {ids[int(c)].split()[0]
                        for c in np.unique(assign)}
             with open(reps_out, "w") as f:
-                for sid, seq in records:
+                for sid, seq in reader():
                     if sid.split()[0] in rep_ids:
                         s2 = seq.decode() if isinstance(seq, bytes) \
                             else str(seq)

@@ -235,11 +235,19 @@ def _run_cluster_multinode(args):
     if args.out == "-":
         raise SystemExit("--multiprocessing requires -o FILE")
     if is_dmnd(args.db):
+        # DMND input: the format is offset-indexed, but the reader loads
+        # whole blocks; clustering-scale inputs arrive as FASTA
         ids, dseqs = read_dmnd(args.db)
-        records = [(i, decode(s & 31)) for i, s in zip(ids, dseqs)]
+        base = [(i, decode(s & 31)) for i, s in zip(ids, dseqs)]
+
+        def records():
+            return iter(base)
     else:
-        records = [(i, s.decode() if isinstance(s, bytes) else s)
-                   for i, s in read_seqs(args.db)]
+        # streaming reader: the input FASTA/FASTQ is re-scanned per pass
+        # and never fully resident (gzip included — read_seqs streams)
+        def records():
+            return ((i, s.decode() if isinstance(s, bytes) else s)
+                    for i, s in read_seqs(args.db))
     approx_id = args.approx_id if args.approx_id is not None else 0.0
     if args.command == "deepclust":
         approx_id = 0.0
@@ -251,4 +259,5 @@ def _run_cluster_multinode(args):
                       max_letters=max_letters,
                       member_cover=args.member_cover, approx_id=approx_id,
                       mutual_cover=getattr(args, "mutual_cover", None),
-                      reps_out=getattr(args, "reps", None))
+                      reps_out=getattr(args, "reps", None),
+                      recover=getattr(args, "mp_recover", False))

@@ -135,11 +135,19 @@ def mp_worker(tmpdir: str, run_combo):
     todo = FileStack(os.path.join(tmpdir, "todo.stack"))
     wip = FileStack(os.path.join(tmpdir, "wip.stack"))
     done = 0
+    # fault injection for the crash-recovery tests: die (hard) while
+    # holding the Nth claimed combo, leaving it on the WIP stack for
+    # mp_recover to requeue
+    die_after = int(os.environ.get("DIAMOND_TPU_MP_DIE_ON_CLAIM", "0") or 0)
+    claims = 0
     while not os.path.exists(os.path.join(tmpdir, "stop")):
         line = todo.pop()
         if line is None:
             break
         wip.push(line)
+        claims += 1
+        if die_after and claims >= die_after:
+            os._exit(17)
         qi, ti = map(int, line.split())
         path = _combo_file(tmpdir, qi, ti)
         if not os.path.exists(path):
