@@ -142,11 +142,22 @@ def sharded_full_scores(mesh: Mesh, query, bias, tblock, matrix32,
     return scores[:B0]
 
 
+def _put(mesh: Mesh, x, spec: P):
+    """Host array -> global sharded array.  make_array_from_callback also
+    covers meshes spanning multiple PROCESSES (jax.distributed), where
+    device_put of a host value would hit non-addressable devices; every
+    process constructs only its addressable shards from the same
+    (deterministically built) host array."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, NamedSharding(mesh, spec), lambda idx: x[idx])
+
+
 def replicate(mesh: Mesh, x):
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    return _put(mesh, x, P())
 
 
 def shard_batch_axis(mesh: Mesh, x, axis: int):
-    spec = [None] * x.ndim
+    spec = [None] * np.asarray(x).ndim
     spec[axis] = "db"
-    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return _put(mesh, x, P(*spec))
