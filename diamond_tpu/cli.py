@@ -67,8 +67,9 @@ def build_parser():
         sp.add_argument("--freq-masking", action="store_true")
         sp.add_argument("--dbsize", type=int, default=0)
         sp.add_argument("--compress", default="0")  # 0, 1 (gzip), zstd
+        sp.add_argument("--algo", default=None,
+                        help="0/double-indexed, 1/query-indexed (auto)")
         # accepted for drop-in compatibility; behavior already canonical
-        sp.add_argument("--algo", default=None)
         sp.add_argument("--header", nargs="*", default=None)
         sp.add_argument("--file-buffer-size", type=int, default=None)
         sp.add_argument("--query-parallel-limit", type=int, default=None)
@@ -158,6 +159,9 @@ def build_parser():
         sp.add_argument("--multiprocessing", action="store_true")
         sp.add_argument("--parallel-tmpdir", default=None)
         sp.add_argument("--mp-recover", action="store_true")
+        sp.add_argument("--kmer-ranking", action="store_true",
+                        help="rank sequences by kmer frequency in the "
+                             "linear stage (reference kmer_ranking.cpp)")
         sp.add_argument("--block-size", "-b", type=float, default=None)
         sp.add_argument("--mcl-nonsymmetric", action="store_true")
 
@@ -333,6 +337,7 @@ def cmd_blastp(args):
         minimizer_window=args.minimizer_window,
         db_letters=db_letters,
         mesh_devices=args.mesh,
+        algo=args.algo,
     )
     seed_index = None
     if args.target_indexed:
@@ -785,6 +790,7 @@ def cmd_blastx(args):
         query_range_cover=args.range_cover,
         db_letters=db_letters,
         mesh_devices=args.mesh,
+        algo=args.algo,
     )
     if args.swipe:
         from diamond_tpu.search.blastx import blastx_swipe_all

@@ -250,6 +250,19 @@ def _lin_round_edges(block: Block, rep_oids, orig_oids, step: str, cfg):
         if len(masked_pos):
             seed_mask[masked_pos] = True
 
+        # --kmer-ranking: rank sequences by accumulated sqrt(seed group
+        # size) over this shape's join instead of by length (reference
+        # kmer_ranking.cpp:40-66: counts[q] += sqrt(|ref-side group|) per
+        # query occurrence, float32, group order)
+        kmer_ranks = None
+        if getattr(cfg, "kmer_ranking", False) and len(join.keys):
+            contrib = np.sqrt(
+                np.diff(join.s_start).astype(np.float32))
+            qi_all, _ = sub.global_to_local(join.q_pos)
+            kmer_ranks = np.zeros(len(sub), dtype=np.float32)
+            np.add.at(kmer_ranks, qi_all,
+                      np.repeat(contrib, np.diff(join.q_start)))
+
         # linearized stage 1: one query occurrence per seed
         n_groups = len(join.keys)
         for g in range(n_groups):
@@ -258,10 +271,10 @@ def _lin_round_edges(block: Block, rep_oids, orig_oids, step: str, cfg):
             qpos = join.q_pos[q_lo:q_hi]
             spos = join.s_pos[s_lo:s_hi]
             qi, qoff = sub.global_to_local(qpos)
-            # highest ranking = longest seq, ties smallest numeric seqid;
-            # len_sort renumbers titles to length-sorted oids
-            # (kmer_ranking.h:35-52 rank=length, len_sort.cpp:144)
-            ranks = lengths[qi]
+            # highest ranking = longest seq (or --kmer-ranking counts),
+            # ties smallest numeric seqid; len_sort renumbers titles to
+            # length-sorted oids (kmer_ranking.h:35-52, len_sort.cpp:144)
+            ranks = kmer_ranks[qi] if kmer_ranks is not None else lengths[qi]
             best = 0
             for k in range(1, len(qi)):
                 if (ranks[k] > ranks[best]
@@ -387,7 +400,7 @@ def _full_extend_edges(sub: Block, qid: int, target_scores: dict, cfg,
 
 def linclust(seqs, titles, approx_id: float = 0.0, member_cover: float = 80.0,
              matrix_name: str = "BLOSUM62", verbose: bool = False,
-             steps=None):
+             steps=None, kmer_ranking: bool = False):
     """Returns list of (rep_title, member_title) lines in the reference's
     output order.  steps overrides the default cascade (--cluster-steps)."""
     from diamond_tpu.cluster.workflow import cluster_steps
@@ -414,7 +427,8 @@ def linclust(seqs, titles, approx_id: float = 0.0, member_cover: float = 80.0,
                   file=sys.stderr)
         sens = step[:-4] if step.endswith("_lin") else step
         cfg = SearchConfig(matrix=ScoreMatrix(matrix_name), sensitivity=sens,
-                           max_target_seqs=0, self_search=True)
+                           max_target_seqs=0, self_search=True,
+                           kmer_ranking=kmer_ranking)
         cfg.matrix.set_db_letters(total_letters)
         cfg.query_or_target_cover = member_cover
         edges = _lin_round_edges(block, reps, orig_oids, step, cfg)

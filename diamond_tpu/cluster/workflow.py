@@ -176,7 +176,8 @@ def run_cluster(args):
 
         pairs = linclust(seqs, titles, approx_id=approx_id,
                          member_cover=args.member_cover,
-                         steps=getattr(args, "cluster_steps", None))
+                         steps=getattr(args, "cluster_steps", None),
+                         kmer_ranking=getattr(args, "kmer_ranking", False))
         out = sys.stdout if args.out == "-" else open(args.out, "w")
         for rep, member in pairs:
             out.write(f"{rep}\t{member}\n")

@@ -105,6 +105,10 @@ class SearchConfig:
     threads: int = 1
     index_chunks: int | None = None
     freq_masking: bool = False
+    kmer_ranking: bool = False  # --kmer-ranking: linclust pivot by kmer
+                                # counts (reference kmer_ranking.cpp)
+    algo: str | None = None  # --algo: 0/double-indexed, 1/query-indexed,
+                             # None=auto (reference setup.cpp:311-320)
     masking: str = "tantan"
     motif_masking: bool | None = None
     ungapped_xdrop_bits: float = 12.3

@@ -155,6 +155,31 @@ class Pipeline:
         # --target-indexed: persisted per-shape (keys, pos) target seeds
         # (reference double_indexed.cpp:181-185 HashedSeedSet load)
         self.target_seed_index = target_seed_index
+        # --algo selection (reference setup.cpp:311-320 use_single_indexed,
+        # double_indexed.cpp:267-294): query-indexed when the query set is
+        # tiny relative to the DB (skips the DB-side seed sort); forced
+        # with --algo 1, disabled with --algo 0 / sketch / minimizer /
+        # linearized / target-indexed / self-search
+        self._query_indexed = self._pick_query_indexed()
+
+    def _pick_query_indexed(self) -> bool:
+        cfg = self.cfg
+        algo = str(getattr(cfg, "algo", None) or "auto")
+        if algo in ("0", "double-indexed"):
+            return False
+        if self.same_block or cfg.traits.sketch or cfg.minimizer_window \
+                or cfg.lin_stage1_target or self.target_seed_index \
+                is not None:
+            return False
+        if algo in ("1", "query-indexed"):
+            return True
+        from diamond_tpu.search.config import SENS_RANK
+
+        ql = int(self.q.n_letters)
+        tl = int(self.t.n_letters)
+        if SENS_RANK[cfg.sensitivity] >= SENS_RANK["sensitive"]:
+            return ql < 300_000 and ql * 20_000 < tl
+        return ql < 3_000_000 and ql * 2_000 < tl
 
     def search(self):
         """Run the full search; returns {query_id: [Match, ...]}."""
@@ -260,6 +285,25 @@ class Pipeline:
                                                       inplace=True)
                 if aliased:
                     t_keys, t_pos = q_keys_f, q_pos_f
+                elif self._query_indexed:
+                    # --algo query-indexed (reference
+                    # double_indexed.cpp:267-294, setup.cpp:311-320): a
+                    # tiny query set vs a huge DB skips the DB-side seed
+                    # sort — every DB seed probes the sorted query keys
+                    # (the reference's HashedSeedSet) and only matches
+                    # are kept and sorted.  Output-identical: the join
+                    # only ever produces groups present on both sides.
+                    with ptimer("seed.qindex"):
+                        nq = len(q_keys_f)
+                        if nq:
+                            ins = np.searchsorted(q_keys_f, t_keys)
+                            ins[ins == nq] = nq - 1
+                            keep = q_keys_f[ins] == t_keys
+                        else:
+                            keep = np.zeros(len(t_keys), dtype=bool)
+                        t_keys, t_pos = t_keys[keep], t_pos[keep]
+                    t_keys, t_pos = stages._sorted_kv(t_keys, t_pos,
+                                                      inplace=True)
                 else:
                     t_keys, t_pos = stages._sorted_kv(t_keys, t_pos,
                                                       inplace=True)
@@ -290,8 +334,13 @@ class Pipeline:
                 if len(masked_pos):
                     self.query_seed_mask[masked_pos] = True
                 with ptimer("seed.stage12"):
-                    shape_hits.append(self._stage12(join, shape, sid, chunk,
-                                                    lo, hi, group_keep))
+                    if (cfg.threads > 1 and _can_fork()
+                            and len(join.keys) >= 4 * cfg.threads):
+                        shape_hits.append(self._stage12_parallel(
+                            join, shape, sid, chunk, lo, hi, group_keep))
+                    else:
+                        shape_hits.append(self._stage12(
+                            join, shape, sid, chunk, lo, hi, group_keep))
             shape_arr = (np.concatenate(shape_hits) if shape_hits
                          else np.empty((0, 4), dtype=np.int64))
             if self.ranking_table is not None:
@@ -573,6 +622,48 @@ class Pipeline:
             part_lo, part_hi, cfg.seedp_mask, cfg.hamming_filter_id)
         return _hit_rows(qidx, sp, qoff, scores, np.nonzero(keep3)[0])
 
+    def _stage12_parallel(self, join, shape, sid, chunk, part_lo, part_hi,
+                          group_keep=None):
+        """Fork-parallel stage 1+2: the chunk's seed groups split into
+        cfg.threads contiguous slices (groups are key-sorted, so slices
+        are seed-partition ranges like the reference's fetch-add
+        partition workers, stage0.cpp:158-197); every child runs the full
+        fused pass with the CHUNK's partition bounds (left-most semantics
+        unchanged) and the parent concatenates hit rows in slice order —
+        byte-identical to the serial pass."""
+        import multiprocessing
+
+        n_groups = len(join.keys)
+        threads = self.cfg.threads
+        edges = [n_groups * k // threads for k in range(threads + 1)]
+        global _MP_CTX
+        _MP_CTX = (self, join, shape, sid, chunk, part_lo, part_hi,
+                   group_keep)
+        try:
+            with multiprocessing.get_context("fork").Pool(threads) as pool:
+                parts = pool.map(_mp_stage12_slice,
+                                 list(zip(edges[:-1], edges[1:])))
+        finally:
+            _MP_CTX = None
+        parts = [p for p in parts if len(p)]
+        return (np.concatenate(parts) if parts
+                else np.empty((0, 4), dtype=np.int64))
+
+    def _stage12_slice(self, g0, g1, join, shape, sid, chunk, part_lo,
+                       part_hi, group_keep):
+        from diamond_tpu.search.stages import SeedJoin
+
+        qa, qb = int(join.q_start[g0]), int(join.q_start[g1])
+        sa, sb = int(join.s_start[g0]), int(join.s_start[g1])
+        sub = SeedJoin(
+            keys=join.keys[g0:g1],
+            q_start=join.q_start[g0 : g1 + 1] - join.q_start[g0],
+            q_pos=join.q_pos[qa:qb],
+            s_start=join.s_start[g0 : g1 + 1] - join.s_start[g0],
+            s_pos=join.s_pos[sa:sb])
+        gk = None if group_keep is None else group_keep[g0:g1]
+        return self._stage12(sub, shape, sid, chunk, part_lo, part_hi, gk)
+
     def _stage12(self, join, shape, sid, chunk, part_lo, part_hi,
                  group_keep=None):
         cfg = self.cfg
@@ -842,7 +933,8 @@ def _can_fork() -> bool:
     import os
     import sys
 
-    if os.environ.get("DIAMOND_TPU_DEVICE_DP"):
+    if os.environ.get("DIAMOND_TPU_DEVICE_DP") \
+            or os.environ.get("DIAMOND_TPU_STAGE12"):
         return False  # forked children must not share a device handle
     return sys.platform.startswith("linux") and \
         "fork" in multiprocessing.get_all_start_methods()
@@ -851,6 +943,13 @@ def _can_fork() -> bool:
 def _mp_extend(arg):
     qid, query_hits = arg
     return qid, extend_query(qid, query_hits, _MP_CTX)
+
+
+def _mp_stage12_slice(arg):
+    g0, g1 = arg
+    pipe, join, shape, sid, chunk, part_lo, part_hi, group_keep = _MP_CTX
+    return pipe._stage12_slice(g0, g1, join, shape, sid, chunk, part_lo,
+                               part_hi, group_keep)
 
 
 def _extend_parallel(ctx, by_query, qids, threads: int):

@@ -155,3 +155,22 @@ def test_parallel_extension_identical(tmp_path):
             check=True, cwd="/root/repo", capture_output=True)
         outs.append(out.read_bytes())
     assert outs[0] == outs[1]
+
+
+@pytest.mark.slow
+def test_parallel_seeding_and_extension_golden(tmp_path):
+    """-p 3 forks BOTH the seed-partition stage-1/2 slices (reference
+    stage0.cpp:158-197) and the per-query extension workers; the full
+    data.faa self-search stays byte-identical to the single-threaded
+    golden."""
+    outs = []
+    for p in ("1", "3"):
+        out = tmp_path / f"pp{p}.out"
+        subprocess.run(
+            [sys.executable, "-m", "diamond_tpu.cli", "blastp",
+             "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa", "-p", p,
+             "-c", "1", "-o", str(out)],
+            check=True, cwd="/root/repo", capture_output=True)
+        outs.append(out.read_text())
+    assert outs[0] == outs[1]
+    assert len(outs[0].splitlines()) > 700

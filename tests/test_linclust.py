@@ -85,3 +85,21 @@ def test_linclust_reps_output(tmp_path):
     self_lines = [l for l in clusters.read_text().splitlines()
                   if l.split("\t")[0] == l.split("\t")[1]]
     assert len(self_lines) == len(headers)
+
+
+@pytest.mark.slow
+def test_linclust_kmer_ranking_golden():
+    """--kmer-ranking: linearized-stage pivots ranked by accumulated
+    sqrt(seed-group size) instead of length (reference
+    kmer_ranking.cpp:40-66, --kmer-ranking).  Golden minted from the
+    reference binary; byte-identical including the float32 accumulation
+    order."""
+    from diamond_tpu.cluster.linclust import linclust
+    from diamond_tpu.data.fasta import read_fasta
+
+    recs = list(read_fasta(f"{TD}/data.faa"))
+    pairs = linclust([r[1].upper() for r in recs], [r[0] for r in recs],
+                     approx_id=0.0, kmer_ranking=True)
+    lines = [f"{a}\t{b}" for a, b in pairs]
+    gold = open(f"{GD}/linclust-kmer-ranking-data.out").read().splitlines()
+    assert lines == gold

@@ -129,3 +129,57 @@ def test_hit_buffer_spill_roundtrip():
         a = got[got[:, 0] == q]
         b = ref[ref[:, 0] == q]
         assert np.array_equal(a, b), q
+
+
+@pytest.mark.slow
+def test_query_indexed_algo_output_identical():
+    """--algo 1 (query-indexed: DB seeds probe the sorted query keys, no
+    DB-side seed sort — reference double_indexed.cpp:267-294,
+    setup.cpp:311-320) is output-identical to --algo 0."""
+    import subprocess
+    import sys
+
+    import tempfile
+
+    from diamond_tpu.data.fasta import read_fasta
+
+    recs = list(read_fasta(f"{TD}/data.faa"))[:3]
+    qf = tempfile.NamedTemporaryFile("w", suffix=".faa", delete=False)
+    for sid, seq in recs:
+        qf.write(f">{sid}\n{seq.decode()}\n")
+    qf.close()
+
+    def run(algo):
+        r = subprocess.run(
+            [sys.executable, "-m", "diamond_tpu.cli", "blastp",
+             "-q", qf.name, "-d", f"{TD}/data.faa",
+             "--algo", algo, "-e", "10"],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    a0 = run("0")
+    a1 = run("1")
+    assert a0 == a1
+    assert a0  # nonempty
+
+
+def test_query_indexed_auto_rule():
+    """Auto selection mirrors the reference thresholds."""
+    from diamond_tpu.data.block import Block
+    from diamond_tpu.search.config import SearchConfig
+    from diamond_tpu.search.pipeline import Pipeline
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    import numpy as np
+
+    small = Block.from_sequences(
+        [np.zeros(100, dtype=np.int8)], ["q"])
+    big = Block.from_sequences(
+        [np.zeros(100_000, dtype=np.int8) for _ in range(3)],
+        ["a", "b", "c"])
+    cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"))
+    assert Pipeline(cfg, small, big)._query_indexed       # 100*2000 < 300k
+    assert not Pipeline(cfg, big, big)._query_indexed     # self / large
+    cfg0 = SearchConfig(matrix=ScoreMatrix("BLOSUM62"), algo="0")
+    assert not Pipeline(cfg0, small, big)._query_indexed
