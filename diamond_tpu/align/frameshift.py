@@ -17,6 +17,8 @@ import numpy as np
 
 from diamond_tpu.align.chain import xdrop_ungapped
 from diamond_tpu.align.extend import Hsp, Match
+from types import SimpleNamespace
+
 from diamond_tpu.ops.swipe3 import banded_3frame_swipe_np
 
 PADDING = 32            # config.padding default for this pipeline
@@ -401,6 +403,54 @@ def _apply_filters(t, dna_len, tlen, cfg):
     t.hsps = kept
 
 
+def _device_swipe3_scores(job_list, frames, cfg):
+    """Score-only 3-frame DP on the accelerator (ops/swipe3_pallas): one
+    batched kernel call per strand over every (target, band) job of this
+    query.  Returns {job_index: (score, max_col)} or None when the device
+    path is off/undersized (caller runs the host oracle)."""
+    from diamond_tpu.utils.device import device_dp_enabled
+
+    if not job_list or not device_dp_enabled():
+        return None
+    import numpy as np
+
+    from diamond_tpu.ops.swipe3_pallas import (banded_swipe3_pallas,
+                                               prepare_swipe3_batch)
+    from diamond_tpu.ops.swipe_device import _min_device_cells
+    from diamond_tpu.ops.swipe_jax import pad_band, pad_pow2
+    from diamond_tpu.utils.device import dp_interpret
+
+    mat = cfg.matrix
+    go, ge = mat.gap_open + mat.gap_extend, mat.gap_extend
+    fs = mat.frame_shift
+    by_strand: dict[int, list] = {}
+    for idx, (strand, tgt, d0, d1) in enumerate(job_list):
+        by_strand.setdefault(strand, []).append((idx, tgt, d0, d1))
+    # cost routing: same cells-per-dispatch policy as the 2D DP
+    cells = 0
+    for strand, items in by_strand.items():
+        band_q = pad_band(max(d1 - d0 for _, _, d0, d1 in items))
+        T = pad_pow2(max(len(t) for _, t, _, _ in items), 16)
+        if 3 * band_q > 3072 or T > 4096:  # VMEM budget at tile_b=128
+            return None
+        cells += len(items) * T * 3 * band_q
+    if cells < _min_device_cells():
+        return None
+    out = {}
+    for strand, items in by_strand.items():
+        q_frames = [frames[strand * 3 + f][0] for f in range(3)]
+        jobs = [(t, d0, d1) for _, t, d0, d1 in items]
+        t_idx, bmask, prof, band_q, meta = prepare_swipe3_batch(
+            q_frames, mat.matrix32, jobs, tile_b=128)
+        best, mc = banded_swipe3_pallas(t_idx, bmask, prof, go, ge, fs,
+                                        band_q, tile_b=128,
+                                        interpret=dp_interpret())
+        best, mc = np.asarray(best), np.asarray(mc)
+        for k, (idx, _t, _d0, _d1) in enumerate(items):
+            out[idx] = (int(best[k]), int(mc[k]) - meta["shifts"][k])
+    return out
+
+
 def _run_swipe(targets, frames, qlen0, dna_len, tblock, cfg, traceback):
     """Band construction + per-band 3-frame DP (reference
     banded_swipe_pipeline.cpp:57-99 add_strand/add, :157-170 run_swipe)."""
@@ -409,6 +459,9 @@ def _run_swipe(targets, frames, qlen0, dna_len, tblock, cfg, traceback):
     fs = mat.frame_shift
     d_max = frames[0][0].shape[0] - 1  # query_seq(0) length - 1
 
+    # collect every (target, strand, band) job so the score-only round can
+    # batch them into the device kernel (one call per strand)
+    work = []  # (t, tgt, tlen, strand, d0, d1)
     for t in targets:
         tlen = int(tblock.lengths[t.block_id])
         t_start = int(tblock.starts[t.block_id])
@@ -430,44 +483,58 @@ def _run_swipe(targets, frames, qlen0, dna_len, tblock, cfg, traceback):
                     d0 = max(h.diag - PADDING, d_min)
                     d1 = min(h.diag + PADDING, d_max)
             bands[strand].append((d0, d1))
-
         for strand in (0, 1):
-            q_frames = [frames[strand * 3 + f][0] for f in range(3)]
-            qlen = qlen0[strand]
             for d0, d1 in bands[strand]:
-                r = banded_3frame_swipe_np(q_frames, strand, dna_len, tgt,
-                                           d0, d1, mat.matrix32, go, ge, fs,
-                                           traceback=traceback)
-                if r is None:
-                    continue
-                ev = float(mat.evalue(r.score, qlen, tlen))
-                if not mat.report_cutoff(r.score, ev, cfg.max_evalue,
-                                         cfg.min_bit_score):
-                    continue
-                if not traceback:
-                    h = Hsp(score=r.score, evalue=ev,
-                            bit_score=float(mat.bitscore(r.score)))
-                    # approximated query extent for range culling (reference
-                    # banded_3frame_swipe.cpp:392-406 score-only traceback)
-                    band = d1 - d0
-                    i1_init = max(d1 - 1, 0)
-                    i0_init = i1_init + 1 - band
-                    j0 = i1_init - (d1 - 1)
-                    qe = min(i0_init + r.max_col + band // 2, qlen)
-                    qb = max(qe - (j0 + r.max_col), 0)
-                    h.frame = strand * 3
-                    h.query_source_range = _absolute_interval(
-                        qb, qe, h.frame, dna_len)
-                else:
-                    h = Hsp(score=r.score, evalue=ev,
-                            bit_score=float(mat.bitscore(r.score)),
-                            query_range=r.query_range,
-                            subject_range=r.subject_range,
-                            identities=r.identities, mismatches=r.mismatches,
-                            positives=r.positives,
-                            gap_openings=r.gap_openings, gaps=r.gaps,
-                            length=r.length, transcript=r.transcript,
-                            backtraced=True)
-                    h.frame = r.frame
-                    h.query_source_range = r.query_source_range
-                t.hsps.append(h)
+                work.append((t, tgt, tlen, strand, d0, d1))
+
+    dev_scores = None
+    if not traceback:
+        dev_scores = _device_swipe3_scores(
+            [(strand, tgt, d0, d1) for _t, tgt, _tl, strand, d0, d1
+             in work], frames, cfg)
+
+    for idx, (t, tgt, tlen, strand, d0, d1) in enumerate(work):
+        q_frames = [frames[strand * 3 + f][0] for f in range(3)]
+        qlen = qlen0[strand]
+        if dev_scores is not None:
+            score, max_col = dev_scores[idx]
+            if score <= 0:
+                continue
+            r = SimpleNamespace(score=score, max_col=max_col)
+        else:
+            r = banded_3frame_swipe_np(
+                q_frames, strand, dna_len, tgt, d0, d1,
+                mat.matrix32, go, ge, fs, traceback=traceback)
+        if r is None:
+            continue
+        ev = float(mat.evalue(r.score, qlen, tlen))
+        if not mat.report_cutoff(r.score, ev, cfg.max_evalue,
+                                 cfg.min_bit_score):
+            continue
+        if not traceback:
+            h = Hsp(score=r.score, evalue=ev,
+                    bit_score=float(mat.bitscore(r.score)))
+            # approximated query extent for range culling (reference
+            # banded_3frame_swipe.cpp:392-406 score-only traceback)
+            band = d1 - d0
+            i1_init = max(d1 - 1, 0)
+            i0_init = i1_init + 1 - band
+            j0 = i1_init - (d1 - 1)
+            qe = min(i0_init + r.max_col + band // 2, qlen)
+            qb = max(qe - (j0 + r.max_col), 0)
+            h.frame = strand * 3
+            h.query_source_range = _absolute_interval(
+                qb, qe, h.frame, dna_len)
+        else:
+            h = Hsp(score=r.score, evalue=ev,
+                    bit_score=float(mat.bitscore(r.score)),
+                    query_range=r.query_range,
+                    subject_range=r.subject_range,
+                    identities=r.identities, mismatches=r.mismatches,
+                    positives=r.positives,
+                    gap_openings=r.gap_openings, gaps=r.gaps,
+                    length=r.length, transcript=r.transcript,
+                    backtraced=True)
+            h.frame = r.frame
+            h.query_source_range = r.query_source_range
+        t.hsps.append(h)

@@ -66,6 +66,20 @@ def run_benchmark():
     cells = 64.0 * tgt3.shape[0] * band_f
     rows.append(("full-matrix SWIPE (pallas)", cells, dt))
 
+    # 3-frame (frameshift) banded SWIPE — blastx -F device kernel
+    from diamond_tpu.ops.swipe3_pallas import (banded_swipe3_pallas,
+                                               prepare_swipe3_batch)
+
+    q3 = [rng.integers(0, 20, qlen).astype(np.int8) for _ in range(3)]
+    jobs3 = [(rng.integers(0, 20, 384).astype(np.int8), -32, 32)
+             for _ in range(256)]
+    t3, bm3, pr3, band3, _ = prepare_swipe3_batch(q3, m.matrix32, jobs3,
+                                                  tile_b=128)
+    dt = _time(lambda: banded_swipe3_pallas(t3, bm3, pr3, go, ge, 15,
+                                            band3, tile_b=128))
+    cells = 256.0 * t3.shape[0] * 3 * band3
+    rows.append(("3-frame banded SWIPE (pallas)", cells, dt))
+
     # stage-1 fingerprint identity as one-hot MXU matmul (seeding hot
     # loop 1; one "cell" = one fingerprint letter comparison)
     from diamond_tpu.ops.stage12_jax import (TILE_Q, TILE_S,
