@@ -33,12 +33,15 @@ def job_fits_device(tlen, d0, d1):
 
 class _WaveState:
     """Per-wave scratch: the block-aligned int32 bias array consumed by
-    the cross-query native traceback batch."""
+    the cross-query native traceback batch, plus the fused-round-1
+    traceback cache (tb_cache[(qid, tid, d0, d1)] = BandedResult, or
+    False when the walk failed and the job must refill)."""
 
     def __init__(self, ctx):
         self.ctx = ctx
         self.bias_all = None
         self.filled = set()
+        self.tb_cache = {}
 
     def fill_bias(self, qid, bias):
         if qid in self.filled:
@@ -70,13 +73,14 @@ def _pack_jobs(items, state):
     block array); anything else falls back to an explicit concat."""
     qblock = state.ctx.query_block
     p = _PackedJobs()
-    jobs_flat = []   # (qid, k, tgt, d0, d1, use_bias)
+    jobs_flat = []   # (qid, k, tgt, d0, d1, use_bias, tid)
     for qid, req, ks, _out in items:
         if req.bias is not None:
             state.fill_bias(qid, req.bias)
         for k in ks:
             t, d0, d1 = req.jobs[k]
-            jobs_flat.append((qid, k, t, d0, d1, req.bias is not None))
+            jobs_flat.append((qid, k, t, d0, d1, req.bias is not None,
+                              req.job_meta[k][0]))
     p.jobs_flat = jobs_flat
     p.n = n = len(jobs_flat)
     if n == 0:
@@ -190,6 +194,59 @@ def _score_multi(items, mat, state):
     return True
 
 
+def _score_multi_fused(items, mat, state):
+    """Round-1 host DP with fused trace-plane emission and eager walk.
+
+    One native fill+walk call (banded_swipe_tb_multi) scores every
+    host-routed std job AND retains its full traceback result in
+    state.tb_cache, so the second (traceback) round becomes a cache
+    lookup instead of a DP refill.  The reference refills the winning
+    band in its traceback stage (reference gapped_final.cpp:80-158);
+    here the round-1 fill pays ~1.3x for mask emission and the refill
+    disappears — a net win because most round-1 targets survive to the
+    traceback round on typical workloads.  Bit-identical: the mask-
+    emitting fill shares the score fill's tie rules, and the walk is
+    independent of culling, so a cached result equals what the refill
+    would produce.  Returns False when the native library is missing
+    (caller falls back to the score-only path)."""
+    from diamond_tpu import native
+
+    if native.lib() is None:
+        return False
+    qblock = state.ctx.query_block
+    p = _pack_jobs(items, state)
+    if p is None:
+        return True
+    jobs_flat = p.jobs_flat
+    _count_cells(p, "ext.score")
+    r = native.banded_swipe_tb_multi_native(
+        qblock.letters, p.bias_base, p.q_off, p.q_len, p.use_bias, p.t_cat,
+        p.t_off, p.t_len, p.d_begins, p.bands, mat.matrix32,
+        mat.gap_open + mat.gap_extend, mat.gap_extend)
+    if r is None:
+        return False
+    out_arr, stats = r[0], r[1]
+    results = results_from_tb(r)
+    cache = state.tb_cache
+    by_req = {}
+    for (qid, k, _t, d0, d1, _ub, tid), res, st in zip(jobs_flat, results,
+                                                       stats):
+        by_req.setdefault(qid, []).append(
+            (k, (res.score, res.max_col, res.max_row)))
+        if res.score > 0:
+            cache[(qid, tid, int(d0), int(d1))] = res if st[11] else False
+    for qid, req, ks, out in items:
+        for k, v in by_req.get(qid, []):
+            out[k] = v
+    return True
+
+
+def _fused_enabled() -> bool:
+    import os
+
+    return not os.environ.get("DIAMOND_TPU_NO_FUSED_TB")
+
+
 def _execute_round(reqs: dict, mat, device,
                    state: _WaveState):
     """Execute one round of DpRequests; returns {qid: response}."""
@@ -222,7 +279,21 @@ def _execute_round(reqs: dict, mat, device,
             if failed:
                 responses[qid] = None
                 continue
-            tb_items.append((qid, r, std, out))
+            # fused round-1 results: winners' tracebacks are already in
+            # the cache; only cache misses (device-scored jobs, failed
+            # walks) refill
+            cache = state.tb_cache
+            miss = []
+            for k in std:
+                key = (qid, r.job_meta[k][0], int(r.jobs[k][1]),
+                       int(r.jobs[k][2]))
+                res = cache.pop(key, None)
+                if res is not None and res is not False:
+                    out[k] = res
+                else:
+                    miss.append(k)
+            if miss:
+                tb_items.append((qid, r, miss, out))
             continue
         if device is not None:
             small = [k for k in std
@@ -247,7 +318,10 @@ def _execute_round(reqs: dict, mat, device,
 
     if score_items:
         with ptimer("ext.score_multi"):
-            ok = _score_multi(score_items, mat, state)
+            if _fused_enabled():
+                ok = _score_multi_fused(score_items, mat, state)
+            else:
+                ok = _score_multi(score_items, mat, state)
         if not ok:
             for qid, r, ks, out in score_items:
                 res = banded_swipe_batch_np(r.q, r.bias,
