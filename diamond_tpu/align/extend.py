@@ -637,18 +637,30 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                                       tgt_matrices, False)
                 with ptimer("ext.postdp"):
                     best_by_tid: dict[int, Hsp] = {}
-                    for k, ((tid, tlen), (score, max_col, max_row)) in \
-                            enumerate(zip(job_meta, res)):
-                        # scalar e-value fast path: requests carry only a
-                        # few jobs, so per-job scalars beat tiny-array
-                        # vectorization (bit-exact either way)
-                        if score <= 0:
-                            continue
-                        ev = mat.evalue(score, qlen, tlen)
-                        if mat.report_cutoff(
-                                score, ev, cfg.max_evalue, cfg.min_bit_score):
-                            h = Hsp(score=score, evalue=ev,
-                                    bit_score=float(mat.bitscore(score)),
+                    # one vectorized e-value/bitscore pass per response
+                    # (bit-identical to the scalar twins; pinned by
+                    # tests/test_stats.py)
+                    nj = len(job_meta)
+                    scores_a = np.fromiter((r[0] for r in res),
+                                           dtype=np.int64, count=nj)
+                    pos = np.nonzero(scores_a > 0)[0]
+                    if len(pos):
+                        tlens_a = np.fromiter(
+                            (job_meta[int(k)][1] for k in pos),
+                            dtype=np.int64, count=len(pos))
+                        evs = np.atleast_1d(mat.evalue(scores_a[pos], qlen,
+                                                       tlens_a))
+                        bits = np.atleast_1d(mat.bitscore(scores_a[pos]))
+                        if cfg.min_bit_score != 0:
+                            keepm = bits >= cfg.min_bit_score
+                        else:
+                            keepm = evs <= cfg.max_evalue
+                        for x in np.nonzero(keepm)[0]:
+                            k = int(pos[x])
+                            tid, tlen = job_meta[k]
+                            score, max_col, max_row = res[k]
+                            h = Hsp(score=score, evalue=float(evs[x]),
+                                    bit_score=float(bits[x]),
                                     d_begin=jobs[k][1], d_end=jobs[k][2],
                                     query_range=(0, max_row + 1),
                                     subject_range=(0, max_col + 1))
@@ -1192,22 +1204,39 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
         batch_res = yield DpRequest(q, use_bias, jobs, job_meta, matrices,
                                     True)
         with ptimer("ext.tbparse"):
+            if batch_res is not None:
+                res_list = batch_res
+            else:
+                res_list = [banded_swipe_np(
+                    q, jobs[k][0], fh.d_begin, fh.d_end,
+                    matrices.get(bid, mat.matrix32),
+                    None if bid in matrices else use_bias,
+                    mat.gap_open, mat.gap_extend, traceback=True)
+                    for k, (bid, fh) in enumerate(batch)]
+            # vectorized e-value/bitscore pass (bit-identical twins)
+            nb = len(batch)
+            scores_a = np.fromiter((r.score for r in res_list),
+                                   dtype=np.int64, count=nb)
+            tlens_a = np.fromiter((mt[1] for mt in job_meta),
+                                  dtype=np.int64, count=nb)
+            evs_a = np.zeros(nb, dtype=np.float64)
+            bits_a = np.zeros(nb, dtype=np.float64)
+            posk = np.nonzero(scores_a > 0)[0]
+            if len(posk):
+                evs_a[posk] = np.atleast_1d(
+                    mat.evalue(scores_a[posk], qlen, tlens_a[posk]))
+                bits_a[posk] = np.atleast_1d(mat.bitscore(scores_a[posk]))
             for k, (block_id, first_hsp) in enumerate(batch):
-                tlen = int(tblock.lengths[block_id])
-                if batch_res is not None:
-                    r = batch_res[k]
-                else:
-                    tm = matrices.get(block_id, mat.matrix32)
-                    r = banded_swipe_np(
-                        q, jobs[k][0], first_hsp.d_begin, first_hsp.d_end,
-                        tm, None if block_id in matrices else use_bias,
-                        mat.gap_open, mat.gap_extend, traceback=True)
-                ev = float(mat.evalue(r.score, qlen, tlen))
-                if not (r.score > 0 and mat.report_cutoff(
-                        r.score, ev, cfg.max_evalue, cfg.min_bit_score)):
+                tlen = int(tlens_a[k])
+                r = res_list[k]
+                ev = float(evs_a[k])
+                if not (r.score > 0 and (
+                        bits_a[k] >= cfg.min_bit_score
+                        if cfg.min_bit_score != 0
+                        else ev <= cfg.max_evalue)):
                     continue
                 h = Hsp(score=r.score, evalue=ev,
-                        bit_score=float(mat.bitscore(r.score)),
+                        bit_score=float(bits_a[k]),
                         d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
                         query_range=r.query_range,
                         subject_range=r.subject_range,
