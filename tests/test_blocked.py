@@ -1,6 +1,6 @@
 """Multi-block search (-b) golden test (reference double_indexed block swap +
 join_blocks merge).  Gated: the full blocked data.faa self-search takes
-~8 min on CPU — run with RUN_EXTENDED_GOLDENS=1 (verified byte-exact
+~8 min on CPU — marked slow, in the default suite (verified byte-exact
 2026-08-16, 731/731 lines of diamond-test-blastp-blocked.out)."""
 import os
 
@@ -11,6 +11,8 @@ from diamond_tpu.output.tabular import format_match_line
 from diamond_tpu.search.blocked import blocked_search, split_blocks
 from diamond_tpu.search.config import SearchConfig
 from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+from slowmark import slow_extended
 
 TD = "/root/reference/src/test"
 
@@ -23,8 +25,7 @@ def test_split_blocks_boundary():
     assert bases == [0, 2]
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="~8 min; set RUN_EXTENDED_GOLDENS=1")
+@slow_extended
 def test_blocked_golden():
     recs = list(read_fasta(f"{TD}/data.faa"))
     seqs = [r[1].upper() for r in recs]

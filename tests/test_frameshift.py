@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+from slowmark import slow_extended
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -56,8 +58,7 @@ def test_blastx_frameshift_galaxy():
     assert lines == golden("blastx-galaxy-fs.out")
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min)")
+@slow_extended
 def test_blastx_long_reads_range_culling():
     """--long-reads = --range-culling --top 10 -F 15 on nanopore reads."""
     lines = run_cli(["blastx", "-q", f"{TD}/SRR14011045_1.fna.gz",

@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+from slowmark import slow_extended
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -55,16 +57,14 @@ def test_global_ranking_blastx_galaxy9():
     assert lines == golden("galaxy9-global-ranking.out")
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 def test_global_ranking_data():
     lines = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
                      "-g", "10", "-c", "1"])
     assert_golden_mod_stats_delta(lines, golden("global-ranking-data.out"))
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 def test_global_ranking_blocked_sensitive_s1():
     """blastp-global-ranking config scaled to data.faa: --sensitive -s1 -g10
     -k0 over letter-capped blocks (-b0.0002)."""

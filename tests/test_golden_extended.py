@@ -1,8 +1,9 @@
 """Extended golden matrix — every data.faa sensitivity/CBS configuration.
 
 Each case is a full data.faa self-search (~15 s on CPU after the round-2
-native hot paths; was ~8-10 min), gated behind RUN_EXTENDED_GOLDENS=1 so
-the default suite stays short on slow windows of this time-shared host.
+native hot paths; was ~8-10 min).  Runs in the DEFAULT suite so
+ultra-sensitive/CBS parity cannot rot silently; set
+SKIP_EXTENDED_GOLDENS=1 to opt out on very slow windows.
 
 Every configuration below is byte-identical to the reference golden
 (the round-1 2-line BackwardCell tie delta was fixed by
@@ -15,9 +16,11 @@ import pytest
 
 from test_golden_e2e import TD, golden, run_blastp
 
-pytestmark = pytest.mark.skipif(
-    not os.environ.get("RUN_EXTENDED_GOLDENS"),
-    reason="set RUN_EXTENDED_GOLDENS=1 (each case ~15 s - 2 min)")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(bool(os.environ.get("SKIP_EXTENDED_GOLDENS")),
+                       reason="SKIP_EXTENDED_GOLDENS=1"),
+]
 
 CASES = [
     ("diamond-test-blastp-very-sensitive.out", dict(sensitivity="very-sensitive", index_chunks=1)),
@@ -36,8 +39,6 @@ def test_extended_golden(name, kw):
     assert lines == golden(name)
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min)")
 def test_seg_masking():
     """--masking seg: NCBI SEG on the target block only (reference
     run/config.cpp:128-129, lib/blast/blast_seg.cpp); byte-identical to

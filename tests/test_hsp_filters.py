@@ -11,6 +11,8 @@ import sys
 
 import pytest
 
+from slowmark import slow_extended
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -43,8 +45,7 @@ CASES = [
 ]
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 @pytest.mark.parametrize("gold,flags", CASES, ids=[c[0] for c in CASES])
 def test_filters(gold, flags):
     lines = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",
@@ -62,8 +63,7 @@ def test_ext_none_seed_only():
     assert sorted(lines) == sorted(golden("ext-none-1v2.out"))
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min)")
+@slow_extended
 def test_freq_masking():
     """--freq-masking replaces the reduced complexity mask with the
     frequency cap (reference stage0.cpp:168-173, frequent_seeds.cpp) and
@@ -87,8 +87,7 @@ def test_greedy_vertex_cover_tool(tmp_path):
     assert lines == ["a\ta", "a\tb", "c\tc", "c\td"]
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min)")
+@slow_extended
 def test_approx_id_filter():
     """--approx-id filters HSPs by the score-derived identity estimate
     (reference culling.cpp:160-161, stats.cpp:113-118) AND raises the

@@ -11,6 +11,8 @@ import sys
 
 import pytest
 
+from slowmark import slow_extended
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -54,8 +56,7 @@ def test_iterate_1v2():
     assert lines == golden("iterate-1v2.out")
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 def test_iterate_data():
     from tests.test_global_ranking import assert_golden_mod_stats_delta
 
@@ -64,8 +65,7 @@ def test_iterate_data():
     assert_golden_mod_stats_delta(lines, golden("iterate-data.out"))
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 def test_faster_data():
     """--faster: min-hash sketch seeding, left-most filter skipped."""
     lines = run_cli(["blastp", "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa",

@@ -11,6 +11,8 @@ from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
 from diamond_tpu.parallel.sharded import make_mesh, sharded_full_scores
 from diamond_tpu.stats.score_matrix import ScoreMatrix
 
+from slowmark import slow_extended
+
 TD = "/root/reference/src/test"
 
 
@@ -34,9 +36,7 @@ def test_sharded_full_scores_match_oracle():
     assert np.array_equal(scores, np.array(ref))
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (two jit-compiling "
-                           "CLI subprocesses, ~7 min)")
+@slow_extended
 def test_cli_swipe_mesh_byte_identical(tmp_path):
     """blastp --swipe --mesh 8 through the CLI == single-device output."""
     import os

@@ -15,6 +15,8 @@ from diamond_tpu.output.format import format_double, print_e
 from diamond_tpu.stats.cbs import hauser_correction
 from diamond_tpu.stats.score_matrix import ScoreMatrix
 
+from slowmark import slow_extended
+
 DATA_FAA = "/root/reference/src/test/data.faa"
 
 
@@ -158,8 +160,7 @@ def test_evalue_vs_bitscore_consistency(blosum62):
         assert m.rawscore(b) == s
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (~1 min simulation)")
+@slow_extended
 def test_custom_matrix_params():
     """--custom-matrix Gumbel parameters from the island-method simulation
     (stats/alp.py) agree with the reference's ALP values within

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+from slowmark import slow_extended
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -47,24 +49,21 @@ def test_taxonomy_fields(taxdb):
     assert lines == golden("taxon-fields-q2.out")
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 def test_taxonlist(taxdb):
     lines = run_cli(["blastp", "-q", f"{TD}/nr_300.faa", "-d", taxdb,
                      "--taxonlist", "2", "-k", "0", "-c", "1"])
     assert lines == golden("taxonlist-nr300.out")
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 def test_taxon_exclude(taxdb):
     lines = run_cli(["blastp", "-q", f"{TD}/nr_300.faa", "-d", taxdb,
                      "--taxon-exclude", "2", "-k", "0", "-c", "1"])
     assert lines == golden("taxon-exclude-nr300.out")
 
 
-@pytest.mark.skipif(not os.environ.get("RUN_EXTENDED_GOLDENS"),
-                    reason="set RUN_EXTENDED_GOLDENS=1 (several min each)")
+@slow_extended
 def test_taxon_k_blocked(taxdb):
     """--taxon-k acts in the blocked join (reference join_blocks.cpp:231)."""
     lines = run_cli(["blastp", "-q", f"{TD}/nr_300.faa", "-d", taxdb,
