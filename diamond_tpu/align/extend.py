@@ -530,14 +530,28 @@ def extend_query_gen(query_id: int, query_hits, ctx):
 
     from diamond_tpu.utils.log import ptimer
 
-    with ptimer("ext.load_hits"):
-        ha = load_hits_arrays(query_hits, tblock,
-                              presorted=getattr(ctx, "hits_presorted",
-                                                False))
-    if ha is None:
+    # whole-wave precomputed round 1 (pipeline._precompute_round1): the
+    # ungapped stage already ran for this query in the batched native
+    # call; tids/tscores/worklist come from the global group arrays
+    pre = getattr(ctx, "_pre_round1", None)
+    prb = pre["bounds"].get(query_id) if pre is not None else None
+    if prb is not None:
+        p_lo, p_hi = prb
+        tids = pre["g_tid"][p_lo:p_hi]
+        tscores = pre["g_score"][p_lo:p_hi]
+        n = p_hi - p_lo
+        ha = None
+    else:
+        with ptimer("ext.load_hits"):
+            ha = load_hits_arrays(query_hits, tblock,
+                                  presorted=getattr(ctx, "hits_presorted",
+                                                    False))
+        if ha is None:
+            return []
+        tids, tscores = ha.tids, ha.tscores
+        n = len(tids)
+    if n == 0:
         return []
-    tids, tscores = ha.tids, ha.tscores
-    n = len(tids)
 
     if cfg.ext_mode == "none":
         return _seed_only_matches(tids, [ha.group(t) for t in range(n)],
@@ -610,6 +624,26 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                     worklist.append((t, WorkTarget(
                         block_id=int(tids[t]), hsps=None,
                         ungapped_score=usc, matrix=matrix)))
+            elif prb is not None:
+                # precomputed whole-wave round 1 covers this (single)
+                # chunk: materialize the worklist from the global rows
+                o_s, rows, usc = pre["out_start"], pre["rows"], pre["usc"]
+                worklist = []
+                for t in chunk:
+                    r0, r1 = int(o_s[p_lo + t]), int(o_s[p_lo + t + 1])
+                    if r0 == r1:
+                        continue
+                    hsps = [ApproxHsp(d_min=int(rows[x, 0]),
+                                      d_max=int(rows[x, 1]),
+                                      score=int(rows[x, 2]),
+                                      query_begin=int(rows[x, 3]),
+                                      query_end=int(rows[x, 4]),
+                                      subject_begin=int(rows[x, 5]),
+                                      subject_end=int(rows[x, 6]))
+                            for x in range(r0, r1)]
+                    worklist.append((t, WorkTarget(
+                        block_id=int(tids[t]), hsps=hsps,
+                        ungapped_score=int(usc[p_lo + t]), matrix=None)))
             else:
                 worklist = ungapped_stage_chunk(query_letters, q_start,
                                                 bias, tblock, ha, chunk,
@@ -637,30 +671,19 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                                       tgt_matrices, False)
                 with ptimer("ext.postdp"):
                     best_by_tid: dict[int, Hsp] = {}
-                    # one vectorized e-value/bitscore pass per response
-                    # (bit-identical to the scalar twins; pinned by
+                    # scalar e-value fast path: responses carry only a
+                    # few jobs, so per-job scalars beat tiny-array
+                    # vectorization (bit-exact either way — pinned by
                     # tests/test_stats.py)
-                    nj = len(job_meta)
-                    scores_a = np.fromiter((r[0] for r in res),
-                                           dtype=np.int64, count=nj)
-                    pos = np.nonzero(scores_a > 0)[0]
-                    if len(pos):
-                        tlens_a = np.fromiter(
-                            (job_meta[int(k)][1] for k in pos),
-                            dtype=np.int64, count=len(pos))
-                        evs = np.atleast_1d(mat.evalue(scores_a[pos], qlen,
-                                                       tlens_a))
-                        bits = np.atleast_1d(mat.bitscore(scores_a[pos]))
-                        if cfg.min_bit_score != 0:
-                            keepm = bits >= cfg.min_bit_score
-                        else:
-                            keepm = evs <= cfg.max_evalue
-                        for x in np.nonzero(keepm)[0]:
-                            k = int(pos[x])
-                            tid, tlen = job_meta[k]
-                            score, max_col, max_row = res[k]
-                            h = Hsp(score=score, evalue=float(evs[x]),
-                                    bit_score=float(bits[x]),
+                    for k, ((tid, tlen), (score, max_col, max_row)) in \
+                            enumerate(zip(job_meta, res)):
+                        if score <= 0:
+                            continue
+                        ev = mat.evalue(score, qlen, tlen)
+                        if mat.report_cutoff(
+                                score, ev, cfg.max_evalue, cfg.min_bit_score):
+                            h = Hsp(score=score, evalue=ev,
+                                    bit_score=float(mat.bitscore(score)),
                                     d_begin=jobs[k][1], d_end=jobs[k][2],
                                     query_range=(0, max_row + 1),
                                     subject_range=(0, max_col + 1))
@@ -1213,30 +1236,23 @@ def _traceback_round(aligned, query_letters, q_start, qlen, bias, tblock, ctx,
                     None if bid in matrices else use_bias,
                     mat.gap_open, mat.gap_extend, traceback=True)
                     for k, (bid, fh) in enumerate(batch)]
-            # vectorized e-value/bitscore pass (bit-identical twins)
-            nb = len(batch)
-            scores_a = np.fromiter((r.score for r in res_list),
-                                   dtype=np.int64, count=nb)
-            tlens_a = np.fromiter((mt[1] for mt in job_meta),
-                                  dtype=np.int64, count=nb)
-            evs_a = np.zeros(nb, dtype=np.float64)
-            bits_a = np.zeros(nb, dtype=np.float64)
-            posk = np.nonzero(scores_a > 0)[0]
-            if len(posk):
-                evs_a[posk] = np.atleast_1d(
-                    mat.evalue(scores_a[posk], qlen, tlens_a[posk]))
-                bits_a[posk] = np.atleast_1d(mat.bitscore(scores_a[posk]))
             for k, (block_id, first_hsp) in enumerate(batch):
-                tlen = int(tlens_a[k])
+                tlen = int(job_meta[k][1])
                 r = res_list[k]
-                ev = float(evs_a[k])
-                if not (r.score > 0 and (
-                        bits_a[k] >= cfg.min_bit_score
-                        if cfg.min_bit_score != 0
-                        else ev <= cfg.max_evalue)):
+                # round-1 already evaluated this (score, qlen, tlen):
+                # the traceback score equals the round-1 band score, so
+                # its e-value/bitscore carry over (guarded exactly)
+                if r.score == first_hsp.score:
+                    ev = first_hsp.evalue
+                    bits = first_hsp.bit_score
+                else:
+                    ev = float(mat.evalue(r.score, qlen, tlen))
+                    bits = float(mat.bitscore(r.score))
+                if not (r.score > 0 and mat.report_cutoff(
+                        r.score, ev, cfg.max_evalue, cfg.min_bit_score)):
                     continue
                 h = Hsp(score=r.score, evalue=ev,
-                        bit_score=float(bits_a[k]),
+                        bit_score=bits,
                         d_begin=first_hsp.d_begin, d_end=first_hsp.d_end,
                         query_range=r.query_range,
                         subject_range=r.subject_range,

@@ -241,6 +241,21 @@ def lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         cdll.ungapped_stage_chunk_sel.restype = ctypes.c_int64
+        cdll.ungapped_stage_queries.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        cdll.ungapped_stage_queries.restype = ctypes.c_int64
+        cdll.hauser_bias_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
+        cdll.hauser_bias_block.restype = None
         cdll.sw_islands.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -716,6 +731,60 @@ def ungapped_stage_chunk_sel_native(q_view, bias_view, t_letters, chunk,
         if n >= 0:
             return usc, out_start, out_hsp[:n]
         cap *= 4  # backtrace emitted more HSPs than seed hits (rare)
+
+
+def ungapped_stage_queries_native(q_letters, bias_all, t_letters, q_starts,
+                                  qids, q_grp_lo, q_lens, g_tstart, g_tlen,
+                                  g_hit_start, hit_i, hit_j, hit_score,
+                                  matrix32, xdrop, gap_open, gap_extend,
+                                  total_hits):
+    """Whole-wave first-round ungapped+chaining stage (one call for every
+    eligible query); returns (ungapped_score[G], out_start[G+1], hsp_rows)
+    or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    G = len(g_tstart)
+    nq = len(qids)
+    usc = np.empty(G, dtype=np.int64)
+    out_start = np.empty(G + 1, dtype=np.int64)
+    cap = max(int(total_hits), 1)
+    bias_p = bias_all.ctypes.data if bias_all is not None else None
+    while True:
+        out_hsp = np.empty((cap, 7), dtype=np.int64)
+        n = l.ungapped_stage_queries(
+            q_letters.ctypes.data, bias_p, t_letters.ctypes.data,
+            q_starts.ctypes.data, qids.ctypes.data, q_grp_lo.ctypes.data,
+            q_lens.ctypes.data, nq, g_tstart.ctypes.data,
+            g_tlen.ctypes.data, g_hit_start.ctypes.data, hit_i.ctypes.data,
+            hit_j.ctypes.data, hit_score.ctypes.data, matrix32.ctypes.data,
+            int(xdrop), int(gap_open), int(gap_extend), cap,
+            usc.ctypes.data, out_start.ctypes.data, out_hsp.ctypes.data)
+        if n >= 0:
+            return usc, out_start, out_hsp[:n]
+        cap *= 4
+
+
+def hauser_bias_block_native(letters, starts, lens, matrix32,
+                             background_scores, window: int = 40):
+    """Block-aligned int8 Hauser bias for every sequence in one call;
+    None without the native library."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    bg = np.ascontiguousarray(background_scores, dtype=np.float64)
+    starts64 = np.ascontiguousarray(starts, dtype=np.int64)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.zeros(len(letters), dtype=np.int8)
+    l.hauser_bias_block(letters.ctypes.data, starts64.ctypes.data,
+                        lens64.ctypes.data, len(lens64),
+                        matrix32.ctypes.data, bg.ctypes.data, int(window),
+                        out.ctypes.data)
+    return out
 
 
 def seed_part_table_native(letters, shape, reduction, seedp_mask):

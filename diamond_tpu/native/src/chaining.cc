@@ -803,3 +803,90 @@ extern "C" int64_t ungapped_stage_chunk_sel(
                                query_len, cap, ungapped_score, out_start,
                                out_hsp);
 }
+
+// Whole-wave first-round stage: ungapped_stage_many over MANY queries in
+// one call (the reference's per-thread align_queries partition over the
+// extension work list, src/align/align.cpp:203-269, as a single flat
+// pass; replaces one native call per query with one per wave).  Groups
+// are (query, target) runs of the globally-sorted hit table; query q
+// owns groups [q_grp_lo[q], q_grp_lo[q+1]).  Hit CSR offsets are
+// absolute into hit_i/hit_j/hit_score.  Returns rows written or -1 when
+// cap is exceeded (caller regrows).
+extern "C" int64_t ungapped_stage_queries(
+    const int8_t* q_letters, const int8_t* bias_all, const int8_t* t_letters,
+    const int64_t* q_starts,   // block starts per query id
+    const int64_t* qids,       // [nq] query ids
+    const int64_t* q_grp_lo,   // [nq+1] group bounds per query
+    const int64_t* q_lens,     // [nq] query lengths
+    int64_t nq,
+    const int64_t* g_tstart,   // [G] absolute target starts
+    const int64_t* g_tlen,     // [G] target lengths
+    const int64_t* g_hit_start,  // [G+1] absolute CSR into hit arrays
+    const int64_t* hit_i, const int64_t* hit_j, const int64_t* hit_score,
+    const int32_t* matrix32, int32_t xdrop, int64_t gap_open,
+    int64_t gap_extend, int64_t cap,
+    int64_t* ungapped_score,   // [G]
+    int64_t* out_start,        // [G+1]
+    int64_t* out_hsp) {        // [cap, 7]
+    std::vector<int64_t> idx;
+    std::vector<Seg> segs;
+    std::vector<Hsp> ts;
+    int64_t written = 0;
+    out_start[0] = 0;
+    for (int64_t nqi = 0; nqi < nq; ++nqi) {
+        const int64_t lo = q_grp_lo[nqi], hi_g = q_grp_lo[nqi + 1];
+        const int64_t qoff = q_starts[qids[nqi]];
+        const int8_t* q = q_letters + qoff;
+        const int8_t* bias = bias_all ? bias_all + qoff : nullptr;
+        const int64_t qlen = q_lens[nqi];
+        for (int64_t t = lo; t < hi_g; ++t) {
+            const int64_t h0 = g_hit_start[t], h1 = g_hit_start[t + 1];
+            const int64_t nh = h1 - h0;
+            const int8_t* subject = t_letters + g_tstart[t];
+            int64_t best = 0;
+            for (int64_t k = h0; k < h1; ++k)
+                best = std::max(best, hit_score[k]);
+            ungapped_score[t] = best;
+            idx.resize(nh);
+            for (int64_t k = 0; k < nh; ++k)
+                idx[k] = h0 + k;
+            std::stable_sort(idx.begin(), idx.end(),
+                             [&](int64_t a, int64_t b) {
+                                 const int64_t da = hit_i[a] - hit_j[a];
+                                 const int64_t db = hit_i[b] - hit_j[b];
+                                 return da != db ? da < db
+                                                 : hit_j[a] < hit_j[b];
+                             });
+            segs.clear();
+            int64_t one[4];
+            for (int64_t k = 0; k < nh; ++k) {
+                const int64_t i = hit_i[idx[k]], j = hit_j[idx[k]];
+                if (!segs.empty() && segs.back().diag() == i - j &&
+                    segs.back().subject_end() >= j)
+                    continue;
+                xdrop_ungapped_one(q, bias, subject, i, j, matrix32, xdrop,
+                                   one);
+                if (one[3] > 0)
+                    segs.push_back(Seg{one[0], one[1], one[2], one[3]});
+            }
+            ts.clear();
+            chain_one(q, subject, matrix32, gap_open, gap_extend, qlen,
+                      g_tlen[t], segs.data(), (int64_t)segs.size(), ts);
+            if (written + (int64_t)ts.size() > cap)
+                return -1;
+            for (const Hsp& h : ts) {
+                int64_t* row = out_hsp + 7 * written;
+                row[0] = h.d_min;
+                row[1] = h.d_max;
+                row[2] = h.score;
+                row[3] = h.query_begin;
+                row[4] = h.query_end;
+                row[5] = h.subject_begin;
+                row[6] = h.subject_end;
+                ++written;
+            }
+            out_start[t + 1] = written;
+        }
+    }
+    return written;
+}

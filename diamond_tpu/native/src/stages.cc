@@ -480,3 +480,15 @@ extern "C" void sort_kv_u64_d16(
         std::memcpy(vals, va, (size_t)n * sizeof(int64_t));
     }
 }
+
+// Block-wide Hauser bias: hauser_bias_i8 for every sequence of a block
+// in one call (the per-query calls of the extension driver collapse to
+// one; reference hauser_correction.cpp:53-106 runs per target thread).
+extern "C" void hauser_bias_block(
+    const int8_t* letters, const int64_t* starts, const int64_t* lens,
+    int64_t n_seqs, const int32_t* matrix32,
+    const double* background_scores, int64_t window, int8_t* out) {
+    for (int64_t s = 0; s < n_seqs; ++s)
+        hauser_bias_i8(letters + starts[s], lens[s], matrix32,
+                       background_scores, window, out + starts[s]);
+}

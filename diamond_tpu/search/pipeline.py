@@ -36,6 +36,11 @@ class PipelineContext:
     _bias_cache: dict = field(default_factory=dict)
 
     def query_bias(self, query_id: int):
+        ba = getattr(self, "_bias_all", None)
+        if ba is not None:
+            qs = int(self.query_block.starts[query_id])
+            L = int(self.query_block.lengths[query_id])
+            return ba[qs : qs + L]
         if query_id not in self._bias_cache:
             seq = self.query_block.seq(query_id)
             i8 = hauser_bias_i8(seq, self.cfg.matrix.matrix32,
@@ -800,6 +805,135 @@ class Pipeline:
         return self._cutoffs_short(qlens)
 
     # ------------------------------------------------------------------
+    def _precompute_round1(self, qid_all, arr5):
+        """Whole-wave first-round stage: ONE native call runs the ungapped
+        x-drop + chaining stage for every eligible (single-ranking-chunk,
+        no gapped filter, no matrix adjust) query — the per-query native
+        calls and CSR builds of extend_query_gen collapse into flat
+        global group arrays (the reference's per-thread align_queries
+        partition, src/align/align.cpp:203-269, as one batch).  Results
+        land in ctx._pre_round1; extend_query_gen consumes them when
+        present.  Byte-identical: same group order, same hit order, same
+        per-target native body."""
+        cfg = self.cfg
+        self.ctx._pre_round1 = None
+        if (cfg.ext_mode in ("full", "none") or cfg.gapped_filter_evalue > 0
+                or cbs_mod.matrix_adjust(cfg.comp_based_stats)
+                or cfg.translated or len(arr5) == 0):
+            return
+        from diamond_tpu import native
+
+        if native.lib() is None:
+            return
+        from diamond_tpu.align.extend import ranking_chunk_size
+
+        chunk_size = ranking_chunk_size(0, self.t.n_letters,
+                                        cfg.max_target_seqs,
+                                        toppercent=cfg.toppercent)
+        tid_col = arr5[:, 3]
+        change = np.empty(len(arr5), dtype=bool)
+        change[0] = True
+        np.logical_or(qid_all[1:] != qid_all[:-1],
+                      tid_col[1:] != tid_col[:-1], out=change[1:])
+        gidx = np.nonzero(change)[0]
+        g_hit_start = np.append(gidx, len(arr5)).astype(np.int64)
+        g_tid = tid_col[gidx]
+        g_qid = np.ascontiguousarray(qid_all[gidx])
+        g_score = np.maximum.reduceat(arr5[:, 2], gidx)
+        # per-query group bounds (g_qid ascending)
+        uq = np.unique(g_qid)
+        qb = np.searchsorted(g_qid, np.append(uq, np.iinfo(np.int64).max))
+        counts = np.diff(qb)
+        elig = counts <= chunk_size
+        if not elig.any():
+            return
+        qids_e = np.ascontiguousarray(uq[elig])
+        lo_e = np.ascontiguousarray(qb[:-1][elig])
+        hi_e = np.ascontiguousarray(qb[1:][elig])
+        # native call inputs: eligible queries' group runs, concatenated
+        sel = np.concatenate([np.arange(a, b) for a, b in
+                              zip(lo_e, hi_e)]) if len(qids_e) else None
+        # group runs per query are contiguous; eligible set keeps global
+        # order, so sel is sorted — slices of the global arrays suffice
+        g_sel = np.ascontiguousarray(sel)
+        counts_e = (hi_e - lo_e).astype(np.int64)
+        q_grp_lo = np.zeros(len(qids_e) + 1, dtype=np.int64)
+        np.cumsum(counts_e, out=q_grp_lo[1:])
+        lens64 = getattr(self.t, "_lengths64", None)
+        if lens64 is None or len(lens64) != len(self.t.lengths):
+            lens64 = self.t._lengths64 = self.t.lengths.astype(np.int64)
+        starts64 = np.ascontiguousarray(self.t.starts, dtype=np.int64)
+        g_tid_sel = np.ascontiguousarray(g_tid[g_sel])
+        g_tstart = np.ascontiguousarray(starts64[g_tid_sel])
+        g_tlen = np.ascontiguousarray(lens64[g_tid_sel])
+        # hit CSR stays global (absolute offsets); groups selected by run
+        gh = np.empty(len(g_sel) + 1, dtype=np.int64)
+        gh[:-1] = g_hit_start[g_sel]
+        gh[-1] = g_hit_start[g_sel[-1] + 1] if len(g_sel) else 0
+        # eligible group runs are contiguous per query but the overall
+        # selection may skip ineligible queries' groups: the native pass
+        # indexes hits by absolute CSR, so gaps are fine — but the
+        # per-group CSR array must carry each group's own [start, end).
+        # Rebuild as explicit 2-column bounds folded into gh via ends:
+        g_hit_end = g_hit_start[g_sel + 1]
+        ok = np.all(gh[1 : len(g_sel)] == g_hit_end[: len(g_sel) - 1]) \
+            if len(g_sel) > 1 else True
+        if not ok:
+            # non-contiguous hit runs (skipped queries in between): fall
+            # back to per-group explicit CSR by compacting hits
+            gh = np.zeros(len(g_sel) + 1, dtype=np.int64)
+            np.cumsum((g_hit_end - g_hit_start[g_sel]).astype(np.int64),
+                      out=gh[1:])
+            take = np.concatenate([np.arange(a, b) for a, b in zip(
+                g_hit_start[g_sel], g_hit_end)])
+            hit_i = np.ascontiguousarray(arr5[take, 1])
+            hit_j = np.ascontiguousarray(arr5[take, 4])
+            hit_s = np.ascontiguousarray(arr5[take, 2])
+        else:
+            hit_i = np.ascontiguousarray(arr5[:, 1])
+            hit_j = np.ascontiguousarray(arr5[:, 4])
+            hit_s = np.ascontiguousarray(arr5[:, 2])
+        bias_all = None
+        if cbs_mod.hauser(cfg.comp_based_stats):
+            bias_all = self._block_bias_i8()
+            if bias_all is None:
+                return
+        q_starts = np.ascontiguousarray(self.q.starts, dtype=np.int64)
+        q_lens_e = np.ascontiguousarray(
+            self.q.lengths.astype(np.int64)[qids_e])
+        total_hits = int(gh[-1] - gh[0]) if ok else int(gh[-1])
+        r = native.ungapped_stage_queries_native(
+            self.q.letters, bias_all, self.t.letters, q_starts, qids_e,
+            q_grp_lo, q_lens_e, g_tstart, g_tlen, gh, hit_i, hit_j, hit_s,
+            cfg.matrix.matrix32, cfg.xdrop_raw, cfg.matrix.gap_open,
+            cfg.matrix.gap_extend, max(total_hits, 1))
+        if r is None:
+            return
+        usc, out_start, rows = r
+        self.ctx._pre_round1 = {
+            "bounds": {int(q): (int(a), int(b)) for q, a, b in
+                       zip(qids_e.tolist(), q_grp_lo[:-1].tolist(),
+                           q_grp_lo[1:].tolist())},
+            "g_tid": g_tid_sel, "g_score": g_score[g_sel],
+            "usc": usc, "out_start": out_start, "rows": rows}
+
+    def _block_bias_i8(self):
+        """Block-aligned int8 Hauser bias for every query (one native
+        call); also seeds the per-query bias cache slices."""
+        from diamond_tpu import native
+
+        cached = getattr(self, "_bias_all", None)
+        if cached is not None:
+            return cached
+        mat = self.cfg.matrix
+        b = native.hauser_bias_block_native(
+            self.q.letters, self.q.starts, self.q.lengths, mat.matrix32,
+            mat.background_scores)
+        if b is not None:
+            self._bias_all = b
+            self.ctx._bias_all = b
+        return b
+
     def _extend_all(self, hits):
         arr = (np.concatenate(hits) if hits
                else np.empty((0, 4), dtype=np.int64))
@@ -861,6 +995,10 @@ class Pipeline:
         by_query = {int(qid): arr5[bounds[k] : bounds[k + 1]]
                     for k, qid in enumerate(qids_u.tolist())}
         qids = sorted(by_query)
+        from diamond_tpu.utils.log import ptimer
+
+        with ptimer("ext.pre_round1"):
+            self._precompute_round1(arr[:, 0], arr5)
         from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
 
         if qids and device_dp_enabled():

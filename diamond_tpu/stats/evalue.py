@@ -231,9 +231,44 @@ def _erfc_scalar(x: float):
 
 
 def evalue1(params: GumbelParams, score: float, qlen, slen) -> float:
-    """Scalar twin of evalue() — bit-identical to the vectorized path."""
-    a = area1(params, score, qlen, slen)
-    return a * params.K * float(np.exp(-params.lam * float(score)))
+    """Scalar twin of evalue() — bit-identical to the vectorized path.
+
+    The five transcendental ufunc calls of area1+exp batch into two
+    (one erfc over 2 elements, one exp over 3): numpy's elementwise
+    loops produce the same bits as its scalar calls (the same ufunc
+    inner loop; pinned with the vectorized path by tests/test_stats.py),
+    and ufunc call overhead dominates the scalar path's cost."""
+    if _erfc is None:
+        _load_erfc()
+    y = float(score)
+    m = float(slen)
+    n = float(qlen)
+    m_li_y = m - (params.a_I * y + params.b_I)
+    vi_y = params.alpha_I * y + params.beta_I
+    if vi_y < params.vi_y_thr:
+        vi_y = params.vi_y_thr
+    sqrt_vi_y = math.sqrt(vi_y)
+    m_F = m_li_y / sqrt_vi_y if sqrt_vi_y != 0.0 else 1e100
+    n_lj_y = n - (params.a_J * y + params.b_J)
+    vj_y = params.alpha_J * y + params.beta_J
+    if vj_y < params.vj_y_thr:
+        vj_y = params.vj_y_thr
+    sqrt_vj_y = math.sqrt(vj_y)
+    n_F = n_lj_y / sqrt_vj_y if sqrt_vj_y != 0.0 else 1e100
+    er = _erfc(np.array([-m_F / SQRT_2, -n_F / SQRT_2]))
+    ex = np.exp(np.array([-0.5 * m_F * m_F, -0.5 * n_F * n_F,
+                          -params.lam * y]))
+    P_m_F = 0.5 * float(er[0])
+    P_n_F = 0.5 * float(er[1])
+    E_m_F = -CONST_VAL * float(ex[0])
+    E_n_F = -CONST_VAL * float(ex[1])
+    p1 = m_li_y * P_m_F - sqrt_vi_y * E_m_F
+    p2 = n_lj_y * P_n_F - sqrt_vj_y * E_n_F
+    c_y = params.sigma * y + params.tau
+    if c_y < params.c_y_thr:
+        c_y = params.c_y_thr
+    a = p1 * p2 + c_y * P_m_F * P_n_F
+    return a * params.K * float(ex[2])
 
 
 def bitscore_corrected1(params: GumbelParams, raw_score, qlen, slen) -> float:
