@@ -99,6 +99,32 @@ def run_benchmark():
     cells = float(G12) * TILE_Q * TILE_S * 48
     rows.append(("stage1 fingerprint (MXU)", cells, dt))
 
+    # multi-query slot-packed device kernel (the production extension
+    # path: DeviceDP packs 4 query slots per tile, K=128 one-hot)
+    from diamond_tpu.ops.swipe_device import DeviceDP
+
+    ddp = DeviceDP(m.matrix32, m.gap_open, m.gap_extend)
+    reqs = []
+    for _ in range(128):
+        qm = rng.integers(0, 20, 420).astype(np.int8)
+        jm = [(rng.integers(0, 20, 448).astype(np.int8), -64, 65)
+              for _ in range(3)]
+        reqs.append((qm, None, jm))
+    from diamond_tpu.ops import swipe_device as _sd
+
+    def _run_multi():
+        return ddp.run_many(reqs)
+
+    _run_multi()  # compile
+    _sd.reset_dispatch_stats()
+    best_multi = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run_multi()
+        best_multi = min(best_multi, time.perf_counter() - t0)
+    real_cells = 128 * 3 * 448.0 * 129
+    rows.append(("multi-query SWIPE (slot-packed)", real_cells, best_multi))
+
     # host-native (C++) kernels, when the toolchain is available
     from diamond_tpu import native
 
@@ -106,6 +132,7 @@ def run_benchmark():
         from diamond_tpu.data.block import Block
         from diamond_tpu.ops.banded_swipe import banded_swipe_batch_np
         from diamond_tpu.search import stages
+        from diamond_tpu.stats.cbs import hauser_bias_i8
 
         def _time_host(fn, n_iter=3):
             fn()
@@ -123,6 +150,29 @@ def run_benchmark():
             q, None, jobs_h, m.matrix32, m.gap_open, m.gap_extend))
         rows.append(("banded SWIPE (C++ host)", 64.0 * T * 128, dt))
 
+        # CBS variant: Hauser per-position bias folded into the profile
+        bias_h = hauser_bias_i8(q, m.matrix32, m.background_scores)
+        dt = _time_host(lambda: banded_swipe_batch_np(
+            q, bias_h, jobs_h, m.matrix32, m.gap_open, m.gap_extend))
+        rows.append(("banded SWIPE+CBS (C++ host)", 64.0 * T * 128, dt))
+
+        # traceback variant: mask-emitting fill + walk (the fused
+        # round-1 production engine; reference benchmark.cpp's
+        # swipe+traceback cases)
+        dt = _time_host(lambda: banded_swipe_batch_np(
+            q, None, jobs_h, m.matrix32, m.gap_open, m.gap_extend,
+            traceback=True))
+        rows.append(("banded SWIPE+TB (C++ host)", 64.0 * T * 128, dt))
+
+        # reversed stats pass (BackwardCell twin)
+        from diamond_tpu.ops.banded_swipe import backward_stats_pass_np
+
+        tgt_b = jobs_h[0][0]
+        dt = _time_host(lambda: [backward_stats_pass_np(
+            q, None, tgt_b, len(tgt_b), -64, 64, m.matrix32,
+            m.gap_open, m.gap_extend) for _ in range(8)])
+        rows.append(("reversed stats (C++ host)", 8.0 * T * 128, dt))
+
         seqs = [rng.integers(0, 20, 300).astype(np.int8) for _ in range(64)]
         blk = Block.from_sequences(seqs, [str(i) for i in range(64)])
         N = 20000
@@ -134,6 +184,30 @@ def run_benchmark():
         dt = _time_host(lambda: stages.stage1_filter(
             blk.letters, blk.letters, qp, sp, 26))
         rows.append(("fingerprint filter (C++ host)", N * 48.0, dt))
+
+        # Hauser bias build (CBS profile prep; cells = letters)
+        L_b = int(blk.lengths.sum())
+        dt = _time_host(lambda: native.hauser_bias_block_native(
+            blk.letters, blk.starts, blk.lengths, m.matrix32,
+            m.background_scores))
+        rows.append(("hauser bias (C++ host)", float(L_b), dt))
+
+        # tantan repeat masking (cells = letters)
+        from diamond_tpu.masking.tantan import Tantan
+
+        tn = Tantan(m.matrix32)
+        dt = _time_host(lambda: native.tantan_repeat_prob_many(
+            blk.letters, blk.starts, blk.lengths, tn.ratios,
+            float(tn.p_repeat), float(tn.p_repeat_end),
+            float(tn.repeat_growth)))
+        rows.append(("tantan masking (C++ host)", float(L_b), dt))
+
+        # seed radix sort (cells = keys)
+        keys = rng.integers(0, 1 << 48, 1 << 20).astype(np.uint64)
+        pos = np.arange(1 << 20, dtype=np.int64)
+        dt = _time_host(lambda: stages._sorted_kv(keys.copy(), pos.copy(),
+                                                  inplace=True))
+        rows.append(("seed radix sort (C++ host)", float(1 << 20), dt))
 
     print(f"{'kernel':<30} {'ps/cell':>10} {'GCUPS':>10}")
     for name, cells, dt in rows:
