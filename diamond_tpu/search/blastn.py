@@ -214,13 +214,32 @@ def blastn_search(query_records, target_records, reward: int = 2,
                 min_sc = min(CHAIN_MIN_SCORE, max(float(k), 0.5 * len(qs)))
                 for chain, _score in chain_anchors(anchors, k,
                                                    min_score=min_sc):
-                    d0 = min(a[0] - a[1] for a in chain) - BAND_EXTENSION
-                    d1 = max(a[0] - a[1] for a in chain) + BAND_EXTENSION
-                    d0 = max(d0, -(len(t) - 1))
-                    d1 = min(d1, len(qs))
-                    r = banded_swipe_np(qs, t, d0, d1, m, None,
-                                        gap_open + gap_extend, gap_extend,
-                                        traceback=True)
+                    c0 = min(a[0] - a[1] for a in chain)
+                    c1 = max(a[0] - a[1] for a in chain)
+                    # band-doubling on edge contact (the role of ksw2's
+                    # band growth in the reference's DNA mode,
+                    # contrib/dna/extension.cpp): when the traced
+                    # alignment's endpoint diagonals come within 2 of
+                    # the band boundary, the optimum may be clipped —
+                    # double the margin and re-extend
+                    ext = BAND_EXTENSION
+                    while True:
+                        d0 = max(c0 - ext, -(len(t) - 1))
+                        d1 = min(c1 + ext, len(qs))
+                        # banded_swipe_np takes the RAW open penalty
+                        # (it adds gap_extend internally)
+                        r = banded_swipe_np(qs, t, d0, d1, m, None,
+                                            gap_open, gap_extend,
+                                            traceback=True)
+                        full = d0 <= -(len(t) - 1) and d1 >= len(qs)
+                        if r.score <= 0 or full or ext >= 1024:
+                            break
+                        dqb = r.query_range[0] - r.subject_range[0]
+                        dqe = r.query_range[1] - r.subject_range[1]
+                        if (min(dqb, dqe) - d0 >= 2
+                                and (d1 - 1) - max(dqb, dqe) >= 2):
+                            break
+                        ext *= 2
                     if r.score <= 0:
                         continue
                     bits = (lam * r.score - np.log(K)) / np.log(2.0)

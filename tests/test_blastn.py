@@ -54,3 +54,65 @@ def test_blastn_end_to_end(tmp_path):
     # minus strand: subject coordinates reversed
     assert by_q["minus"][2] == "100"
     assert int(by_q["minus"][8]) == 160 and int(by_q["minus"][9]) == 41
+
+
+def _sw_full_score(q, t, m, go, ge):
+    """Exact full-matrix Smith-Waterman optimum (independent oracle:
+    plain affine-gap DP, no banding, no heuristics)."""
+    import numpy as np
+
+    H = np.zeros(len(t) + 1, dtype=np.int64)
+    E = np.zeros(len(t) + 1, dtype=np.int64)
+    best = 0
+    for i in range(len(q)):
+        F = 0
+        diag = 0
+        row = m[q[i]]
+        for j in range(1, len(t) + 1):
+            E[j] = max(E[j] - ge, H[j] - go)
+            F = max(F - ge, H[j - 1] - go)
+            h = max(diag + row[t[j - 1]], E[j], F, 0)
+            diag = H[j]
+            H[j] = h
+            if h > best:
+                best = h
+    return int(best)
+
+
+def test_blastn_matches_exact_sw_oracle():
+    """The reference's DNA extension cannot be rebuilt here (-DWITH_DNA=ON
+    fails: src/lib/ksw2 and WFA2-lib are not vendored in the reference
+    tree, and this environment has no network egress), so the contract is
+    pinned against an independent exact Smith-Waterman oracle instead:
+    for homologous pairs where the chain covers the alignment, the
+    reported score must equal the full-matrix SW optimum and the
+    transcript stats must be internally consistent."""
+    from diamond_tpu.search.blastn import (blastn_search, dna_matrix,
+                                           encode_dna)
+
+    rng = np.random.default_rng(11)
+    bases = "ACGT"
+    m = dna_matrix(2, -3)
+    go, ge = 5 + 2, 2
+    n_checked = 0
+    for trial in range(6):
+        core = "".join(rng.choice(list(bases), 200))
+        # mutate 5% + one small indel
+        cl = list(core)
+        for p in rng.integers(0, len(cl), 10):
+            cl[int(p)] = bases[int(rng.integers(0, 4))]
+        ins = int(rng.integers(50, 150))
+        cl[ins:ins] = list("".join(rng.choice(list(bases), 2)))
+        query = "".join(cl)
+        target = ("".join(rng.choice(list(bases), 30)) + core
+                  + "".join(rng.choice(list(bases), 30)))
+        res, _qmeta, _tmeta = blastn_search([("q", query)], [("t", target)])
+        assert res, f"trial {trial}: no hit"
+        h = res[0][0].hsp[0]
+        sw = _sw_full_score(encode_dna(query), encode_dna(target), m, go, ge)
+        assert h.score == sw, (trial, h.score, sw)
+        # transcript stats internally consistent
+        assert h.identities + h.mismatches + h.gaps == h.length
+        assert h.length >= h.query_range[1] - h.query_range[0]
+        n_checked += 1
+    assert n_checked == 6
