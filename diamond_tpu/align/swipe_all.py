@@ -29,6 +29,50 @@ def _mesh_for(cfg):
     return _MESH
 
 
+# device full-band job caps: bounded by the pallas kernel's VMEM budget
+# (profile [T+band, 128] int32 + scratch); longer sequences take the
+# host striped engine (the ~1% long tail of typical protein DBs)
+DEVICE_SWIPE_MAX_LEN = 2048
+
+
+def _device_swipe_scores(qblock, tblock, cfg, mesh):
+    """Round-1 full-matrix scores for EVERY (query, target) pair with
+    tlen/qlen under the device cap, batched across all queries in one
+    DeviceDP sweep (the chip's natural --swipe form: 100% DP, tiles
+    filled by thousands of same-band targets).  Returns
+    {qi: {t: (score, max_col, max_row)}} or None when no device."""
+    from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
+
+    if not device_dp_enabled():
+        return None
+    from diamond_tpu.ops.swipe_device import DeviceDP
+    from diamond_tpu.stats.cbs import hauser_bias_i8
+
+    m = cfg.matrix
+    use_h = cbs_mod.hauser(cfg.comp_based_stats)
+    device = DeviceDP(m.matrix32, m.gap_open, m.gap_extend,
+                      interpret=dp_interpret(), mesh=mesh)
+    small_t = [t for t in range(len(tblock))
+               if 0 < int(tblock.lengths[t]) <= DEVICE_SWIPE_MAX_LEN]
+    requests = []
+    req_meta = []
+    for qi in range(len(qblock)):
+        q = qblock.seq(qi)
+        qlen = len(q)
+        if qlen == 0 or qlen > DEVICE_SWIPE_MAX_LEN or (q == 23).all():
+            continue
+        bias = (hauser_bias_i8(q, m.matrix32, m.background_scores)
+                if use_h else None)
+        jobs = [(tblock.seq(t), -(int(tblock.lengths[t]) - 1), qlen)
+                for t in small_t]
+        requests.append((q, bias, jobs))
+        req_meta.append(qi)
+    if not requests:
+        return {}
+    res = device.run_many(requests)
+    return {qi: dict(zip(small_t, r)) for qi, r in zip(req_meta, res)}
+
+
 def swipe_all_protein(qblock, tblock, cfg) -> dict:
     """--swipe blastp: every query vs every DB sequence, no seeding
     (reference align/full_db.cpp via extend.cpp:332-333)."""
@@ -43,19 +87,27 @@ def swipe_all_protein(qblock, tblock, cfg) -> dict:
         if qblock is not tblock:
             mask_block(qblock, masker)
     m = cfg.matrix
+    dev_scores = _device_swipe_scores(qblock, tblock, cfg, _mesh_for(cfg))
     results = {}
     for qi in range(len(qblock)):
         q = qblock.seq(qi)
         i8 = hauser_bias_i8(q, m.matrix32, m.background_scores)
-        matches = swipe_all_query([(0, q)], len(q), {0: i8}, tblock, cfg)
+        matches = swipe_all_query(
+            [(0, q)], len(q), {0: i8}, tblock, cfg,
+            dev_scores=None if dev_scores is None else dev_scores.get(qi))
         if matches:
             results[qi] = matches
     return results
 
 
-def swipe_all_query(contexts, source_len, biases, tblock, cfg) -> list:
+def swipe_all_query(contexts, source_len, biases, tblock, cfg,
+                    dev_scores=None) -> list:
     """contexts: list of (frame, letters) translated/protein query contexts.
-    Returns culled Matches with traceback Hsps (frame-aware)."""
+    Returns culled Matches with traceback Hsps (frame-aware).
+
+    dev_scores: {t: (score, max_col, max_row)} precomputed on the device
+    for frame 0 (the cross-query batched --swipe sweep); targets not in
+    it run the host batch."""
     mat = cfg.matrix
     n_targets = len(tblock)
     mesh = _mesh_for(cfg)
@@ -69,14 +121,26 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg) -> list:
         bias = biases[frame] if cbs_mod.hauser(cfg.comp_based_stats) else None
         jobs = []
         metas = []
+        pre = dev_scores if (dev_scores is not None and frame == 0) else None
+        pre_res = []
         for t in range(n_targets):
+            if pre is not None and t in pre:
+                pre_res.append((t, pre[t]))
+                continue
             tgt = tblock.seq(t)
             tlen = len(tgt)
             if tlen == 0:
                 continue
             jobs.append((tgt, -(tlen - 1), qlen))
             metas.append(t)
-        if mesh is not None:
+        if pre is not None:
+            # host runs only the long tail; device scores fill the rest
+            res_tail = banded_swipe_batch_np(
+                q, bias, jobs, mat.matrix32, mat.gap_open, mat.gap_extend) \
+                if jobs else []
+            res = [sc for _, sc in pre_res] + list(res_tail)
+            metas = [t for t, _ in pre_res] + metas
+        elif mesh is not None:
             # device-sharded scoring round: DB shards over the mesh's 'db'
             # axis, per-shard banded SW, all_gather merge — exact int32
             # parity with the host path (parallel/sharded.py)

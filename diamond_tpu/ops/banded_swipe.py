@@ -467,6 +467,18 @@ def _batch_native(query, bias, jobs, matrix32, gap_open, gap_extend,
                        d_begins, bands, matrix32, go, ge)
         if r is not None:
             return r
+    if not traceback:
+        # striped (AVX-512) score engine — same outputs as the scalar
+        # swipe_one, ~5x faster; q_off 0 for every job (single query)
+        q_off = np.zeros(B, dtype=np.int64)
+        q_len = np.full(B, len(q8), dtype=np.int64)
+        use_b = np.full(B, 0 if bias32 is None else 1, dtype=np.uint8)
+        out = native.banded_swipe_score_multi_native(
+            q8, bias32, q_off, q_len, use_b, t_cat, t_off, t_len,
+            d_begins, bands, matrix32, go, ge)
+        if out is not None:
+            return [(int(out[k, 0]), int(out[k, 1]), int(out[k, 2]))
+                    for k in range(B)]
     masks = mask_off = None
     if traceback:
         sizes = t_len * bands
