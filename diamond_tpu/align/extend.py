@@ -1106,7 +1106,8 @@ def _banded_cols(qlen: int, tlen: int, d_begin: int, d_end: int) -> int:
     return j1 - pos
 
 
-def apply_reversed_stats(survivors, q, use_bias, mat, matrices=None):
+def apply_reversed_stats(survivors, q, use_bias, mat, matrices=None,
+                         always=False):
     """Set mismatches_stats/gap_openings_stats on each surviving Hsp from
     the reference's reversed BackwardCell pass (reference
     swipe_wrapper.cpp:364-430 recompute_reversed): stats-only formats on
@@ -1121,10 +1122,11 @@ def apply_reversed_stats(survivors, q, use_bias, mat, matrices=None):
     if not survivors:
         return
     qlen = len(q)
-    survivors = [
-        (h, t, bid) for h, t, bid in survivors
-        if (_banded_cols(qlen, len(t), h.d_begin, h.d_end)
-            * (h.d_end - h.d_begin)) > MAX_SWIPE_DP]
+    if not always:
+        survivors = [
+            (h, t, bid) for h, t, bid in survivors
+            if (_banded_cols(qlen, len(t), h.d_begin, h.d_end)
+                * (h.d_end - h.d_begin)) > MAX_SWIPE_DP]
     if not survivors:
         return
     from diamond_tpu import native

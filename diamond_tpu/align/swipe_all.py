@@ -203,4 +203,24 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg,
             m.set_filter()
             matches.append(m)
     _cull_matches(matches, cfg)
+    # reversed BackwardCell stats for large matrices (stats-only formats
+    # report these counts; reference swipe_wrapper.cpp:364-430 — same
+    # fixup the seeded pipeline applies in _traceback_round)
+    from diamond_tpu.align.extend import apply_reversed_stats
+
+    by_frame2: dict[int, list] = {}
+    for m2 in matches:
+        by_frame2.setdefault(m2.hsp[0].frame, []).append(m2)
+    for frame, ms in by_frame2.items():
+        q = dict(contexts)[frame]
+        bias = biases[frame] if cbs_mod.hauser(cfg.comp_based_stats) else None
+        # FULL_MATRIX bin gate: dp_size = qlen * tlen (reference
+        # swipe_wrapper.cpp:77-97; NOT the banded cols*band estimate)
+        from diamond_tpu.align.extend import MAX_SWIPE_DP
+
+        survivors = [(m2.hsp[0], tblock.seq(m2.target_block_id),
+                      m2.target_block_id) for m2 in ms
+                     if len(q) * int(tblock.lengths[m2.target_block_id])
+                     > MAX_SWIPE_DP]
+        apply_reversed_stats(survivors, q, bias, mat, always=True)
     return matches

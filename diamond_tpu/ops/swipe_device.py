@@ -377,13 +377,17 @@ class DeviceDP:
 
     def _run_many(self, requests):
         out = [[None] * len(jobs) for _, _, jobs in requests]
-        # group jobs per request by padded band
+        # group jobs per request by (padded band, target-span bucket):
+        # the span key keeps one long target from padding every short
+        # job of the group to its T (--swipe requests carry thousands of
+        # mixed-length full-band jobs per query)
         groups: list[_Group] = []
         for r, (_, _, jobs) in enumerate(requests):
-            by_band: dict[int, list] = {}
+            by_key: dict[tuple, list] = {}
             for k, (t, d0, d1) in enumerate(jobs):
-                by_band.setdefault(pad_band(d1 - d0), []).append(k)
-            for band, idx in by_band.items():
+                key = (pad_band(d1 - d0), pad_T(len(t) + max(0, -d0)))
+                by_key.setdefault(key, []).append(k)
+            for (band, _), idx in by_key.items():
                 groups.append(_Group(r, idx, [jobs[k] for k in idx], band))
         # bucket groups by kernel shape
         buckets: dict[tuple, list[_Group]] = {}
