@@ -626,24 +626,49 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                         ungapped_score=usc, matrix=matrix)))
             elif prb is not None:
                 # precomputed whole-wave round 1 covers this (single)
-                # chunk: materialize the worklist from the global rows
-                o_s, rows, usc = pre["out_start"], pre["rows"], pre["usc"]
+                # chunk: build DP jobs straight from the global rows —
+                # the single-HSP band is computed vectorized, only
+                # multi-HSP targets walk merged_bands
+                o_s, rows = pre["out_start"], pre["rows"]
+                with ptimer("ext.bands"):
+                    starts_t = o_s[p_lo : p_hi + 1]
+                    counts_t = np.diff(starts_t)
+                    t_sel = np.nonzero(counts_t)[0]
+                    tid_sel = tids[t_sel]
+                    tl64 = tblock.lengths
+                    tlen_sel = tl64[tid_sel]
+                    tst_sel = tblock.starts[tid_sel]
+                    first = starts_t[t_sel]
+                    b0_a = np.maximum(rows[first, 0] - base_band,
+                                      -(tlen_sel - 1))
+                    b1_a = np.minimum(rows[first, 1] + 1 + base_band, qlen)
+                    letters_t = tblock.letters
+                    for x in range(len(t_sel)):
+                        t = int(t_sel[x])
+                        tid = int(tid_sel[x])
+                        tlen = int(tlen_sel[x])
+                        ts = int(tst_sel[x])
+                        tgt = letters_t[ts : ts + tlen]
+                        if counts_t[t] == 1:
+                            jobs.append((tgt, int(b0_a[x]), int(b1_a[x])))
+                            job_meta.append((tid, tlen))
+                            continue
+                        r0, r1 = int(starts_t[t]), int(starts_t[t + 1])
+                        hsps = [ApproxHsp(d_min=int(rows[y, 0]),
+                                          d_max=int(rows[y, 1]),
+                                          score=int(rows[y, 2]),
+                                          query_begin=int(rows[y, 3]),
+                                          query_end=int(rows[y, 4]),
+                                          subject_begin=int(rows[y, 5]),
+                                          subject_end=int(rows[y, 6]))
+                                for y in range(r0, r1)]
+                        work = WorkTarget(block_id=tid, hsps=hsps,
+                                          ungapped_score=0, matrix=None)
+                        for d0, d1 in merged_bands(work, qlen, tlen,
+                                                   base_band):
+                            jobs.append((tgt, d0, d1))
+                            job_meta.append((tid, tlen))
                 worklist = []
-                for t in chunk:
-                    r0, r1 = int(o_s[p_lo + t]), int(o_s[p_lo + t + 1])
-                    if r0 == r1:
-                        continue
-                    hsps = [ApproxHsp(d_min=int(rows[x, 0]),
-                                      d_max=int(rows[x, 1]),
-                                      score=int(rows[x, 2]),
-                                      query_begin=int(rows[x, 3]),
-                                      query_end=int(rows[x, 4]),
-                                      subject_begin=int(rows[x, 5]),
-                                      subject_end=int(rows[x, 6]))
-                            for x in range(r0, r1)]
-                    worklist.append((t, WorkTarget(
-                        block_id=int(tids[t]), hsps=hsps,
-                        ungapped_score=int(usc[p_lo + t]), matrix=None)))
             else:
                 worklist = ungapped_stage_chunk(query_letters, q_start,
                                                 bias, tblock, ha, chunk,
@@ -671,25 +696,50 @@ def extend_query_gen(query_id: int, query_hits, ctx):
                                       tgt_matrices, False)
                 with ptimer("ext.postdp"):
                     best_by_tid: dict[int, Hsp] = {}
-                    # scalar e-value fast path: responses carry only a
-                    # few jobs, so per-job scalars beat tiny-array
-                    # vectorization (bit-exact either way — pinned by
-                    # tests/test_stats.py)
-                    for k, ((tid, tlen), (score, max_col, max_row)) in \
-                            enumerate(zip(job_meta, res)):
-                        if score <= 0:
-                            continue
-                        ev = mat.evalue(score, qlen, tlen)
-                        if mat.report_cutoff(
-                                score, ev, cfg.max_evalue, cfg.min_bit_score):
-                            h = Hsp(score=score, evalue=ev,
-                                    bit_score=float(mat.bitscore(score)),
-                                    d_begin=jobs[k][1], d_end=jobs[k][2],
-                                    query_range=(0, max_row + 1),
-                                    subject_range=(0, max_col + 1))
-                            prev = best_by_tid.get(tid)
-                            if prev is None or h.sort_key() < prev.sort_key():
-                                best_by_tid[tid] = h
+                    if len(job_meta) >= 16:
+                        # vectorized e-value pass (bit-identical twins,
+                        # pinned by tests/test_stats.py); worth it only
+                        # for target-rich responses
+                        nj = len(job_meta)
+                        scores_a = np.fromiter((r[0] for r in res),
+                                               dtype=np.int64, count=nj)
+                        pos = np.nonzero(scores_a > 0)[0]
+                        kit = []
+                        if len(pos):
+                            tlens_a = np.fromiter(
+                                (job_meta[int(x)][1] for x in pos),
+                                dtype=np.int64, count=len(pos))
+                            evs = np.atleast_1d(mat.evalue(
+                                scores_a[pos], qlen, tlens_a))
+                            bits = np.atleast_1d(mat.bitscore(scores_a[pos]))
+                            keepm = (bits >= cfg.min_bit_score
+                                     if cfg.min_bit_score != 0
+                                     else evs <= cfg.max_evalue)
+                            kit = [(int(pos[x]), float(evs[x]),
+                                    float(bits[x]))
+                                   for x in np.nonzero(keepm)[0]]
+                    else:
+                        # scalar fast path for the few-job common case
+                        kit = []
+                        for k, ((tid, tlen), r) in enumerate(
+                                zip(job_meta, res)):
+                            if r[0] <= 0:
+                                continue
+                            ev = mat.evalue(r[0], qlen, tlen)
+                            if mat.report_cutoff(r[0], ev, cfg.max_evalue,
+                                                 cfg.min_bit_score):
+                                kit.append((k, ev,
+                                            float(mat.bitscore(r[0]))))
+                    for k, ev, bits_k in kit:
+                        tid, tlen = job_meta[k]
+                        score, max_col, max_row = res[k]
+                        h = Hsp(score=score, evalue=ev, bit_score=bits_k,
+                                d_begin=jobs[k][1], d_end=jobs[k][2],
+                                query_range=(0, max_row + 1),
+                                subject_range=(0, max_col + 1))
+                        prev = best_by_tid.get(tid)
+                        if prev is None or h.sort_key() < prev.sort_key():
+                            best_by_tid[tid] = h
                     # preserve chunk target order
                     seen = set()
                     for tid, _ in job_meta:
