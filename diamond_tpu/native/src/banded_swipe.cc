@@ -357,6 +357,15 @@ extern "C" void banded_swipe_score_multi(
 // driver's cross-query host batch; one call per wave round instead of
 // one per query).  bias_base is aligned with q_base; use_bias[k] selects
 // per job.
+extern "C" void dtpu_striped16_tb_fill_quad(
+    const int8_t* q_base, const int32_t* bias_base,
+    const int64_t* q_off, const int64_t* q_len, const uint8_t* use_bias,
+    const int8_t* t_cat, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* d_begin, const int64_t* band, int64_t n,
+    const int32_t* matrix32, int64_t go, int64_t ge, int64_t* out3,
+    uint32_t* const* gv, uint32_t* const* gh, uint32_t* const* ov,
+    uint32_t* const* oh, uint8_t* ok);
+
 extern "C" void banded_swipe_tb_multi(
     const int8_t* q_base, const int32_t* bias_base,
     const int64_t* q_off, const int64_t* q_len, const uint8_t* use_bias,
@@ -366,46 +375,68 @@ extern "C" void banded_swipe_tb_multi(
     const int64_t* op_off, int8_t* op_codes, int32_t* op_payload,
     int64_t* stats) {
     std::vector<int32_t> Hbuf, Ebuf, c0buf, Fbuf;
-    std::vector<uint32_t> gv, gh, ov, oh;
+    std::vector<uint32_t> planes[4][4];  // [slot][gv,gh,ov,oh]
     dtpu_striped16_cache_reset();
-    for (int64_t k = 0; k < njobs; ++k) {
-        const int64_t tlen = t_len[k];
-        const int64_t b = band[k];
-        const size_t words = (size_t)(tlen * ((b + 31) / 32));
-        if (gv.size() < words) {
-            gv.resize(words);
-            gh.resize(words);
-            ov.resize(words);
-            oh.resize(words);
+    for (int64_t k0 = 0; k0 < njobs; k0 += 2) {
+        const int64_t n4 = njobs - k0 < 2 ? njobs - k0 : 2;
+        uint32_t* pgv[4];
+        uint32_t* pgh[4];
+        uint32_t* pov[4];
+        uint32_t* poh[4];
+        for (int64_t i = 0; i < n4; ++i) {
+            const int64_t k = k0 + i;
+            const size_t words =
+                (size_t)(t_len[k] * ((band[k] + 31) / 32));
+            for (int p = 0; p < 4; ++p)
+                if (planes[i][p].size() < words)
+                    planes[i][p].resize(words);
+            pgv[i] = planes[i][0].data();
+            pgh[i] = planes[i][1].data();
+            pov[i] = planes[i][2].data();
+            poh[i] = planes[i][3].data();
         }
-        const int8_t* q = q_base + q_off[k];
-        const int32_t* bias =
-            (use_bias[k] && bias_base) ? bias_base + q_off[k] : nullptr;
-        int64_t o3[3];
-        if (!dtpu_striped16_tb_fill(q, q_len[k], bias, t_cat + t_off[k],
-                                    tlen, d_begin[k], b, matrix32, go, ge,
-                                    o3, gv.data(), gh.data(), ov.data(),
-                                    oh.data()))
-            swipe_one(q, q_len[k], bias, t_cat + t_off[k], tlen, d_begin[k],
-                      b, matrix32, (int32_t)go, (int32_t)ge, o3, gv.data(),
-                      gh.data(), ov.data(), oh.data(), Hbuf, Ebuf, c0buf,
-                      Fbuf);
-        out[3 * k] = o3[0];
-        out[3 * k + 1] = o3[1];
-        out[3 * k + 2] = o3[1] + d_begin[k] + o3[2];
-        int64_t* st = stats + 12 * k;
-        if (o3[0] <= 0) {
-            st[11] = 1;
-            st[10] = 0;
-            for (int z = 0; z < 10; ++z)
-                st[z] = 0;
-            continue;
+        uint8_t ok4[4] = {0, 0, 0, 0};
+        int64_t o12[12];
+        dtpu_striped16_tb_fill_quad(
+            q_base, bias_base, q_off + k0, q_len + k0, use_bias + k0,
+            t_cat, t_off + k0, t_len + k0, d_begin + k0, band + k0, n4,
+            matrix32, go, ge, o12, pgv, pgh, pov, poh, ok4);
+        for (int64_t i = 0; i < n4; ++i) {
+            const int64_t k = k0 + i;
+            const int8_t* q = q_base + q_off[k];
+            const int32_t* bias =
+                (use_bias[k] && bias_base) ? bias_base + q_off[k] : nullptr;
+            int64_t o3[3];
+            if (ok4[i]) {
+                o3[0] = o12[3 * i];
+                o3[1] = o12[3 * i + 1];
+                o3[2] = o12[3 * i + 2];
+            } else if (!dtpu_striped16_tb_fill(
+                           q, q_len[k], bias, t_cat + t_off[k], t_len[k],
+                           d_begin[k], band[k], matrix32, go, ge, o3,
+                           pgv[i], pgh[i], pov[i], poh[i])) {
+                swipe_one(q, q_len[k], bias, t_cat + t_off[k], t_len[k],
+                          d_begin[k], band[k], matrix32, (int32_t)go,
+                          (int32_t)ge, o3, pgv[i], pgh[i], pov[i], poh[i],
+                          Hbuf, Ebuf, c0buf, Fbuf);
+            }
+            out[3 * k] = o3[0];
+            out[3 * k + 1] = o3[1];
+            out[3 * k + 2] = o3[1] + d_begin[k] + o3[2];
+            int64_t* st = stats + 12 * k;
+            if (o3[0] <= 0) {
+                st[11] = 1;
+                st[10] = 0;
+                for (int z = 0; z < 10; ++z)
+                    st[z] = 0;
+                continue;
+            }
+            st[11] = walk_one(q, bias, t_cat + t_off[k], d_begin[k],
+                              band[k], matrix32, (int32_t)go, (int32_t)ge,
+                              o3[0], o3[1], out[3 * k + 2], pgv[i], pgh[i],
+                              pov[i], poh[i], op_codes + op_off[k],
+                              op_payload + op_off[k], st);
         }
-        st[11] = walk_one(q, bias, t_cat + t_off[k], d_begin[k], b, matrix32,
-                          (int32_t)go, (int32_t)ge, o3[0], o3[1],
-                          out[3 * k + 2], gv.data(), gh.data(), ov.data(),
-                          oh.data(), op_codes + op_off[k],
-                          op_payload + op_off[k], st);
     }
 }
 

@@ -1101,17 +1101,21 @@ extern "C" void banded_swipe_score_lanes(
                     J.Gv[32 * c + l] = (int16_t)(go + (r - 1) * ge);
                 }
         }
-        // jobs run back-to-back: the column body is op-throughput bound
-        // (measured), so round-robin interleaving only adds state spills
+        // round-robin: each job's column body is one long dependency
+        // chain (prefix max + H/E serialization); alternating the
+        // group's independent jobs fills the pipeline
         bool ovf[4] = {false, false, false, false};
-        for (int i = 0; i < G; ++i) {
-            JobState16& J = js[i];
-            while (J.j < J.j1) {
-                if (step_col16(J, SH, zero, neg, ge_v, go_v)) {
+        for (bool alive = true; alive;) {
+            alive = false;
+            for (int i = 0; i < G; ++i) {
+                JobState16& J = js[i];
+                if (ovf[i] || J.j >= J.j1)
+                    continue;
+                if (step_col16(J, SH, zero, neg, ge_v, go_v))
                     ovf[i] = true;
-                    break;
-                }
-                ++J.j;
+                else
+                    ++J.j;
+                alive = true;
             }
         }
         for (int i = 0; i < G; ++i) {
@@ -1155,3 +1159,301 @@ extern "C" void banded_swipe_score_lanes(
                     ge, out);
 #endif
 }
+
+#ifdef DTPU_STRIPED16
+
+namespace {
+
+// Traceback-fill job state for the round-robin driver: the single-job
+// swipe_striped16_tb's locals lifted into a struct so independent jobs'
+// column chains can interleave (the column body is latency-bound on the
+// prefix-max + H/E serialization; alternating 4 jobs ~doubles
+// throughput, same as the score engine).
+struct JobStateTB {
+    const int16_t* profT;
+    const int8_t* t;
+    int64_t qlen, d0, band;
+    int64_t j, j1;
+    int nch;
+    int16_t* Ed;
+    int16_t* Hd;
+    int16_t* Rv;
+    int16_t* Gv;
+    uint32_t *gvp, *ghp, *ovp, *ohp;
+    int32_t best, bc, br;
+};
+
+// one mask-emitting DP column; returns 1 when int16 overflowed
+static inline int step_col16_tb(JobStateTB& J, const Shifter& SH,
+                                const __m512i zero, const __m512i neg,
+                                const __m512i ge_v, const __m512i go_v) {
+    const int64_t j = J.j;
+    const int16_t* prow = J.profT + (size_t)(J.t[j] & 31) * J.qlen;
+    const int64_t off = j + J.d0;
+    const int64_t rlo64 = off < 0 ? -off : 0;
+    int64_t rhi64 = J.qlen - off;
+    if (rhi64 > J.band)
+        rhi64 = J.band;
+    const int32_t rlo = (int32_t)(rlo64 < 0 ? 0 : rlo64);
+    const int32_t rhi = (int32_t)(rhi64 < 0 ? 0 : rhi64);
+    int16_t* Hd = J.Hd;
+    int16_t* Ed = J.Ed;
+    if (rlo >= rhi) {  // unreachable inside [j0, j1); kept for safety
+        std::memset(Hd, 0, (size_t)J.nch * 32 * sizeof(int16_t));
+        std::memset(Ed - 1, 0, (1 + (size_t)J.nch * 32) * sizeof(int16_t));
+        return 0;
+    }
+    int16_t carry = NEG16;
+    __m512i colmax = zero;
+    const int64_t pbase = j * J.nch;
+    for (int c = 0; c < J.nch; ++c) {
+        const int32_t rb = 32 * c;
+        const bool interior = rlo <= rb && rb + 32 <= rhi && rlo < rb;
+        __mmask32 m = (__mmask32)~0u;
+        __mmask32 m_gt_lo = (__mmask32)~0u;
+        __m512i s;
+        if (interior) {
+            s = _mm512_loadu_si512(prow + off + rb);
+        } else {
+            if (rb >= rhi || rb + 32 <= rlo) {
+                m = 0;
+            } else {
+                uint32_t bits = ~0u;
+                if (rlo > rb)
+                    bits &= ~0u << (rlo - rb);
+                if (rhi < rb + 32)
+                    bits &= ~0u >> (rb + 32 - rhi);
+                m = (__mmask32)bits;
+            }
+            if (rlo < rb)
+                m_gt_lo = (__mmask32)~0u;
+            else if (rlo - rb >= 31)
+                m_gt_lo = 0;
+            else
+                m_gt_lo = (__mmask32)(~0u << (rlo - rb + 1));
+            s = _mm512_mask_loadu_epi16(neg, m, prow + off + rb);
+        }
+        __m512i H = _mm512_loadu_si512(Hd + rb);
+        __m512i E = _mm512_loadu_si512(Ed + rb);
+        __m512i cur = _mm512_adds_epi16(H, s);
+        cur = _mm512_max_epi16(cur, E);
+        cur = _mm512_max_epi16(cur, zero);
+        __m512i A = _mm512_adds_epi16(cur, _mm512_loadu_si512(J.Rv + rb));
+        __m512i incl = SH.prefix_max(A);
+        __m512i excl = SH.shift_fill(incl, 0);
+        if (c > 0)
+            excl = _mm512_max_epi16(excl, _mm512_set1_epi16(carry));
+        {
+            __m128i hi = _mm512_extracti32x4_epi32(incl, 3);
+            const int16_t top = (int16_t)_mm_extract_epi16(hi, 7);
+            if (top > carry)
+                carry = top;
+        }
+        __m512i F = _mm512_subs_epi16(excl, _mm512_loadu_si512(J.Gv + rb));
+        F = _mm512_max_epi16(F, zero);
+        __m512i Fm = interior ? F : _mm512_maskz_mov_epi16(m_gt_lo, F);
+        __m512i hn = _mm512_max_epi16(cur, Fm);
+        if (!interior)
+            hn = _mm512_maskz_mov_epi16(m, hn);
+        _mm512_storeu_si512(Hd + rb, hn);
+        colmax = _mm512_max_epi16(colmax, hn);
+        __m512i opn = _mm512_max_epi16(_mm512_subs_epi16(hn, go_v), zero);
+        __m512i e_next = _mm512_max_epi16(_mm512_subs_epi16(E, ge_v), zero);
+        const __mmask32 gv_b = _mm512_cmpeq_epi16_mask(hn, Fm);
+        const __mmask32 gh_b = _mm512_cmpeq_epi16_mask(hn, E);
+        const __mmask32 ov_b = _mm512_cmp_epi16_mask(
+            opn, _mm512_max_epi16(_mm512_subs_epi16(Fm, ge_v), zero),
+            _MM_CMPINT_NLT);
+        const __mmask32 oh_b = _mm512_cmp_epi16_mask(opn, e_next,
+                                                     _MM_CMPINT_NLT);
+        J.gvp[pbase + c] = (uint32_t)gv_b;
+        J.ghp[pbase + c] = (uint32_t)gh_b;
+        J.ovp[pbase + c] = (uint32_t)ov_b;
+        J.ohp[pbase + c] = (uint32_t)oh_b;
+        __m512i en = _mm512_max_epi16(e_next, opn);
+        if (!interior)
+            en = _mm512_maskz_mov_epi16(m, en);
+        _mm512_storeu_si512((void*)(Ed + rb - 1), en);
+    }
+    Ed[J.band - 1] = 0;
+    __m256i m256 = _mm256_max_epi16(
+        _mm512_castsi512_si256(colmax),
+        _mm512_extracti64x4_epi64(colmax, 1));
+    __m128i m128 = _mm_max_epi16(_mm256_castsi256_si128(m256),
+                                 _mm256_extracti128_si256(m256, 1));
+    __m128i inv = _mm_sub_epi16(_mm_set1_epi16(0x7fff), m128);
+    const int32_t cm = 0x7fff - (_mm_extract_epi16(_mm_minpos_epu16(inv),
+                                                   0));
+    if (cm > J.best) {
+        J.best = cm;
+        J.bc = (int32_t)j;
+        if (cm >= OVF16)
+            return 1;
+        const __m512i cmv = _mm512_set1_epi16((int16_t)cm);
+        int32_t br = 0;
+        for (int c = 0; c < J.nch; ++c) {
+            const __mmask32 eq = _mm512_cmpeq_epi16_mask(
+                _mm512_loadu_si512(J.Hd + 32 * c), cmv);
+            if (eq)
+                br = 32 * c + (31 - __builtin_clz((uint32_t)eq));
+        }
+        J.br = br;
+    }
+    return 0;
+}
+
+// 4-entry cross-query int16 profile cache for the quad driver
+struct TbProfCache4 {
+    ProfT16 e[4];
+    int64_t q_off[4] = {-1, -1, -1, -1};
+    const ProfT16* get(const int8_t* q_base, const int32_t* bias_base,
+                       int64_t qoff, int64_t qlen, int ub,
+                       const int32_t* matrix32, uint32_t& used) {
+        for (int i = 0; i < 4; ++i)
+            if (q_off[i] == qoff && e[i].qlen == qlen
+                && e[i].use_bias == ub) {
+                used |= 1u << i;
+                return &e[i];
+            }
+        int s = 0;
+        while (s < 4 && (used & (1u << s)))
+            ++s;
+        if (s == 4)
+            s = 0;
+        build_profT16(e[s], q_base + qoff, qlen,
+                      ub && bias_base ? bias_base + qoff : nullptr,
+                      matrix32);
+        e[s].qlen = qlen;
+        e[s].use_bias = ub;
+        q_off[s] = qoff;
+        used |= 1u << s;
+        return &e[s];
+    }
+};
+
+}  // namespace
+
+// Round-robin mask-emitting fill for up to 4 jobs of a cross-query
+// batch.  Per job: out3[3] (best, best col, band row) and four
+// caller-provided bit-plane buffers.  ok[i] semantics: 1 = int16 result
+// certified; 0 = caller must refill job i exactly (striped32).
+extern "C" void dtpu_striped16_tb_fill_quad(
+    const int8_t* q_base, const int32_t* bias_base,
+    const int64_t* q_off, const int64_t* q_len, const uint8_t* use_bias,
+    const int8_t* t_cat, const int64_t* t_off, const int64_t* t_len,
+    const int64_t* d_begin, const int64_t* band, int64_t n,
+    const int32_t* matrix32, int64_t go64, int64_t ge64,
+    int64_t* out3,           // [n,3]
+    uint32_t* const* gv, uint32_t* const* gh,
+    uint32_t* const* ov, uint32_t* const* oh,
+    uint8_t* ok) {
+    static thread_local Shifter SH;
+    static thread_local TbProfCache4 cache;
+    static thread_local std::vector<int16_t> state;
+    for (auto& off : cache.q_off)
+        off = -1;  // q_base may differ between calls
+    const int32_t go = (int32_t)go64, ge = (int32_t)ge64;
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i neg = _mm512_set1_epi16(NEG16);
+    const __m512i ge_v = _mm512_set1_epi16((int16_t)ge);
+    const __m512i go_v = _mm512_set1_epi16((int16_t)go);
+    JobStateTB js[4];
+    uint32_t used = 0;
+    size_t total = 0;
+    size_t off_i[4];
+    int live[4];
+    int G = 0;
+    for (int64_t k = 0; k < n; ++k)
+        ok[k] = 0;
+    for (int64_t k = 0; k < n && G < 4; ++k) {
+        if (band[k] * (ge > 0 ? ge : 1) > MAX_BANDGE16)
+            continue;  // int16 cannot certify: caller refills
+        const ProfT16* p = cache.get(q_base, bias_base, q_off[k], q_len[k],
+                                     (int)use_bias[k], matrix32, used);
+        if (!p->ok)
+            continue;
+        JobStateTB& J = js[G];
+        J.profT = p->flat.data();
+        J.t = t_cat + t_off[k];
+        J.qlen = q_len[k];
+        J.d0 = d_begin[k];
+        J.band = band[k];
+        J.nch = (int)((J.band + 31) / 32);
+        int64_t j0 = -J.d0 - J.band + 1;
+        if (j0 < 0)
+            j0 = 0;
+        int64_t j1 = J.qlen - J.d0;
+        if (j1 > t_len[k])
+            j1 = t_len[k];
+        J.j = j0;
+        J.j1 = j1 > j0 ? j1 : j0;
+        J.gvp = gv[k];
+        J.ghp = gh[k];
+        J.ovp = ov[k];
+        J.ohp = oh[k];
+        J.best = 0;
+        J.bc = 0;
+        J.br = 0;
+        live[G] = (int)k;
+        ++G;
+    }
+    if (!G)
+        return;
+    for (int i = 0; i < G; ++i) {
+        off_i[i] = total;
+        total += 1 + 4 * (size_t)js[i].nch * 32;
+    }
+    state.assign(total, 0);
+    for (int i = 0; i < G; ++i) {
+        JobStateTB& J = js[i];
+        int16_t* base = state.data() + off_i[i];
+        J.Ed = base + 1;
+        J.Hd = J.Ed + (size_t)J.nch * 32;
+        J.Rv = J.Hd + (size_t)J.nch * 32;
+        J.Gv = J.Rv + (size_t)J.nch * 32;
+        for (int c = 0; c < J.nch; ++c)
+            for (int l = 0; l < 32; ++l) {
+                const int32_t r = 32 * c + l;
+                J.Rv[32 * c + l] = (int16_t)(r * ge);
+                J.Gv[32 * c + l] = (int16_t)(go + (r - 1) * ge);
+            }
+    }
+    bool ovf[4] = {false, false, false, false};
+    for (bool alive = true; alive;) {
+        alive = false;
+        for (int i = 0; i < G; ++i) {
+            JobStateTB& J = js[i];
+            if (ovf[i] || J.j >= J.j1)
+                continue;
+            if (step_col16_tb(J, SH, zero, neg, ge_v, go_v))
+                ovf[i] = true;
+            else
+                ++J.j;
+            alive = true;
+        }
+    }
+    for (int i = 0; i < G; ++i) {
+        if (ovf[i])
+            continue;  // ok stays 0: caller refills exactly (striped32)
+        const JobStateTB& J = js[i];
+        int64_t* o = out3 + 3 * live[i];
+        o[0] = J.best;
+        o[1] = J.bc;
+        o[2] = J.br;
+        ok[live[i]] = 1;
+    }
+}
+
+#else  // !DTPU_STRIPED16
+
+extern "C" void dtpu_striped16_tb_fill_quad(
+    const int8_t*, const int32_t*, const int64_t*, const int64_t*,
+    const uint8_t*, const int8_t*, const int64_t*, const int64_t*,
+    const int64_t*, const int64_t*, int64_t n, const int32_t*, int64_t,
+    int64_t, int64_t*, uint32_t* const*, uint32_t* const*,
+    uint32_t* const*, uint32_t* const*, uint8_t* ok) {
+    for (int64_t k = 0; k < n; ++k)
+        ok[k] = 0;
+}
+
+#endif  // DTPU_STRIPED16

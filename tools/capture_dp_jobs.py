@@ -50,7 +50,7 @@ from diamond_tpu.search.config import SearchConfig
 from diamond_tpu.search.pipeline import Pipeline
 from diamond_tpu.stats.score_matrix import ScoreMatrix
 
-ids, seqs = BlastDB("/root/reference/src/test/blast/nr_10k").load()
+ids, seqs = BlastDB(__import__("os").environ.get("CAPTURE_DB", "/root/reference/src/test/blast/nr_10k")).load()
 tb = Block.from_sequences(seqs, ids)
 qb = Block.from_sequences(seqs[:NQ], ids[:NQ])
 cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"), sensitivity="default")
