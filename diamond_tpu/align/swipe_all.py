@@ -45,16 +45,16 @@ def _device_swipe_scores(qblock, tblock, cfg, mesh):
 
     if not device_dp_enabled():
         return None
-    from diamond_tpu.ops.swipe_device import DeviceDP
+    from diamond_tpu.ops.swipe_device import SwipeSweep
     from diamond_tpu.stats.cbs import hauser_bias_i8
 
     m = cfg.matrix
     use_h = cbs_mod.hauser(cfg.comp_based_stats)
-    device = DeviceDP(m.matrix32, m.gap_open, m.gap_extend,
-                      interpret=dp_interpret(), mesh=mesh)
+    sweep = SwipeSweep(m.matrix32, m.gap_open, m.gap_extend,
+                       interpret=dp_interpret())
     small_t = [t for t in range(len(tblock))
                if 0 < int(tblock.lengths[t]) <= DEVICE_SWIPE_MAX_LEN]
-    requests = []
+    queries = []
     req_meta = []
     for qi in range(len(qblock)):
         q = qblock.seq(qi)
@@ -63,14 +63,14 @@ def _device_swipe_scores(qblock, tblock, cfg, mesh):
             continue
         bias = (hauser_bias_i8(q, m.matrix32, m.background_scores)
                 if use_h else None)
-        jobs = [(tblock.seq(t), -(int(tblock.lengths[t]) - 1), qlen)
-                for t in small_t]
-        requests.append((q, bias, jobs))
+        queries.append((q, bias))
         req_meta.append(qi)
-    if not requests:
+    if not queries or not small_t:
         return {}
-    res = device.run_many(requests)
-    return {qi: dict(zip(small_t, r)) for qi, r in zip(req_meta, res)}
+    targets = [tblock.seq(t) for t in small_t]
+    res = sweep.run(queries, targets)
+    return {qi: {small_t[x]: r[x] for x in range(len(small_t))}
+            for qi, r in zip(req_meta, res)}
 
 
 def swipe_all_protein(qblock, tblock, cfg) -> dict:
@@ -152,13 +152,25 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg,
         else:
             res = banded_swipe_batch_np(q, bias, jobs, mat.matrix32,
                                         mat.gap_open, mat.gap_extend)
-        for (score, mc, mr), t in zip(res, metas):
-            tlen = int(tblock.lengths[t])
-            ev = float(mat.evalue(score, qlen, tlen)) if score > 0 else float("inf")
-            if score > 0 and mat.report_cutoff(score, ev, cfg.max_evalue,
-                                               cfg.min_bit_score):
-                h = Hsp(score=score, evalue=ev,
-                        bit_score=float(mat.bitscore(score)),
+        # vectorized e-value/report-cutoff pass over the whole DB
+        # (bit-identical twins; pinned by tests/test_stats.py)
+        nm = len(metas)
+        scores_a = np.fromiter((r[0] for r in res), dtype=np.int64,
+                               count=nm)
+        pos_k = np.nonzero(scores_a > 0)[0]
+        if len(pos_k):
+            metas_a = np.asarray(metas, dtype=np.int64)
+            tlens_a = tblock.lengths.astype(np.int64)[metas_a[pos_k]]
+            evs = np.atleast_1d(mat.evalue(scores_a[pos_k], qlen, tlens_a))
+            bits = np.atleast_1d(mat.bitscore(scores_a[pos_k]))
+            keepm = (bits >= cfg.min_bit_score if cfg.min_bit_score != 0
+                     else evs <= cfg.max_evalue)
+            for x in np.nonzero(keepm)[0]:
+                k = int(pos_k[x])
+                t = metas[k]
+                tlen = int(tlens_a[x])
+                h = Hsp(score=int(scores_a[k]), evalue=float(evs[x]),
+                        bit_score=float(bits[x]),
                         d_begin=-(tlen - 1), d_end=qlen)
                 h.frame = frame
                 per_target.setdefault(t, []).append(h)

@@ -477,6 +477,123 @@ int swipe_striped16(const int16_t* profT, int64_t qlen, const int8_t* t,
     return 0;
 }
 
+// ---------- full-matrix score engines ----------
+// True full Smith-Waterman for "full-band" jobs (d0 <= -(tlen-1),
+// band >= qlen+tlen-1): the banded formulation computes
+// (qlen+tlen)*tlen cells for these, up to ~16x the true qlen*tlen when
+// tlen >> qlen.  Vector axis = query rows (the band axis collapses to
+// the query), diagonal input = previous column H shifted one lane with
+// a cross-chunk carry.  Bit-identical cell values and tie rules
+// (last-row column max, first-column strict improvement).
+
+int swipe_full16(const int16_t* profT, int64_t qlen, const int8_t* t,
+                 int64_t tlen, int32_t go, int32_t ge, int64_t* out3) {
+    static thread_local Shifter SH;
+    const int nch = (int)((qlen + 31) / 32);
+    static thread_local std::vector<int16_t> state;
+    state.assign(4 * (size_t)nch * 32, 0);
+    int16_t* Hd = state.data();
+    int16_t* Ed = Hd + (size_t)nch * 32;
+    int16_t* Rv = Ed + (size_t)nch * 32;
+    int16_t* Gv = Rv + (size_t)nch * 32;
+    for (int c = 0; c < nch; ++c)
+        for (int i = 0; i < 32; ++i) {
+            const int32_t r = 32 * c + i;
+            Rv[32 * c + i] = (int16_t)(r * ge);
+            Gv[32 * c + i] = (int16_t)(go + (r - 1) * ge);
+        }
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i neg = _mm512_set1_epi16(NEG16);
+    const __m512i ge_v = _mm512_set1_epi16((int16_t)ge);
+    const __m512i go_v = _mm512_set1_epi16((int16_t)go);
+    // tail mask for the last chunk (query rows >= qlen are dead)
+    const int tail = (int)(qlen - (int64_t)(nch - 1) * 32);
+    const __mmask32 mtail = tail >= 32 ? (__mmask32)~0u
+                                       : (__mmask32)(~0u >> (32 - tail));
+    int32_t best = 0, bc = 0, br = 0;
+    for (int64_t j = 0; j < tlen; ++j) {
+        const int16_t* prow = profT + (size_t)(t[j] & 31) * qlen;
+        int16_t carryA = NEG16;   // prefix-max A carry
+        int16_t carryH = 0;       // diag shift carry (H[i-1] row boundary)
+        __m512i colmax = zero;
+        for (int c = 0; c < nch; ++c) {
+            const int32_t rb = 32 * c;
+            const __mmask32 m = c + 1 < nch ? (__mmask32)~0u : mtail;
+            __m512i s = c + 1 < nch
+                            ? _mm512_loadu_si512(prow + rb)
+                            : _mm512_mask_loadu_epi16(neg, m, prow + rb);
+            __m512i Hp = _mm512_loadu_si512(Hd + rb);
+            __m512i E = _mm512_loadu_si512(Ed + rb);
+            // diag = Hp shifted down one query row, carry across chunks
+            __m512i diag = SH.shift_fill(Hp, 0);
+            diag = _mm512_mask_set1_epi16(diag, (__mmask32)1, carryH);
+            {
+                __m128i hi = _mm512_extracti32x4_epi32(Hp, 3);
+                carryH = (int16_t)_mm_extract_epi16(hi, 7);
+            }
+            __m512i cur = _mm512_adds_epi16(diag, s);
+            cur = _mm512_max_epi16(cur, E);
+            cur = _mm512_max_epi16(cur, zero);
+            __m512i A = _mm512_adds_epi16(cur,
+                                          _mm512_loadu_si512(Rv + rb));
+            __m512i incl = SH.prefix_max(A);
+            __m512i excl = SH.shift_fill(incl, 0);
+            if (c > 0)
+                excl = _mm512_max_epi16(excl, _mm512_set1_epi16(carryA));
+            {
+                __m128i hi = _mm512_extracti32x4_epi32(incl, 3);
+                const int16_t top = (int16_t)_mm_extract_epi16(hi, 7);
+                if (top > carryA)
+                    carryA = top;
+            }
+            __m512i F = _mm512_subs_epi16(excl,
+                                          _mm512_loadu_si512(Gv + rb));
+            F = _mm512_max_epi16(F, zero);
+            __m512i hn = _mm512_max_epi16(cur, F);
+            hn = _mm512_maskz_mov_epi16(m, hn);
+            _mm512_storeu_si512(Hd + rb, hn);
+            colmax = _mm512_max_epi16(colmax, hn);
+            __m512i en = _mm512_max_epi16(_mm512_subs_epi16(E, ge_v),
+                                          _mm512_subs_epi16(hn, go_v));
+            en = _mm512_max_epi16(en, zero);
+            en = _mm512_maskz_mov_epi16(m, en);
+            _mm512_storeu_si512(Ed + rb, en);
+        }
+        __m256i m256 = _mm256_max_epi16(
+            _mm512_castsi512_si256(colmax),
+            _mm512_extracti64x4_epi64(colmax, 1));
+        __m128i m128 = _mm_max_epi16(_mm256_castsi256_si128(m256),
+                                     _mm256_extracti128_si256(m256, 1));
+        __m128i inv = _mm_sub_epi16(_mm_set1_epi16(0x7fff), m128);
+        const int32_t cm = 0x7fff - (_mm_extract_epi16(
+                               _mm_minpos_epu16(inv), 0));
+        if (cm > best) {
+            best = cm;
+            bc = (int32_t)j;
+            if (best >= OVF16) {
+                out3[0] = out3[1] = out3[2] = 0;
+                return 1;  // caller reruns in int32
+            }
+            const __m512i cmv = _mm512_set1_epi16((int16_t)cm);
+            br = 0;
+            for (int c = 0; c < nch; ++c) {
+                const __mmask32 eq = _mm512_cmpeq_epi16_mask(
+                    _mm512_loadu_si512(Hd + 32 * c), cmv);
+                if (eq)
+                    br = 32 * c + (31 - __builtin_clz((uint32_t)eq));
+            }
+        }
+    }
+    out3[0] = best;
+    out3[1] = bc;   // target column
+    out3[2] = br;   // query row
+    return 0;
+}
+
+// exact int32 twin (16 lanes) for jobs the int16 engine cannot certify
+void swipe_full32(const int32_t* profT, int64_t qlen, const int8_t* t,
+                  int64_t tlen, int32_t go, int32_t ge, int64_t* out3);
+
 // ---------- interleaved score engine ----------
 // The per-column work is one long dependency chain (5-step prefix max
 // per 32-lane chunk, serial across chunks via the carry, serial across
@@ -955,6 +1072,93 @@ void swipe_striped32(const int32_t* profT, int64_t qlen, const int8_t* t,
     out3[2] = br;  // band row; score callers convert
 }
 
+void swipe_full32(const int32_t* profT, int64_t qlen, const int8_t* t,
+                  int64_t tlen, int32_t go, int32_t ge, int64_t* out3) {
+    static thread_local Shifter32 SH;
+    const int nch = (int)((qlen + 15) / 16);
+    static thread_local std::vector<int32_t> state;
+    state.assign(4 * (size_t)nch * 16, 0);
+    int32_t* Hd = state.data();
+    int32_t* Ed = Hd + (size_t)nch * 16;
+    int32_t* Rv = Ed + (size_t)nch * 16;
+    int32_t* Gv = Rv + (size_t)nch * 16;
+    for (int c = 0; c < nch; ++c)
+        for (int i = 0; i < 16; ++i) {
+            const int32_t r = 16 * c + i;
+            Rv[16 * c + i] = r * ge;
+            Gv[16 * c + i] = go + (r - 1) * ge;
+        }
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i neg = _mm512_set1_epi32(NEGB);
+    const __m512i ge_v = _mm512_set1_epi32(ge);
+    const __m512i go_v = _mm512_set1_epi32(go);
+    const int tail = (int)(qlen - (int64_t)(nch - 1) * 16);
+    const __mmask16 mtail = tail >= 16
+                                ? (__mmask16)0xffffu
+                                : (__mmask16)(0xffffu >> (16 - tail));
+    int32_t best = 0, bc = 0, br = 0;
+    for (int64_t j = 0; j < tlen; ++j) {
+        const int32_t* prow = profT + (size_t)(t[j] & 31) * qlen;
+        int32_t carryA = NEGB;
+        int32_t carryH = 0;
+        __m512i colmax = zero;
+        for (int c = 0; c < nch; ++c) {
+            const int32_t rb = 16 * c;
+            const __mmask16 m = c + 1 < nch ? (__mmask16)0xffffu : mtail;
+            __m512i s = _mm512_mask_loadu_epi32(neg, m, prow + rb);
+            __m512i Hp = _mm512_loadu_si512(Hd + rb);
+            __m512i E = _mm512_loadu_si512(Ed + rb);
+            __m512i diag = SH.shift_fill(Hp, 0);
+            diag = _mm512_mask_set1_epi32(diag, (__mmask16)1, carryH);
+            {
+                __m128i hi = _mm512_extracti32x4_epi32(Hp, 3);
+                carryH = _mm_extract_epi32(hi, 3);
+            }
+            __m512i cur = _mm512_add_epi32(diag, s);
+            cur = _mm512_max_epi32(cur, E);
+            cur = _mm512_max_epi32(cur, zero);
+            __m512i A = _mm512_add_epi32(cur, _mm512_loadu_si512(Rv + rb));
+            __m512i incl = SH.prefix_max(A);
+            __m512i excl = SH.shift_fill(incl, 0);
+            if (c > 0)
+                excl = _mm512_max_epi32(excl, _mm512_set1_epi32(carryA));
+            {
+                __m128i hi = _mm512_extracti32x4_epi32(incl, 3);
+                const int32_t top = _mm_extract_epi32(hi, 3);
+                if (top > carryA)
+                    carryA = top;
+            }
+            __m512i F = _mm512_sub_epi32(excl, _mm512_loadu_si512(Gv + rb));
+            F = _mm512_max_epi32(F, zero);
+            __m512i hn = _mm512_max_epi32(cur, F);
+            hn = _mm512_maskz_mov_epi32(m, hn);
+            _mm512_storeu_si512(Hd + rb, hn);
+            colmax = _mm512_max_epi32(colmax, hn);
+            __m512i en = _mm512_max_epi32(_mm512_sub_epi32(E, ge_v),
+                                          _mm512_sub_epi32(hn, go_v));
+            en = _mm512_max_epi32(en, zero);
+            en = _mm512_maskz_mov_epi32(m, en);
+            _mm512_storeu_si512(Ed + rb, en);
+        }
+        const int32_t cm = _mm512_reduce_max_epi32(colmax);
+        if (cm > best) {
+            best = cm;
+            bc = (int32_t)j;
+            const __m512i cmv = _mm512_set1_epi32(cm);
+            br = 0;
+            for (int c = 0; c < nch; ++c) {
+                const __mmask16 eq = _mm512_cmpeq_epi32_mask(
+                    _mm512_loadu_si512(Hd + 16 * c), cmv);
+                if (eq)
+                    br = 16 * c + (31 - __builtin_clz((uint32_t)eq));
+            }
+        }
+    }
+    out3[0] = best;
+    out3[1] = bc;
+    out3[2] = br;
+}
+
 struct TbProfCache {
     const int8_t* q = nullptr;
     const int32_t* bias = nullptr;
@@ -1028,6 +1232,7 @@ extern "C" void banded_swipe_score_lanes(
     for (auto& p : cache.e)
         p.q_off = -1;  // q_base may differ between calls
     std::vector<int64_t> redo;
+    std::vector<int64_t> fulls;
     static thread_local Shifter SH;
     static thread_local std::vector<int16_t> state;
     const __m512i zero = _mm512_setzero_si512();
@@ -1042,6 +1247,14 @@ extern "C" void banded_swipe_score_lanes(
         int G = 0;
         uint32_t used = 0;
         while (k < njobs && G < 4) {
+            if (d_begin[k] <= -(t_len[k] - 1)
+                && band_arr[k] >= q_len[k] + t_len[k] - 1) {
+                // full-band job: the true full-matrix engine computes
+                // qlen*tlen cells instead of (qlen+tlen)*tlen
+                fulls.push_back(k);
+                ++k;
+                continue;
+            }
             if (band_arr[k] * (ge > 0 ? ge : 1) > MAX_BANDGE16) {
                 redo.push_back(k);
                 ++k;
@@ -1128,6 +1341,52 @@ extern "C" void banded_swipe_score_lanes(
             o[0] = J.best;
             o[1] = J.bc;
             o[2] = J.bc + J.d0 + J.br;
+        }
+    }
+    // full-band jobs: true full-matrix engines (int16, certify, else
+    // int32), profile caches keyed on the query
+    {
+        ProfT16 pf16;
+        ProfT32 pf32;
+        int64_t c16 = -1, c32 = -1;
+        for (int64_t k : fulls) {
+            const int64_t qoff = q_off[k];
+            const int64_t qlen = q_len[k];
+            int64_t o3[3];
+            int need32 = 1;
+            if (qlen * (ge > 0 ? ge : 1) <= MAX_BANDGE16) {
+                if (c16 != qoff || pf16.qlen != qlen
+                    || pf16.use_bias != (int)use_bias[k]) {
+                    build_profT16(pf16, q_base + qoff, qlen,
+                                  use_bias[k] && bias_base
+                                      ? bias_base + qoff : nullptr,
+                                  matrix32);
+                    pf16.qlen = qlen;
+                    pf16.use_bias = use_bias[k];
+                    c16 = qoff;
+                }
+                if (pf16.ok)
+                    need32 = swipe_full16(pf16.flat.data(), qlen,
+                                          t_cat + t_off[k], t_len[k], go,
+                                          ge, o3);
+            }
+            if (need32) {
+                if (c32 != qoff || pf32.qlen != qlen
+                    || pf32.use_bias != (int)use_bias[k]) {
+                    build_profT32(pf32, q_base + qoff, qlen,
+                                  use_bias[k] && bias_base
+                                      ? bias_base + qoff : nullptr,
+                                  matrix32);
+                    pf32.qlen = qlen;
+                    pf32.use_bias = use_bias[k];
+                    c32 = qoff;
+                }
+                swipe_full32(pf32.flat.data(), qlen, t_cat + t_off[k],
+                             t_len[k], go, ge, o3);
+            }
+            out[3 * k] = o3[0];
+            out[3 * k + 1] = o3[1];
+            out[3 * k + 2] = o3[2];  // already the true query row
         }
     }
     // jobs the int16 engine could not certify: exact striped int32

@@ -490,3 +490,207 @@ class DeviceDP:
                 self._m32, self.go, self.ge, band, T, tile_b,
                 self.interpret)
         return dev_out, tiles, tile_b
+
+
+# ---------------------------------------------------------------------------
+# --swipe sweep: device-resident target chunks
+# ---------------------------------------------------------------------------
+
+def _make_kernel_sweep(T: int, band: int, go: int, ge: int):
+    """Full-matrix sweep kernel: like _make_kernel but the band validity
+    comes from a per-row band length (r < qlen + tlen_row - 1) instead of
+    a shipped [TB, band] mask, and the single query profile block is
+    shared by every tile — so the target block (t_idx) is the only large
+    input and it lives on device across calls."""
+    def kernel(t_idx_ref, band_len_ref, profile_ref, best_ref, maxcol_ref,
+               maxrow_ref, H_scr, E_scr):
+        TB = H_scr.shape[0]
+        r_ge = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1) * ge
+        col = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1)
+        bl = band_len_ref[0, :]                            # [TB] int32
+        bmask = col < bl[:, None]
+        lane32 = jax.lax.broadcasted_iota(jnp.int32, (TB, 32), 1)
+
+        H_scr[:] = jnp.zeros((TB, band), jnp.int32)
+        E_scr[:] = jnp.zeros((TB, band), jnp.int32)
+
+        def col_step(j, carry):
+            best, maxcol, maxrow = carry
+            letters = t_idx_ref[j, :]
+            onehot = (letters[:, None] == lane32).astype(jnp.float32)
+            prof = profile_ref[pl.ds(j, band), :]
+            scores = jax.lax.dot_general(
+                onehot, prof.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            scores = jnp.where(bmask, scores, NEG)
+            valid = scores > NEG // 2
+
+            H = H_scr[:]
+            E = E_scr[:]
+            cur0 = jnp.maximum(jnp.maximum(H + scores, E), 0)
+            g = cur0 - go + r_ge
+            gmax = _prefix_max_shift(g, band)
+            F = jnp.maximum(gmax - r_ge, 0)
+            Fs = pltpu.roll(F, 1, axis=1)
+            Fs = jnp.where(col >= 1, Fs, 0)
+            Hn = jnp.where(valid, jnp.maximum(cur0, Fs), 0)
+
+            col_best = jnp.max(Hn, axis=1)
+            eq = Hn == col_best[:, None]
+            col_row = jnp.max(jnp.where(eq, col, -1), axis=1)
+            upd = col_best > best
+            best = jnp.where(upd, col_best, best)
+            maxcol = jnp.where(upd, j, maxcol)
+            maxrow = jnp.where(upd, col_row, maxrow)
+
+            E_out = jnp.maximum(jnp.maximum(E - ge, Hn - go), 0)
+            E_next = pltpu.roll(E_out, band - 1, axis=1)
+            E_next = jnp.where(col < band - 1, E_next, 0)
+            H_scr[:] = Hn
+            E_scr[:] = E_next
+            return best, maxcol, maxrow
+
+        z = jnp.zeros((TB,), jnp.int32)
+        best, maxcol, maxrow = jax.lax.fori_loop(0, T, col_step, (z, z, z))
+        best_ref[:] = best.reshape(best_ref.shape)
+        maxcol_ref[:] = maxcol.reshape(maxcol_ref.shape)
+        maxrow_ref[:] = maxrow.reshape(maxrow_ref.shape)
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("go", "ge", "band", "T", "tile_b", "interpret"))
+def banded_swipe_pallas_sweep(t_idx8, band_len32, q_let8, q_bias8, q_valid8,
+                              matrix32, go: int, ge: int, band: int, T: int,
+                              tile_b: int = 16, interpret: bool = False):
+    """One query against a device-resident target chunk.
+
+    t_idx8 [G*T, tile_b] int8 target letters (pass the SAME device array
+    across calls — it is transferred once); band_len32 [G, tile_b] int32
+    per-row full-band widths (qlen + tlen - 1, 0 = dead row);
+    q_let8/q_bias8/q_valid8 [T_pb] the query profile rows (row j = query
+    index j - C_chunk).  Returns (best, max_col, max_row) per row
+    [G*tile_b]."""
+    GT, _tb = t_idx8.shape
+    T_pb = T + band
+    G = GT // T
+    B = G * tile_b
+    lanes = jnp.arange(32, dtype=jnp.int32)[None, :]
+    onehot = (q_let8.astype(jnp.int32)[:, None] == lanes).astype(jnp.float32)
+    prof = jax.lax.dot_general(
+        onehot, matrix32.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    prof = prof + q_bias8.astype(jnp.int32)[:, None]
+    profiles = jnp.where(q_valid8.astype(jnp.int32)[:, None] != 0, prof, NEG)
+    t_idx = t_idx8.astype(jnp.int32)
+    kernel = _make_kernel_sweep(T, band, go, ge)
+    out_shape = [jax.ShapeDtypeStruct((G * 8, tile_b // 8), jnp.int32)] * 3
+    out = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((T, tile_b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_pb, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((8, tile_b // 8), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, band), jnp.int32),
+            pltpu.VMEM((tile_b, band), jnp.int32),
+        ],
+        interpret=interpret,
+    )(t_idx, band_len32, profiles)
+    return tuple(o.reshape(B) for o in out)
+
+
+class SwipeSweep:
+    """--swipe device scheduler: targets bucket by length class, each
+    bucket's letter block ships to the device ONCE, and every query then
+    sweeps the resident chunks with a ~KB profile transfer per call —
+    the HBM-resident target block the full-matrix mode wants (the role
+    of the reference's in-RAM block in full_db.cpp)."""
+
+    QCLASS = 256  # query-length quantum for band bucketing
+
+    def __init__(self, matrix32, gap_open: int, gap_extend: int,
+                 tile_b: int = 16, interpret: bool = False):
+        _ensure_compile_cache()
+        self._m32 = jnp.asarray(np.ascontiguousarray(matrix32,
+                                                     dtype=np.int32))
+        self.go = gap_open + gap_extend
+        self.ge = gap_extend
+        self.tile_b = tile_b
+        self.interpret = interpret
+
+    def run(self, queries, targets):
+        """queries: [(q_letters, bias_or_None)]; targets: [t_letters].
+        Returns res[nq][nt] = (score, max_col, max_row)."""
+        tile_b = self.tile_b
+        order = sorted(range(len(targets)), key=lambda t: len(targets[t]))
+        chunks = []   # (T, C, tidx_dev, rows: [target idx], tlen arr)
+        cap = G_CAP * tile_b
+        for lo in range(0, len(order), cap):
+            rows = order[lo : lo + cap]
+            tl = np.fromiter((len(targets[t]) for t in rows),
+                             dtype=np.int64, count=len(rows))
+            C = int(tl.max()) - 1
+            T = pad_T(int(tl.max()))
+            G = max(pad_pow2(-(-len(rows) // tile_b), 1), 1)
+            t_idx = np.full((G * tile_b, T), 31, dtype=np.int8)
+            for x, t in enumerate(rows):
+                s = C - (int(tl[x]) - 1)
+                t_idx[x, s : s + int(tl[x])] = \
+                    np.asarray(targets[t], dtype=np.int8) & 31
+            t2 = np.ascontiguousarray(
+                t_idx.reshape(G, tile_b, T).swapaxes(1, 2)).reshape(
+                    G * T, tile_b)
+            chunks.append((T, C, G, jnp.asarray(t2), rows, tl))
+        res = [[None] * len(targets) for _ in queries]
+        pending = []
+        for qi, (q, bias) in enumerate(queries):
+            qlen = len(q)
+            qclass = -(-max(qlen, 1) // self.QCLASS) * self.QCLASS
+            for (T, C, G, t2, rows, tl) in chunks:
+                band = pad_band(qclass + C)
+                T_pb = T + band
+                q_let = np.zeros(T_pb, dtype=np.int8)
+                q_bias = np.zeros(T_pb, dtype=np.int8)
+                q_valid = np.zeros(T_pb, dtype=np.int8)
+                hi = min(C + qlen, T_pb)
+                q_let[C : hi] = np.asarray(q[: hi - C], dtype=np.int8) & 31
+                q_valid[C : hi] = 1
+                if bias is not None:
+                    q_bias[C : hi] = np.asarray(bias[: hi - C],
+                                                dtype=np.int8)
+                bl = np.zeros(G * tile_b, dtype=np.int32)
+                bl[: len(rows)] = (qlen + tl - 1).astype(np.int32)
+                global dispatch_count, dispatch_cells
+                dispatch_count += 1
+                dispatch_cells += G * tile_b * T * band
+                dev = banded_swipe_pallas_sweep(
+                    t2, jnp.asarray(bl.reshape(G, tile_b)),
+                    jnp.asarray(q_let), jnp.asarray(q_bias),
+                    jnp.asarray(q_valid), self._m32, self.go, self.ge,
+                    band, T, tile_b, self.interpret)
+                pending.append((qi, rows, tl, C, dev))
+        import time as _time
+
+        global dispatch_wait_s
+        _t0 = _time.perf_counter()
+        for qi, rows, tl, C, dev in pending:
+            best, mc, mr = (np.asarray(o) for o in dev)
+            for x, t in enumerate(rows):
+                s = C - (int(tl[x]) - 1)
+                j_true = int(mc[x]) - s
+                i_true = j_true - (int(tl[x]) - 1) + int(mr[x])
+                res[qi][t] = (int(best[x]), j_true, i_true)
+        dispatch_wait_s += _time.perf_counter() - _t0
+        return res
