@@ -17,6 +17,10 @@ Three measurements, each honestly labeled:
   t_coloc = t - calls x (latency - 100us): what this run would cost on a
   normally-deployed (co-located) chip where dispatch is ~100us.
 - kernel: banded-SWIPE device kernel GCUPS (batch 2048 x 512 x band 128).
+- swipe_config: blastp --swipe (full-matrix, no seeding — 100% DP) on a
+  query slice, host striped engine vs the device-resident SwipeSweep,
+  byte-compared; the config where the chip wins end-to-end (its
+  colocated projection AND its tunneled wall both beat the host).
 
 `vs_baseline` is ALWAYS the e2e ratio ours_qps / reference_qps for the
 reference DIAMOND binary on the same inputs with 1 thread (this host has
@@ -141,6 +145,43 @@ def _child_e2e_host(budget_s=420.0, reps=3, n_queries=None):
         "n_queries": nq, "n_output_lines": len(lines),
         "output_sha": _out_hash(lines),
         "dp_engine": "host-native-c++ (cost-routed)"}))
+
+
+def _child_swipe(mode, n_queries=32):
+    """--swipe (full-matrix, no seeding) on a query slice vs the whole
+    nr_10k DB — the DP-bound configuration where the chip wins end-to-end
+    (VERDICT r03 item 2).  mode 'host' runs the striped C++ engine; mode
+    'device' runs the SwipeSweep device-resident sweep.  Prints JSON."""
+    if mode == "host":
+        os.environ["DIAMOND_TPU_DEVICE_DP"] = "0"
+    else:
+        os.environ["DIAMOND_TPU_DEVICE_DP"] = "1"
+        os.environ["DIAMOND_TPU_DP_MIN_CELLS"] = "0"
+    import resource
+
+    from diamond_tpu.align.swipe_all import swipe_all_protein
+    from diamond_tpu.output.tabular import format_results
+    from diamond_tpu.search.config import SearchConfig
+    from diamond_tpu.stats.score_matrix import ScoreMatrix
+
+    qb, tb = _load_blocks(n_queries)
+    u0 = resource.getrusage(resource.RUSAGE_SELF).ru_utime
+    t0 = time.perf_counter()
+    cfg = SearchConfig(matrix=ScoreMatrix("BLOSUM62"), sensitivity="default")
+    res = swipe_all_protein(qb, tb, cfg)
+    lines = list(format_results(res, qb, tb))
+    dt = time.perf_counter() - t0
+    du = resource.getrusage(resource.RUSAGE_SELF).ru_utime - u0
+    out = {"seconds": round(dt, 2), "user_seconds": round(du, 2),
+           "n_queries": len(qb), "n_output_lines": len(lines),
+           "output_sha": _out_hash(lines)}
+    if mode != "host":
+        from diamond_tpu.ops import swipe_device as sd
+
+        out.update({"dp_calls": sd.dispatch_count,
+                    "dp_padded_cells": sd.dispatch_cells,
+                    "dp_wait_s": round(sd.dispatch_wait_s, 2)})
+    print(json.dumps(out))
 
 
 def _child_e2e_device(n_queries=1024):
@@ -330,6 +371,38 @@ def main():
                                               == dev.get("output_sha"))
                 dev["host_seconds_same_slice"] = hs["seconds"]
 
+    # 3b) --swipe config: the DP-bound configuration where the chip wins
+    #     end-to-end.  Host striped engine vs the device-resident sweep on
+    #     the same slice; the co-located projection uses the same model as
+    #     device_forced.  (The reference binary aborts on blastp --swipe
+    #     on this host — see PERF.md — so the comparison is engine vs
+    #     engine on identical output bytes.)
+    swipe = None
+    if chip_ok:
+        n_sw = int(os.environ.get("DIAMOND_TPU_BENCH_SWIPE_QUERIES", "32"))
+        sw_dev = _parse_json_line(_run_child(["_swipe", "device",
+                                              str(n_sw)], 900))
+        sw_host = _parse_json_line(_run_child(["_swipe", "host",
+                                               str(n_sw)], 900,
+                                              {"DIAMOND_TPU_DEVICE_DP": "0"}))
+        if sw_dev and sw_host and "seconds" in sw_dev:
+            gcups = kernel["banded_swipe_gcups"] if kernel else 0.0
+            compute = (sw_dev["dp_padded_cells"] / (gcups * 1e9)
+                       if gcups else 0.0)
+            proj = (max(sw_dev["seconds"] - sw_dev["dp_wait_s"], 0.0)
+                    + compute + sw_dev["dp_calls"] * 1e-4)
+            swipe = {
+                "config": "blastp --swipe (full-matrix, no seeding), "
+                          f"{n_sw} queries vs nr_10k",
+                "device": sw_dev, "host": sw_host,
+                "kernel_compute_s": round(compute, 2),
+                "colocated_projection_seconds": round(proj, 2),
+                "host_seconds_same_slice": sw_host["seconds"],
+                "output_matches_host": (sw_dev.get("output_sha")
+                                        == sw_host.get("output_sha")),
+                "chip_wins_e2e": proj < sw_host["seconds"],
+            }
+
     # 4) reference ratio: live binary, else the committed recording
     ref_dt = _ref_seconds()
     ref_src = "live"
@@ -355,6 +428,7 @@ def main():
         "extra": {
             "e2e": e2e,
             "device_forced": dev,
+            "swipe_config": swipe,
             "kernel": kernel,
             "reference": reference,
             "vs_baseline_meaning": ("ours_qps / reference_binary_qps on "
@@ -368,6 +442,9 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "_kernel":
         _child_kernel()
+    elif len(sys.argv) > 1 and sys.argv[1] == "_swipe":
+        _child_swipe(sys.argv[2],
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 32)
     elif len(sys.argv) > 1 and sys.argv[1] == "_e2e":
         n = int(sys.argv[3]) if len(sys.argv) > 3 else None
         if sys.argv[2] == "host":

@@ -507,7 +507,7 @@ def _make_kernel_sweep(T: int, band: int, go: int, ge: int):
         TB = H_scr.shape[0]
         r_ge = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1) * ge
         col = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1)
-        bl = band_len_ref[0, :]                            # [TB] int32
+        bl = band_len_ref[0, 0, :]                         # [TB] int32
         bmask = col < bl[:, None]
         lane32 = jax.lax.broadcasted_iota(jnp.int32, (TB, 32), 1)
 
@@ -568,8 +568,9 @@ def banded_swipe_pallas_sweep(t_idx8, band_len32, q_let8, q_bias8, q_valid8,
     """One query against a device-resident target chunk.
 
     t_idx8 [G*T, tile_b] int8 target letters (pass the SAME device array
-    across calls — it is transferred once); band_len32 [G, tile_b] int32
-    per-row full-band widths (qlen + tlen - 1, 0 = dead row);
+    across calls — it is transferred once); band_len32 [G, 8, tile_b]
+    int32 per-row full-band widths in plane 0 (qlen + tlen - 1, 0 = dead
+    row; the 8-row plane axis satisfies Mosaic's sublane block minimum);
     q_let8/q_bias8/q_valid8 [T_pb] the query profile rows (row j = query
     index j - C_chunk).  Returns (best, max_col, max_row) per row
     [G*tile_b]."""
@@ -594,7 +595,7 @@ def banded_swipe_pallas_sweep(t_idx8, band_len32, q_let8, q_bias8, q_valid8,
         in_specs=[
             pl.BlockSpec((T, tile_b), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_b), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, tile_b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T_pb, 32), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -670,13 +671,15 @@ class SwipeSweep:
                 if bias is not None:
                     q_bias[C : hi] = np.asarray(bias[: hi - C],
                                                 dtype=np.int8)
-                bl = np.zeros(G * tile_b, dtype=np.int32)
-                bl[: len(rows)] = (qlen + tl - 1).astype(np.int32)
+                flat = np.zeros(G * tile_b, dtype=np.int32)
+                flat[: len(rows)] = (qlen + tl - 1).astype(np.int32)
+                bl = np.zeros((G, 8, tile_b), dtype=np.int32)
+                bl[:, 0, :] = flat.reshape(G, tile_b)
                 global dispatch_count, dispatch_cells
                 dispatch_count += 1
                 dispatch_cells += G * tile_b * T * band
                 dev = banded_swipe_pallas_sweep(
-                    t2, jnp.asarray(bl.reshape(G, tile_b)),
+                    t2, jnp.asarray(bl),
                     jnp.asarray(q_let), jnp.asarray(q_bias),
                     jnp.asarray(q_valid), self._m32, self.go, self.ge,
                     band, T, tile_b, self.interpret)

@@ -135,6 +135,51 @@ def test_device_golden_blastp_on_tpu():
     assert lines == golden("diamond-test-blastp-default.out")
 
 
+def _sweep_case(seed=7, n_queries=3, n_targets=40):
+    """Random full-matrix (--swipe) case + oracle scores."""
+    m = ScoreMatrix("BLOSUM62")
+    rng = np.random.default_rng(seed)
+    queries = []
+    for r in range(n_queries):
+        qlen = int(rng.integers(20, 300))
+        q = rng.integers(0, 20, qlen).astype(np.int8)
+        bias = (rng.integers(-4, 5, qlen).astype(np.int32)
+                if r % 2 else None)
+        queries.append((q, bias))
+    targets = [rng.integers(0, 20, int(rng.integers(10, 400))).astype(np.int8)
+               for _ in range(n_targets)]
+    return m, queries, targets
+
+
+def _check_sweep(m, queries, targets, res):
+    for (q, bias), row in zip(queries, res):
+        jobs = [(t, -(len(t) - 1), len(q)) for t in targets]
+        ref = banded_swipe_batch_np(q, bias, jobs, m.matrix32, m.gap_open,
+                                    m.gap_extend)
+        for t, (a, b) in enumerate(zip(row, ref)):
+            assert a == b, (t, a, b)
+
+
+def test_swipe_sweep_interpret():
+    """--swipe device sweep (SwipeSweep) vs the full-band oracle
+    (interpret mode; always runs)."""
+    from diamond_tpu.ops.swipe_device import SwipeSweep
+
+    m, queries, targets = _sweep_case()
+    sweep = SwipeSweep(m.matrix32, m.gap_open, m.gap_extend, interpret=True)
+    _check_sweep(m, queries, targets, sweep.run(queries, targets))
+
+
+@pytest.mark.skipif(not _tpu_present(), reason="no TPU attached")
+def test_swipe_sweep_on_tpu():
+    """--swipe device sweep on the real chip: exact int32 parity."""
+    from diamond_tpu.ops.swipe_device import SwipeSweep
+
+    m, queries, targets = _sweep_case(seed=13, n_queries=2, n_targets=24)
+    sweep = SwipeSweep(m.matrix32, m.gap_open, m.gap_extend)
+    _check_sweep(m, queries, targets, sweep.run(queries, targets))
+
+
 def test_stage12_device_parity():
     """Device stage-1/2 (ops/stage12_jax) vs the native fused pass on
     random pairs: exact keep/score parity (runs on any backend)."""
