@@ -209,6 +209,97 @@ def run_benchmark():
                                                   inplace=True))
         rows.append(("seed radix sort (C++ host)", float(1 << 20), dt))
 
+        # full-matrix SWIPE, host striped engine (--swipe scoring path:
+        # full-band jobs route to swipe_full16/32 in swipe_lanes.cc;
+        # reference benchmark.cpp swipe() full-matrix cases)
+        T_f = 300
+        jobs_full = [(rng.integers(0, 20, T_f).astype(np.int8),
+                      -(T_f - 1), qlen) for _ in range(64)]
+        dt = _time_host(lambda: banded_swipe_batch_np(
+            q, None, jobs_full, m.matrix32, m.gap_open, m.gap_extend))
+        rows.append(("full-matrix SWIPE (C++ host)", 64.0 * T_f * qlen, dt))
+
+    # pregathered Pallas stage-2 (the design PERF.md's routing verdict
+    # names; cells = window letters scanned per pair)
+    from diamond_tpu.ops.stage2_pallas import stage2_pallas
+
+    N2 = 1 << 17
+    W2 = 96
+    qw8 = rng.integers(0, 20, (W2, N2)).astype(np.int8)
+    sw8 = rng.integers(0, 20, (W2, N2)).astype(np.int8)
+    meta2 = np.zeros((8, N2), np.int32)
+    meta2[0] = 40
+    meta2[1] = 40
+    meta2[2] = 20
+    import jax.numpy as _jnp
+
+    q2d, s2d, md2 = map(_jnp.asarray, (qw8, sw8, meta2))
+    m2d = _jnp.asarray(np.ascontiguousarray(m.matrix32[:32, :32],
+                                            dtype=np.int32))
+
+    def _s2():
+        k, b, i = stage2_pallas(q2d, s2d, md2, m2d, 26, 48, 512, False)
+        return _jnp.sum(b)  # force execution (not a cached buffer handle)
+
+    dt = _time(lambda: _s2(), n_iter=3)
+    rows.append(("stage2 pregathered (pallas)", float(N2) * W2, dt))
+
+    # diagonal-scan gapped filter (reference benchmark.cpp diag_scores,
+    # dp/scan_diags.cpp): per-diagonal Kadane over a 128-diag band
+    from diamond_tpu.align.gapped_filter import make_profile8, scan_diags
+
+    m8 = np.clip(m.matrix32, -128, 127)
+    prof8 = make_profile8(q, None, m8)
+    tgt_d = rng.integers(0, 20, T).astype(np.int8)
+    def _diag():
+        return scan_diags(prof8, qlen, tgt_d, -64, 0, T, 128)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _diag()
+    dt = (time.perf_counter() - t0) / 5
+    rows.append(("diag scores / gapped filter", float(T) * 128, dt))
+
+    # CBS mode-4 matrix adjust (reference benchmark.cpp matrix_adjust:
+    # the NCBI constrained-Newton solve; cells = solver target-frequency
+    # entries per solve, 20x20)
+    from diamond_tpu.stats import cbs as cbs_mod
+    from diamond_tpu.stats import matrix_adjust as ma
+
+    tl = rng.integers(0, 20, 400).astype(np.int8)
+    qc = cbs_mod.composition(q)
+    def _adjust():
+        return cbs_mod.target_matrix(m, qc, qlen, 4, tl, ma.RULE_USER_RE)
+    _adjust()
+    t0 = time.perf_counter()
+    for _ in range(20):
+        _adjust()
+    dt = (time.perf_counter() - t0) / 20
+    rows.append(("matrix adjust CBS4 (solve)", 400.0, dt))
+
+    # e-value engine throughput (reference benchmark.cpp evalue()):
+    # vectorized host pass and the jit device twin
+    scores_e = rng.integers(30, 300, 1 << 18).astype(np.int64)
+    tlens_e = rng.integers(100, 2000, 1 << 18).astype(np.int64)
+    def _ev_host():
+        return m.evalue(scores_e, qlen, tlens_e)
+    _ev_host()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ev_host()
+    dt = (time.perf_counter() - t0) / 5
+    rows.append(("evalue batch (host)", float(1 << 18), dt))
+
+    from diamond_tpu.stats.evalue import evalue_jax
+
+    gp = getattr(m, "gumbel", None)
+    if gp is not None:
+        import jax.numpy as jnp
+
+        s_d = jnp.asarray(scores_e)
+        t_d = jnp.asarray(tlens_e)
+        dt = _time(lambda: evalue_jax(gp, s_d, qlen, t_d), n_iter=5)
+        rows.append(("evalue batch (device)", float(1 << 18), dt))
+
     print(f"{'kernel':<30} {'ps/cell':>10} {'GCUPS':>10}")
     for name, cells, dt in rows:
         ps = dt / cells * 1e12

@@ -284,10 +284,11 @@ def load_block(path, with_taxonomy: bool = False):
         return (b, None) if with_taxonomy else b
     if is_dmnd(path):
         if with_taxonomy:
-            ids, seqs, tax = read_dmnd(path, with_taxonomy=True)
-            return Block.from_sequences([s & 31 for s in seqs], ids), tax
-        ids, seqs = read_dmnd(path)
-        return Block.from_sequences([s & 31 for s in seqs], ids)
+            ids, seqs, tax = read_dmnd(path, with_taxonomy=True,
+                                       strip_mask=True)
+            return Block.from_sequences(seqs, ids), tax
+        ids, seqs = read_dmnd(path, strip_mask=True)
+        return Block.from_sequences(seqs, ids)
     recs = list(read_seqs(path))
     b = Block.from_sequences([r[1].upper() for r in recs],
                              [r[0] for r in recs])
@@ -679,8 +680,8 @@ def cmd_blastp_blocked(args):
 
     def load_seqs_ids(path):
         if is_dmnd(path):
-            ids, seqs = read_dmnd(path)
-            return [s & 31 for s in seqs], ids
+            ids, seqs = read_dmnd(path, strip_mask=True)
+            return seqs, ids
         recs = list(read_seqs(path))
         return [r[1].upper() for r in recs], [r[0] for r in recs]
 

@@ -21,6 +21,53 @@ from diamond_tpu.constants.alphabet import DELIMITER_LETTER, encode
 PERIMETER_PADDING = 256
 
 
+def _bulk_copy(letters, starts, seqs, lengths) -> bool:
+    """Vectorized fill for sequence lists that are all views into one
+    shared int8 base buffer (the read_dmnd strip_mask load): instead of a
+    million small slice copies, one chunked fancy-gather/scatter moves
+    every letter.  Returns False when the layout doesn't apply (mixed
+    sources, strings, non-contiguous views)."""
+    n = len(seqs)
+    if n < 4096 or not isinstance(seqs[0], np.ndarray):
+        return False
+    base = seqs[0].base
+    if base is None or base.dtype != np.int8 or base.ndim != 1 \
+            or not base.flags.c_contiguous:
+        return False
+    if not all(s.base is base for s in seqs):
+        return False
+    addr0 = base.__array_interface__["data"][0]
+    src0 = np.fromiter(
+        (s.__array_interface__["data"][0] for s in seqs),
+        dtype=np.int64, count=n) - addr0
+    if (src0 < 0).any() or (src0 + lengths > len(base)).any():
+        return False
+    lengths64 = lengths.astype(np.int64)
+    from diamond_tpu import native
+
+    l = native.lib()
+    if l is not None:
+        src0 = np.ascontiguousarray(src0)
+        dst = np.ascontiguousarray(starts, dtype=np.int64)
+        l.block_fill(base.ctypes.data, src0.ctypes.data, dst.ctypes.data,
+                     lengths64.ctypes.data, n, letters.ctypes.data)
+        return True
+    # numpy fallback: chunked fancy gather/scatter (~0.5 GB transient)
+    CHUNK = 32 << 20
+    cum = np.concatenate([[0], np.cumsum(lengths64)])
+    k0 = 0
+    while k0 < n:
+        k1 = int(np.searchsorted(cum, cum[k0] + CHUNK, "left"))
+        k1 = min(max(k1, k0 + 1), n)
+        L = int(cum[k1] - cum[k0])
+        rel = np.arange(L, dtype=np.int64)
+        off = np.repeat(np.arange(k0, k1), lengths64[k0:k1])
+        rel -= (cum[k0:k1] - cum[k0])[off - k0]
+        letters[starts[off] + rel] = base[src0[off] + rel]
+        k0 = k1
+    return True
+
+
 @dataclass
 class Block:
     letters: np.ndarray          # int8 concatenated, padded
@@ -37,10 +84,16 @@ class Block:
         lengths = np.array([len(s) for s in seqs], dtype=np.int32)
         total = PERIMETER_PADDING * 2 + int(lengths.sum()) + n
         letters = np.full(total, DELIMITER_LETTER, dtype=np.int8)
-        starts = np.zeros(n, dtype=np.int64)
+        starts = np.empty(n, dtype=np.int64)
+        if n:
+            starts[0] = PERIMETER_PADDING
+            np.cumsum(lengths[:-1].astype(np.int64) + 1, out=starts[1:])
+            starts[1:] += PERIMETER_PADDING
+        if _bulk_copy(letters, starts, seqs, lengths):
+            return cls(letters=letters, starts=starts, lengths=lengths,
+                       ids=list(ids))
         pos = PERIMETER_PADDING
         for i, s in enumerate(seqs):
-            starts[i] = pos
             e = s if isinstance(s, np.ndarray) else encode(s, nucleotide)
             letters[pos : pos + len(e)] = e
             pos += len(e) + 1  # delimiter after each sequence

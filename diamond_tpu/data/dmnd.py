@@ -37,9 +37,17 @@ class DmndHeader:
     pos_array_offset: int
 
 
-def read_dmnd(path: str, with_taxonomy: bool = False):
+def read_dmnd(path: str, with_taxonomy: bool = False,
+              strip_mask: bool = False):
     """Returns (ids, seqs int8 arrays with soft-mask bit preserved)
-    or (ids, seqs, Taxonomy) when with_taxonomy."""
+    or (ids, seqs, Taxonomy) when with_taxonomy.
+
+    strip_mask=True: seqs are zero-copy views into ONE bulk `letters & 31`
+    buffer (bit 7 stripped).  Block.from_sequences detects the shared base
+    and bulk-copies, so a 1M-sequence DB loads with a handful of
+    vectorized ops instead of millions of small-array copies (the
+    reference streams blocks natively, sequence_file.cpp:113-150; this is
+    the in-memory equivalent)."""
     with open(path, "rb") as f:
         data = f.read()
     magic, build, dbv, nseq, letters, pos_off = struct.unpack_from("<QIIQQQ", data, 0)
@@ -71,10 +79,17 @@ def read_dmnd(path: str, with_taxonomy: bool = False):
         pos, slen, _pad = struct.unpack_from("<QII", data, off)
         infos.append((pos, slen))
         off += 16
+    base = None
+    if strip_mask:
+        base = np.frombuffer(data, dtype=np.int8) & np.int8(31)
     ids, seqs = [], []
     for k in range(nseq):
         pos, slen = infos[k]
-        seq = np.frombuffer(data, dtype=np.int8, count=slen, offset=pos + 1)
+        if base is not None:
+            seq = base[pos + 1 : pos + 1 + slen]
+        else:
+            seq = np.frombuffer(data, dtype=np.int8, count=slen,
+                                offset=pos + 1)
         id_start = pos + 1 + slen + 1
         id_end = data.index(b"\x00", id_start)
         ids.append(data[id_start:id_end].decode())

@@ -269,6 +269,10 @@ def lib():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p]
         cdll.banded_3frame_forward.restype = None
+        cdll.block_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        cdll.block_fill.restype = None
         _lib = cdll
     except Exception:
         _lib = None

@@ -481,6 +481,17 @@ extern "C" void sort_kv_u64_d16(
     }
 }
 
+// Bulk Block letters fill: memcpy every sequence's letter run from a
+// shared base buffer into a Block letters layout (the read_dmnd
+// strip_mask load; plays the role of the reference's block load loop,
+// sequence_file.cpp:113-150).
+extern "C" void block_fill(const int8_t* base, const int64_t* src,
+                           const int64_t* dst, const int64_t* lens,
+                           int64_t n, int8_t* letters) {
+    for (int64_t i = 0; i < n; ++i)
+        std::memcpy(letters + dst[i], base + src[i], (size_t)lens[i]);
+}
+
 // Block-wide Hauser bias: hauser_bias_i8 for every sequence of a block
 // in one call (the per-query calls of the extension driver collapse to
 // one; reference hauser_correction.cpp:53-106 runs per target thread).
