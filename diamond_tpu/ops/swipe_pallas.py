@@ -35,7 +35,7 @@ def _prefix_max_shift(g, band):
 
 def _make_kernel(T: int, band: int, go: int, ge: int):
     def kernel(t_idx_ref, band_mask_ref, profile_ref, best_ref, maxcol_ref,
-               maxrow_ref, H_scr, E_scr):
+               maxrow_ref, H_scr, E_scr, S_scr):
         TB = H_scr.shape[0]
         r_ge = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1) * ge
         col = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1)
@@ -45,19 +45,31 @@ def _make_kernel(T: int, band: int, go: int, ge: int):
         H_scr[:] = jnp.zeros((TB, band), jnp.int32)
         E_scr[:] = jnp.zeros((TB, band), jnp.int32)
 
-        def col_step(j, carry):
-            best, maxcol, maxrow = carry
+        def col_scores(j):
+            """fp32 one-hot matmul for column j's substitution scores.
+            (bf16 was tried and is value-exact here, but the per-column
+            int32->bf16 relayout of the profile slice costs more than the
+            MXU saves — narrow dtypes cannot be dynamically sliced on the
+            sublane axis in Mosaic, so the cast cannot be hoisted.)"""
             letters = t_idx_ref[j, :]                         # [TB]
-            # fp32 one-hot matmul: bf16 would be MXU-native-faster but is
-            # NOT exact here (profile rows mix the NEG sentinel with bias
-            # offsets that exceed bf16's 9-bit significand)
             onehot = (letters[:, None] == lane32).astype(jnp.float32)
             prof = profile_ref[pl.ds(j, band), :]             # [band, 32]
-            scores = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 onehot, prof.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.int32)
-            scores = jnp.where(bmask, scores, NEG)
+
+        def col_step(j, carry):
+            # software pipeline: column j's scores were computed during
+            # iteration j-1 (held in the S_scr scratch), so the MXU
+            # matmul for column j+1 has no data dependence on this
+            # iteration's VPU chain and the scheduler can overlap the two
+            # units.  The target/profile inputs carry >= 8 padding
+            # columns (prepare_pallas_batch) so j+1 never leaves bounds.
+            best, maxcol, maxrow = carry
+            scores_raw = S_scr[:]
+            scores_next = col_scores(j + 1)
+            scores = jnp.where(bmask, scores_raw, NEG)
             valid = scores > NEG // 2
 
             H = H_scr[:]
@@ -84,10 +96,13 @@ def _make_kernel(T: int, band: int, go: int, ge: int):
             E_next = jnp.where(col < band - 1, E_next, 0)
             H_scr[:] = Hn
             E_scr[:] = E_next
+            S_scr[:] = scores_next
             return best, maxcol, maxrow
 
+        S_scr[:] = col_scores(0)
         z = jnp.zeros((TB,), jnp.int32)
-        best, maxcol, maxrow = jax.lax.fori_loop(0, T, col_step, (z, z, z))
+        best, maxcol, maxrow = jax.lax.fori_loop(
+            0, T - 8, col_step, (z, z, z))
         best_ref[:] = best.reshape(best_ref.shape)
         maxcol_ref[:] = maxcol.reshape(maxcol_ref.shape)
         maxrow_ref[:] = maxrow.reshape(maxrow_ref.shape)
@@ -124,6 +139,7 @@ def banded_swipe_pallas(t_idx, band_mask, profile_pad, go: int, ge: int,
         scratch_shapes=[
             pltpu.VMEM((tile_b, band), jnp.int32),
             pltpu.VMEM((tile_b, band), jnp.int32),
+            pltpu.VMEM((tile_b, band), jnp.int32),
         ],
     )(t_idx, band_mask, profile_pad)
     return tuple(o.reshape(B) for o in out)
@@ -138,7 +154,10 @@ def prepare_pallas_batch(query, bias, matrix32, jobs, tile_b: int = 256):
     band = pad_band(max(d1 - d0 for _, d0, d1 in jobs))
     C = max(0, -min(d0 for _, d0, _ in jobs))
     shifts = [d0 + C for _, d0, _ in jobs]
-    T = pad_pow2(max(len(t) + s for (t, _, _), s in zip(jobs, shifts)), 16)
+    # +8 all-delimiter columns: the kernel's software pipeline prefetches
+    # column j+1's scores, so the walk needs a one-column margin (rounded
+    # to the sublane granule)
+    T = pad_pow2(max(len(t) + s for (t, _, _), s in zip(jobs, shifts)), 16) + 8
     B = (len(jobs) + tile_b - 1) // tile_b * tile_b
     tgt = np.full((B, T), 31, dtype=np.int32)
     band_mask = np.zeros((B, band), dtype=np.int32)
@@ -152,6 +171,12 @@ def prepare_pallas_batch(query, bias, matrix32, jobs, tile_b: int = 256):
     i1 = min(qlen, lo + T + band)
     if i1 > i0:
         profile_pad[i0 - lo : i1 - lo] = prof[i0:i1]
+    # bf16-exactness bound for the kernel's MXU matmul: every non-sentinel
+    # entry must be an integer with |v| <= 256 (all are bf16-exact, and
+    # the one-hot contraction never truly accumulates)
+    fin = profile_pad[profile_pad != NEG]
+    if len(fin) and int(np.abs(fin).max()) > 256:
+        raise ValueError("profile entry exceeds bf16-exact range")
     meta = {"C": C, "shifts": shifts, "band": band}
     return (jnp.asarray(tgt.T.copy()), jnp.asarray(band_mask),
             jnp.asarray(profile_pad), band, meta)
