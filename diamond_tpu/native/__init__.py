@@ -273,6 +273,10 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         cdll.block_fill.restype = None
+        cdll.filter_keys.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
+        cdll.filter_keys.restype = ctypes.c_int64
         _lib = cdll
     except Exception:
         _lib = None
@@ -934,6 +938,22 @@ def left_most_filter_native(q_letters, s_letters, q_seed_mask, reduction,
         int(part_lo), int(part_hi), ctypes.c_uint64(seedp_mask),
         int(hamming_filter_id), out.ctypes.data)
     return out.view(bool)
+
+
+def filter_keys_native(t_keys, q_keys_sorted):
+    """Query-indexed seed filter: bool keep mask of target keys present in
+    the sorted query key array (hash probe, no DB-side sort), or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    t = np.ascontiguousarray(t_keys, dtype=np.uint64)
+    q = np.ascontiguousarray(q_keys_sorted, dtype=np.uint64)
+    keep = np.empty(len(t), dtype=np.uint8)
+    l.filter_keys(t.ctypes.data, len(t), q.ctypes.data, len(q),
+                  keep.ctypes.data)
+    return keep.view(np.bool_)
 
 
 def sort_kv_native(keys, vals, inplace: bool = False):

@@ -481,6 +481,50 @@ extern "C" void sort_kv_u64_d16(
     }
 }
 
+// Query-indexed seed filter (reference double_indexed.cpp:267-294
+// HashedSeedSet role): keep target seeds whose key occurs in the sorted
+// query key set — one open-addressing probe per target seed instead of
+// sorting the whole DB side.  Keys are < 2^63 (seedp-masked), so ~0 is a
+// free EMPTY sentinel.  Returns the number of kept seeds.
+extern "C" int64_t filter_keys(const uint64_t* t_keys, int64_t n,
+                               const uint64_t* q_keys_sorted, int64_t nq,
+                               uint8_t* keep) {
+    uint64_t cap = 16;
+    while (cap < (uint64_t)nq * 2) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<uint64_t> table(cap, ~0ull);
+    auto hash = [](uint64_t k) {
+        k *= 0x9e3779b97f4a7c15ull;
+        k ^= k >> 29;
+        k *= 0xbf58476d1ce4e5b9ull;
+        k ^= k >> 32;
+        return k;
+    };
+    for (int64_t i = 0; i < nq; ++i) {
+        const uint64_t k = q_keys_sorted[i];
+        if (i && k == q_keys_sorted[i - 1])
+            continue;  // input sorted: duplicates adjacent
+        uint64_t h = hash(k) & mask;
+        while (table[h] != ~0ull)
+            h = (h + 1) & mask;
+        table[h] = k;
+    }
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint64_t k = t_keys[i];
+        uint64_t h = hash(k) & mask;
+        uint8_t kp = 0;
+        for (; table[h] != ~0ull; h = (h + 1) & mask)
+            if (table[h] == k) {
+                kp = 1;
+                break;
+            }
+        keep[i] = kp;
+        cnt += kp;
+    }
+    return cnt;
+}
+
 // Bulk Block letters fill: memcpy every sequence's letter run from a
 // shared base buffer into a Block letters layout (the read_dmnd
 // strip_mask load; plays the role of the reference's block load loop,

@@ -184,6 +184,18 @@ class Pipeline:
         tl = int(self.t.n_letters)
         if SENS_RANK[cfg.sensitivity] >= SENS_RANK["sensitive"]:
             return ql < 300_000 and ql * 20_000 < tl
+        # with the native hash filter (stages.cc filter_keys) the
+        # query-indexed route wins as soon as the DB side is several
+        # times the query side: it replaces the full DB seed sort with
+        # one probe per DB seed + a sort of the (much smaller) survivor
+        # set.  Output-identical either way (pinned by
+        # test_query_indexed_algo_output_identical); this picks the
+        # faster route at block-swap shapes like 1k queries x 50M-letter
+        # blocks.
+        from diamond_tpu import native
+
+        if native.lib() is not None:
+            return ql < 16_000_000 and ql * 8 < tl
         return ql < 3_000_000 and ql * 2_000 < tl
 
     def search(self):
@@ -300,12 +312,17 @@ class Pipeline:
                     # only ever produces groups present on both sides.
                     with ptimer("seed.qindex"):
                         nq = len(q_keys_f)
-                        if nq:
-                            ins = np.searchsorted(q_keys_f, t_keys)
-                            ins[ins == nq] = nq - 1
-                            keep = q_keys_f[ins] == t_keys
-                        else:
+                        if not nq:
                             keep = np.zeros(len(t_keys), dtype=bool)
+                        else:
+                            from diamond_tpu import native
+
+                            keep = native.filter_keys_native(t_keys,
+                                                             q_keys_f)
+                            if keep is None:
+                                ins = np.searchsorted(q_keys_f, t_keys)
+                                ins[ins == nq] = nq - 1
+                                keep = q_keys_f[ins] == t_keys
                         t_keys, t_pos = t_keys[keep], t_pos[keep]
                     t_keys, t_pos = stages._sorted_kv(t_keys, t_pos,
                                                       inplace=True)
