@@ -154,7 +154,7 @@ def _prefix_max_shift(g, band):
 
 def _make_kernel(T: int, band: int, go: int, ge: int, K: int = 32):
     def kernel(t_idx_ref, band_mask_ref, profile_ref, best_ref, maxcol_ref,
-               maxrow_ref, H_scr, E_scr):
+               maxrow_ref, H_scr, E_scr, S_scr):
         TB = H_scr.shape[0]
         r_ge = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1) * ge
         col = jax.lax.broadcasted_iota(jnp.int32, (TB, band), 1)
@@ -164,20 +164,28 @@ def _make_kernel(T: int, band: int, go: int, ge: int, K: int = 32):
         H_scr[:] = jnp.zeros((TB, band), jnp.int32)
         E_scr[:] = jnp.zeros((TB, band), jnp.int32)
 
-        def col_step(j, carry):
-            best, maxcol, maxrow = carry
-            letters = t_idx_ref[j, :]                         # [TB] int32
+        def col_scores(j):
             # fp32 one-hot matmul: exact for |score| < 2^24 incl. the NEG
             # sentinel (bf16 would truncate it).  With K = SLOTS*32 the
             # letter value carries its slot offset, selecting that
             # slot's 32 profile columns.
+            letters = t_idx_ref[j, :]                         # [TB] int32
             onehot = (letters[:, None] == lane32).astype(jnp.float32)
-            prof = profile_ref[pl.ds(j, band), :]             # [band, 32]
-            scores = jax.lax.dot_general(
+            prof = profile_ref[pl.ds(j, band), :]             # [band, K]
+            return jax.lax.dot_general(
                 onehot, prof.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.int32)
-            scores = jnp.where(bmask, scores, NEG)
+
+        def col_step(j, carry):
+            # software pipeline (see ops/swipe_pallas.py): column j's
+            # scores come from the S_scr scratch filled in iteration
+            # j-1, so the MXU matmul for j+1 overlaps this iteration's
+            # VPU chain; pad_T adds the 8-column prefetch margin.
+            best, maxcol, maxrow = carry
+            scores_raw = S_scr[:]
+            scores_next = col_scores(j + 1)
+            scores = jnp.where(bmask, scores_raw, NEG)
             valid = scores > NEG // 2
 
             H = H_scr[:]
@@ -204,10 +212,13 @@ def _make_kernel(T: int, band: int, go: int, ge: int, K: int = 32):
             E_next = jnp.where(col < band - 1, E_next, 0)
             H_scr[:] = Hn
             E_scr[:] = E_next
+            S_scr[:] = scores_next
             return best, maxcol, maxrow
 
+        S_scr[:] = col_scores(0)
         z = jnp.zeros((TB,), jnp.int32)
-        best, maxcol, maxrow = jax.lax.fori_loop(0, T, col_step, (z, z, z))
+        best, maxcol, maxrow = jax.lax.fori_loop(0, T - 8, col_step,
+                                                 (z, z, z))
         best_ref[:] = best.reshape(best_ref.shape)
         maxcol_ref[:] = maxcol.reshape(maxcol_ref.shape)
         maxrow_ref[:] = maxrow.reshape(maxrow_ref.shape)
@@ -276,6 +287,7 @@ def banded_swipe_pallas_multi(t_idx8, band_mask8, q_let8, q_bias8, q_valid8,
         scratch_shapes=[
             pltpu.VMEM((tile_b, band), jnp.int32),
             pltpu.VMEM((tile_b, band), jnp.int32),
+            pltpu.VMEM((tile_b, band), jnp.int32),
         ],
         interpret=interpret,
     )(t_idx, band_mask, profiles)
@@ -322,10 +334,13 @@ _T_LADDER = (16, 32, 64, 128, 256, 384, 512, 768, 1024, 1536, 2048,
 
 
 def pad_T(x: int) -> int:
+    # +8 all-delimiter columns: the kernel's software pipeline prefetches
+    # column j+1's scores (see _make_kernel), so the walk needs a
+    # one-column margin rounded to the sublane granule
     for n in _T_LADDER:
         if n >= x:
-            return n
-    return pad_pow2(x, 16)
+            return n + 8
+    return pad_pow2(x, 16) + 8
 
 
 class _Group:
