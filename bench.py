@@ -308,6 +308,40 @@ def _ref_seconds():
     return best
 
 
+def _ref_swipe_seconds(n_queries):
+    """Live reference binary on blastp --swipe over the same query
+    slice, 1 thread, best of 2; None when the binary is unavailable.
+    (Round-4's claim that the binary aborts on --swipe was wrong — it
+    runs fine and is the bar to beat; VERDICT r04 item 1.)"""
+    if not os.path.exists(REF_BIN):
+        return None
+    qf = f"/tmp/dtpu_bench_swq{n_queries}.faa"
+    if not os.path.exists(qf):
+        from diamond_tpu.constants.alphabet import decode
+        from diamond_tpu.data.blastdb import BlastDB
+
+        ids, seqs = BlastDB(f"{TD}/blast/nr_10k").load()
+        with open(qf, "w") as f:
+            for i, s in zip(ids[:n_queries], seqs[:n_queries]):
+                f.write(f">{i}\n")
+                t = decode(s)
+                for j in range(0, len(t), 60):
+                    f.write(t[j : j + 60] + "\n")
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [REF_BIN, "blastp", "--swipe", "-q", qf,
+             "-d", f"{TD}/blast/nr_10k", "-f", "6",
+             "-o", "/tmp/dtpu_bench_swref.out", "-p", "1", "--quiet"],
+            capture_output=True)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0:
+            return None
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def _ref_recorded():
     try:
         with open(_REF_RECORD_FILE) as f:
@@ -334,12 +368,23 @@ def main():
         {"DIAMOND_TPU_DEVICE_DP": "0"}))
 
     # 3) device-forced e2e with dispatch accounting (only when the chip
-    #    answers; a query slice keeps the tunneled run inside the budget)
+    #    answers; a query slice keeps the tunneled run inside the budget;
+    #    on timeout, retry once at a quarter of the slice so a bad
+    #    tunnel window still yields a measurement — and when even that
+    #    fails, the record says WHY instead of going null)
     dev = None
     if chip_ok:
         n_dev = int(os.environ.get("DIAMOND_TPU_BENCH_DEV_QUERIES", "1024"))
         dev = _parse_json_line(_run_child(
             ["_e2e", "device", str(n_dev)], 900))
+        if not (dev and "seconds" in dev):
+            n_dev //= 4
+            dev = _parse_json_line(_run_child(
+                ["_e2e", "device", str(n_dev)], 900))
+            if not (dev and "seconds" in dev):
+                dev = {"skipped": ("device-forced child timed out twice "
+                                   f"(900 s at {n_dev * 4} and {n_dev} "
+                                   "queries) — stalled tunnel window")}
         if dev and "seconds" in dev:
             # co-located projection: on a normally-deployed chip the host
             # waits only for kernel compute (+ ~100us dispatch per call),
@@ -370,21 +415,25 @@ def main():
                 dev["output_matches_host"] = (hs.get("output_sha")
                                               == dev.get("output_sha"))
                 dev["host_seconds_same_slice"] = hs["seconds"]
+    else:
+        dev = {"skipped": "chip not usable this window (kernel probe "
+                          "fell back to CPU)"}
 
-    # 3b) --swipe config: the DP-bound configuration where the chip wins
-    #     end-to-end.  Host striped engine vs the device-resident sweep on
-    #     the same slice; the co-located projection uses the same model as
-    #     device_forced.  (The reference binary aborts on blastp --swipe
-    #     on this host — see PERF.md — so the comparison is engine vs
-    #     engine on identical output bytes.)
+    # 3b) --swipe config: the DP-bound configuration (full-matrix, no
+    #     seeding).  Three-way comparison on the same slice: the live
+    #     reference binary, our host striped engine, and the device-
+    #     resident sweep (tunneled wall + co-located projection).  The
+    #     bar is the REFERENCE BINARY, timed live — `chip_wins_e2e`
+    #     means the device run beats it, not merely our own host engine.
     swipe = None
     if chip_ok:
-        n_sw = int(os.environ.get("DIAMOND_TPU_BENCH_SWIPE_QUERIES", "32"))
+        n_sw = int(os.environ.get("DIAMOND_TPU_BENCH_SWIPE_QUERIES", "256"))
         sw_dev = _parse_json_line(_run_child(["_swipe", "device",
                                               str(n_sw)], 900))
         sw_host = _parse_json_line(_run_child(["_swipe", "host",
                                                str(n_sw)], 900,
                                               {"DIAMOND_TPU_DEVICE_DP": "0"}))
+        ref_sw = _ref_swipe_seconds(n_sw)
         if sw_dev and sw_host and "seconds" in sw_dev:
             gcups = kernel["banded_swipe_gcups"] if kernel else 0.0
             compute = (sw_dev["dp_padded_cells"] / (gcups * 1e9)
@@ -398,10 +447,21 @@ def main():
                 "kernel_compute_s": round(compute, 2),
                 "colocated_projection_seconds": round(proj, 2),
                 "host_seconds_same_slice": sw_host["seconds"],
+                "reference_seconds": (round(ref_sw, 2) if ref_sw
+                                      else None),
                 "output_matches_host": (sw_dev.get("output_sha")
                                         == sw_host.get("output_sha")),
-                "chip_wins_e2e": proj < sw_host["seconds"],
+                "chip_wins_e2e": (bool(ref_sw)
+                                  and sw_dev["seconds"] < ref_sw),
+                "colocated_projection_wins": (bool(ref_sw)
+                                              and proj < ref_sw),
             }
+        else:
+            swipe = {"skipped": ("device child timed out/failed"
+                                 if not (sw_dev and "seconds" in sw_dev)
+                                 else "host child timed out/failed"),
+                     "reference_seconds": (round(ref_sw, 2) if ref_sw
+                                           else None)}
 
     # 4) reference ratio: live binary, else the committed recording
     ref_dt = _ref_seconds()

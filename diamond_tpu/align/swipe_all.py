@@ -29,48 +29,47 @@ def _mesh_for(cfg):
     return _MESH
 
 
-# device full-band job caps: bounded by the pallas kernel's VMEM budget
-# (profile [T+band, 128] int32 + scratch); longer sequences take the
-# host striped engine (the ~1% long tail of typical protein DBs)
-DEVICE_SWIPE_MAX_LEN = 2048
+# device full-matrix job cap: bounded by the row-indexed sweep kernel's
+# VMEM t-block (T x tile_b); in practice this covers entire protein DBs
+# (the reference's longest nr sequences are ~36k letters)
+DEVICE_SWIPE_MAX_LEN = 16384
 
 
 def _device_swipe_scores(qblock, tblock, cfg, mesh):
-    """Round-1 full-matrix scores for EVERY (query, target) pair with
-    tlen/qlen under the device cap, batched across all queries in one
-    DeviceDP sweep (the chip's natural --swipe form: 100% DP, tiles
-    filled by thousands of same-band targets).  Returns
-    {qi: {t: (score, max_col, max_row)}} or None when no device."""
+    """Round-1 full-matrix scores for EVERY (query, target) pair under
+    the device cap, batched across all queries with the row-indexed
+    FullSweep kernel (the chip's natural --swipe form: 100% DP, the DB
+    letter block device-resident across every query's calls).  Returns
+    (q_rows {qi: row}, t_order ndarray, scores [nqd, ntd]) or None when
+    no device."""
     from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
 
     if not device_dp_enabled():
         return None
-    from diamond_tpu.ops.swipe_device import SwipeSweep
+    from diamond_tpu.ops.swipe_device import FullSweep
     from diamond_tpu.stats.cbs import hauser_bias_i8
 
     m = cfg.matrix
     use_h = cbs_mod.hauser(cfg.comp_based_stats)
-    sweep = SwipeSweep(m.matrix32, m.gap_open, m.gap_extend,
-                       interpret=dp_interpret())
-    small_t = [t for t in range(len(tblock))
-               if 0 < int(tblock.lengths[t]) <= DEVICE_SWIPE_MAX_LEN]
+    sweep = FullSweep(m.matrix32, m.gap_open, m.gap_extend,
+                      interpret=dp_interpret())
+    tl = tblock.lengths
+    t_order = np.nonzero((tl > 0) & (tl <= FullSweep.MAX_LEN))[0]
     queries = []
-    req_meta = []
+    q_rows = {}
     for qi in range(len(qblock)):
         q = qblock.seq(qi)
         qlen = len(q)
-        if qlen == 0 or qlen > DEVICE_SWIPE_MAX_LEN or (q == 23).all():
+        if qlen == 0 or qlen > FullSweep.MAX_LEN or (q == 23).all():
             continue
         bias = (hauser_bias_i8(q, m.matrix32, m.background_scores)
                 if use_h else None)
+        q_rows[qi] = len(queries)
         queries.append((q, bias))
-        req_meta.append(qi)
-    if not queries or not small_t:
-        return {}
-    targets = [tblock.seq(t) for t in small_t]
-    res = sweep.run(queries, targets)
-    return {qi: {small_t[x]: r[x] for x in range(len(small_t))}
-            for qi, r in zip(req_meta, res)}
+    if not queries or not len(t_order):
+        return None
+    scores = sweep.run_block(queries, tblock, t_order)
+    return q_rows, t_order, scores
 
 
 def swipe_all_protein(qblock, tblock, cfg) -> dict:
@@ -87,14 +86,16 @@ def swipe_all_protein(qblock, tblock, cfg) -> dict:
         if qblock is not tblock:
             mask_block(qblock, masker)
     m = cfg.matrix
-    dev_scores = _device_swipe_scores(qblock, tblock, cfg, _mesh_for(cfg))
+    dev = _device_swipe_scores(qblock, tblock, cfg, _mesh_for(cfg))
     results = {}
     for qi in range(len(qblock)):
         q = qblock.seq(qi)
         i8 = hauser_bias_i8(q, m.matrix32, m.background_scores)
+        dev_q = None
+        if dev is not None and qi in dev[0]:
+            dev_q = (dev[1], dev[2][dev[0][qi]])
         matches = swipe_all_query(
-            [(0, q)], len(q), {0: i8}, tblock, cfg,
-            dev_scores=None if dev_scores is None else dev_scores.get(qi))
+            [(0, q)], len(q), {0: i8}, tblock, cfg, dev_scores=dev_q)
         if matches:
             results[qi] = matches
     return results
@@ -105,12 +106,13 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg,
     """contexts: list of (frame, letters) translated/protein query contexts.
     Returns culled Matches with traceback Hsps (frame-aware).
 
-    dev_scores: {t: (score, max_col, max_row)} precomputed on the device
-    for frame 0 (the cross-query batched --swipe sweep); targets not in
-    it run the host batch."""
+    dev_scores: (t_order, score_row) precomputed on the device for
+    frame 0 (the cross-query batched FullSweep); targets not in t_order
+    run the host batch."""
     mat = cfg.matrix
     n_targets = len(tblock)
     mesh = _mesh_for(cfg)
+    tlens_all = tblock.lengths.astype(np.int64)
 
     # first round: score-only full SW for all (frame, target)
     per_target: dict[int, list] = {}
@@ -119,44 +121,45 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg,
         if qlen == 0 or (q == 23).all():
             continue
         bias = biases[frame] if cbs_mod.hauser(cfg.comp_based_stats) else None
-        jobs = []
-        metas = []
         pre = dev_scores if (dev_scores is not None and frame == 0) else None
-        pre_res = []
-        for t in range(n_targets):
-            if pre is not None and t in pre:
-                pre_res.append((t, pre[t]))
-                continue
-            tgt = tblock.seq(t)
-            tlen = len(tgt)
-            if tlen == 0:
-                continue
-            jobs.append((tgt, -(tlen - 1), qlen))
-            metas.append(t)
         if pre is not None:
             # host runs only the long tail; device scores fill the rest
+            t_order, srow = pre
+            in_dev = np.zeros(n_targets, dtype=bool)
+            in_dev[t_order] = True
+            tail = np.nonzero(~in_dev & (tlens_all > 0))[0]
+            jobs = [(tblock.seq(t), -(int(tlens_all[t]) - 1), qlen)
+                    for t in tail]
             res_tail = banded_swipe_batch_np(
                 q, bias, jobs, mat.matrix32, mat.gap_open, mat.gap_extend) \
                 if jobs else []
-            res = [sc for _, sc in pre_res] + list(res_tail)
-            metas = [t for t, _ in pre_res] + metas
+            tail_scores = np.fromiter(
+                (int(np.asarray(r).flat[0]) for r in res_tail),
+                dtype=np.int64, count=len(tail))
+            metas = np.concatenate([t_order, tail])
+            scores_a = np.concatenate([srow.astype(np.int64), tail_scores])
         elif mesh is not None:
             # device-sharded scoring round: DB shards over the mesh's 'db'
             # axis, per-shard banded SW, all_gather merge — exact int32
             # parity with the host path (parallel/sharded.py)
             from diamond_tpu.parallel.sharded import sharded_full_scores
 
+            metas = np.nonzero(tlens_all > 0)[0]
             scores = sharded_full_scores(mesh, q, bias, tblock, mat.matrix32,
                                          mat.gap_open, mat.gap_extend)
-            res = [(int(scores[t]), 0, 0) for t in metas]
+            scores_a = np.asarray([int(scores[t]) for t in metas],
+                                  dtype=np.int64)
         else:
+            metas = np.nonzero(tlens_all > 0)[0]
+            jobs = [(tblock.seq(t), -(int(tlens_all[t]) - 1), qlen)
+                    for t in metas]
             res = banded_swipe_batch_np(q, bias, jobs, mat.matrix32,
                                         mat.gap_open, mat.gap_extend)
+            scores_a = np.fromiter(
+                (int(np.asarray(r).flat[0]) for r in res),
+                dtype=np.int64, count=len(metas))
         # vectorized e-value/report-cutoff pass over the whole DB
         # (bit-identical twins; pinned by tests/test_stats.py)
-        nm = len(metas)
-        scores_a = np.fromiter((r[0] for r in res), dtype=np.int64,
-                               count=nm)
         pos_k = np.nonzero(scores_a > 0)[0]
         if len(pos_k):
             metas_a = np.asarray(metas, dtype=np.int64)
@@ -167,7 +170,7 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg,
                      else evs <= cfg.max_evalue)
             for x in np.nonzero(keepm)[0]:
                 k = int(pos_k[x])
-                t = metas[k]
+                t = int(metas[k])
                 tlen = int(tlens_a[x])
                 h = Hsp(score=int(scores_a[k]), evalue=float(evs[x]),
                         bit_score=float(bits[x]),

@@ -34,7 +34,8 @@ def _bulk_copy(letters, starts, seqs, lengths) -> bool:
     if base is None or base.dtype != np.int8 or base.ndim != 1 \
             or not base.flags.c_contiguous:
         return False
-    if not all(s.base is base for s in seqs):
+    if not all(isinstance(s, np.ndarray) and s.base is base
+               and s.ndim == 1 and s.flags.c_contiguous for s in seqs):
         return False
     addr0 = base.__array_interface__["data"][0]
     src0 = np.fromiter(

@@ -156,6 +156,13 @@ def stage2_pregathered(q_letters, s_letters, qp, sp, windows, cutoffs,
     """End-to-end pregathered stage-1/2: host gather + device kernel.
     Same (keep, scores) contract as Stage12Device.run."""
     n = len(qp)
+    # the fingerprint window spans [-16, +32) and the Kadane walk is
+    # clipped to max_window: narrower windows silently under-count
+    if max_window < 32:
+        raise ValueError("max_window must be >= 32 (fingerprint span)")
+    if n and int(np.max(windows)) > max_window:
+        raise ValueError("window exceeds max_window (Kadane walk would "
+                         "be truncated)")
     qw8, sw8, wl, wr = pregather_windows(q_letters, s_letters, qp, sp,
                                          windows, max_window)
     cap = (n + tile_n - 1) // tile_n * tile_n

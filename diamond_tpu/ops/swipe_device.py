@@ -321,7 +321,9 @@ def job_fits_device(tgt_len: int, d0: int, d1: int) -> bool:
     band = pad_band(d1 - d0)
     T = pad_T(tgt_len + max(0, -d0))
     cells = T * band
-    return (T <= MAX_DEVICE_T and band <= MAX_DEVICE_BAND
+    # pad_T returns ladder + 8 pipeline-margin columns; the margin does
+    # not count against the VMEM tier limit (T=4096-class shapes fit)
+    return (T <= MAX_DEVICE_T + 8 and band <= MAX_DEVICE_BAND
             and cells <= MAX_DEVICE_CELLS
             and cells >= _min_device_cells())
 
@@ -693,7 +695,12 @@ class SwipeSweep:
                 global dispatch_count, dispatch_cells
                 dispatch_count += 1
                 dispatch_cells += G * tile_b * T * band
-                dev = banded_swipe_pallas_sweep(
+                # interpret mode must bypass jit: jit-wrapped interpret
+                # pallas_calls wedge on the axon plugin backend (same
+                # workaround as stage2_pallas)
+                fn = (banded_swipe_pallas_sweep.__wrapped__
+                      if self.interpret else banded_swipe_pallas_sweep)
+                dev = fn(
                     t2, jnp.asarray(bl),
                     jnp.asarray(q_let), jnp.asarray(q_bias),
                     jnp.asarray(q_valid), self._m32, self.go, self.ge,
@@ -712,3 +719,256 @@ class SwipeSweep:
                 res[qi][t] = (int(best[x]), j_true, i_true)
         dispatch_wait_s += _time.perf_counter() - _t0
         return res
+
+
+# ---------------------------------------------------------------------------
+# --swipe full-matrix sweep, row-indexed: state indexed by QUERY position
+# (Qpad lanes) instead of by diagonal, so the per-pair cell count is
+# T x Qpad — independent of target length — where the diagonal-banded
+# sweep above pays T x (qlen + tlen - 1).  This is the full-matrix twin
+# of the reference's inter-sequence SWIPE (dp/swipe/full_swipe.h,
+# full_matrix.h): lanes are query positions, the sublane axis carries
+# tile_b targets, and the whole DB letter block lives on device across
+# every query's calls.
+# ---------------------------------------------------------------------------
+
+def _make_kernel_full(T: int, Q: int, go: int, ge: int):
+    """Score-only local affine SW, one column (target position) per
+    fori step.  Recurrence (column j = target position, row i = query
+    position):
+      E[i][j] = max(H[i][j-1] - go, E[i][j-1] - ge)   (elementwise)
+      F[i][j] = max(H[i-1][j] - go, F[i-1][j] - ge)   (lazy-F prefix max)
+      H[i][j] = max(0, H[i-1][j-1] + S(q_i, t_j), E[i][j], F[i][j])
+    Same lazy-F prefix-max formulation as _make_kernel_sweep; exact
+    because go >= ge makes re-opening inside a gap non-optimal.  The
+    column loop bound is the PER-TILE max target length (scalar
+    prefetch), so trailing pad columns cost no compute — only transfer
+    (the dead-column clamp of the host engines, and the role of the
+    reference's per-channel target lengths in full_swipe.h)."""
+    def kernel(bounds_ref, t_idx_ref, profile_ref, best_ref):
+        TB = t_idx_ref.shape[1]
+        g = pl.program_id(1)
+        n_cols = bounds_ref[g]
+        i_ge = jax.lax.broadcasted_iota(jnp.int32, (TB, Q), 1) * ge
+        row = jax.lax.broadcasted_iota(jnp.int32, (TB, Q), 1)
+        lane32 = jax.lax.broadcasted_iota(jnp.int32, (TB, 32), 1)
+        prof_f = profile_ref[:].astype(jnp.float32)          # [Q, 32]
+
+        def col_step(j, carry):
+            H, E, bestH = carry
+            letters = t_idx_ref[j, :]
+            onehot = (letters[:, None] == lane32).astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                onehot, prof_f,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            valid = scores > NEG // 2
+            diag = pltpu.roll(H, 1, axis=1)
+            diag = jnp.where(row >= 1, diag, 0)
+            cur0 = jnp.maximum(jnp.maximum(diag + scores, E), 0)
+            g2 = cur0 - go + i_ge
+            gmax = _prefix_max_shift(g2, Q)
+            F = jnp.maximum(gmax - i_ge, 0)
+            Fs = pltpu.roll(F, 1, axis=1)
+            Fs = jnp.where(row >= 1, Fs, 0)
+            Hn = jnp.where(valid, jnp.maximum(cur0, Fs), 0)
+            bestH = jnp.maximum(bestH, Hn)
+            E_out = jnp.maximum(jnp.maximum(E - ge, Hn - go), 0)
+            return Hn, E_out, bestH
+
+        z = jnp.zeros((TB, Q), jnp.int32)
+        _, _, bestH = jax.lax.fori_loop(0, n_cols, col_step, (z, z, z))
+        best = jnp.max(bestH, axis=1)                        # [TB]
+        best_ref[:] = best.reshape(best_ref.shape)
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("go", "ge", "Q", "T", "tile_b", "interpret"))
+def full_swipe_pallas_sweep(bounds32, t_idx8, q_let8, q_bias8, q_valid8,
+                            matrix32, go: int, ge: int, Q: int, T: int,
+                            tile_b: int = 16, interpret: bool = False):
+    """NQ queries x (G * tile_b) device-resident targets in one call.
+
+    bounds32 [G] int32 per-tile column counts (max target length in the
+    tile; 0 = dead tile, costs nothing); t_idx8 [G*T, tile_b] int8 target
+    letters (pass the SAME device array across calls — transferred once
+    per target chunk); q_let8 / q_bias8 / q_valid8 [NQ*Q] int8 query
+    profile rows.  Profiles are built in-jit (one-hot MXU matmul), so
+    the per-call host->device traffic is ~3*NQ*Q bytes.  Returns best
+    scores [NQ, G*tile_b] int32."""
+    GT, _tb = t_idx8.shape
+    G = GT // T
+    NQ = q_let8.shape[0] // Q
+    lanes = jnp.arange(32, dtype=jnp.int32)[None, :]
+    onehot = (q_let8.astype(jnp.int32)[:, None] == lanes).astype(jnp.float32)
+    prof = jax.lax.dot_general(
+        onehot, matrix32.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    prof = prof + q_bias8.astype(jnp.int32)[:, None]
+    profiles = jnp.where(q_valid8.astype(jnp.int32)[:, None] != 0, prof, NEG)
+    t_idx = t_idx8.astype(jnp.int32)
+    kernel = _make_kernel_full(T, Q, go, ge)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NQ, G),
+        in_specs=[
+            pl.BlockSpec((T, tile_b), lambda q, g, b: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 32), lambda q, g, b: (q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_b // 8), lambda q, g, b: (q * G + g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NQ * G * 8, tile_b // 8), jnp.int32),
+        interpret=interpret,
+    )(bounds32, t_idx, profiles)
+    return out.reshape(NQ, G * tile_b)
+
+
+# --swipe shape ladders: every axis is quantized so the set of compiled
+# kernel shapes stays small while dead padding costs (almost) nothing:
+# pad COLUMNS cost transfer only (per-tile dynamic loop bound), dead
+# TILES cost nothing (bound 0), and dead QUERY grid steps (valid=0,
+# ragged last group padded up the NQ ladder) cost only their sweep's
+# all-zero compute — microseconds against a per-call tunnel overhead of
+# tens of ms.
+_FULL_T_TIERS = (512, 2048, 16384)      # target-length tiers
+_FULL_G = {512: 512, 2048: 128, 16384: 8}   # tiles per call by tier
+_FULL_NQ = (32, 8, 1)                   # query-group size ladder
+
+
+def _full_q_pad(qlen: int) -> int:
+    """Query rows padded to a ~1.25x ladder (lane width: multiples of
+    128)."""
+    for n in (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048,
+              2560, 3072, 4096, 6144, 8192, 12288, 16384):
+        if n >= qlen:
+            return n
+    return pad_pow2(qlen, 128)
+
+
+class FullSweep:
+    """--swipe device scheduler, fully vectorized: the target block packs
+    once per chunk (numpy gather from the Block's concatenated letters),
+    ships once, and every query group then sweeps the resident chunks.
+    No per-target Python loops anywhere — results come back as one
+    [nq, nt] int32 score matrix (the role of the reference's full-DB
+    SWIPE driver, src/align/full_db.cpp + dp/swipe/full_swipe.h)."""
+
+    MAX_LEN = 16384    # per-sequence cap (VMEM: T x tile_b t-block)
+
+    def __init__(self, matrix32, gap_open: int, gap_extend: int,
+                 tile_b: int = 16, interpret: bool = False):
+        _ensure_compile_cache()
+        self._m32 = jnp.asarray(np.ascontiguousarray(matrix32,
+                                                     dtype=np.int32))
+        self.go = gap_open + gap_extend
+        self.ge = gap_extend
+        self.tile_b = tile_b
+        self.interpret = interpret
+
+    def _pack_chunks(self, tblock, t_order):
+        """Length-sorted targets -> [(T, G, bounds_dev, t2_dev, rows)].
+        rows index positions within t_order."""
+        tile_b = self.tile_b
+        tl = tblock.lengths[t_order].astype(np.int64)
+        tstarts = tblock.starts[t_order]
+        order = np.argsort(tl, kind="stable")
+        letters = tblock.letters
+        chunks = []
+        lo = 0
+        while lo < len(order):
+            # chunk ends at the tier boundary or the row cap
+            T = next(t for t in _FULL_T_TIERS if t >= tl[order[lo]])
+            G = _FULL_G[T]
+            cap = G * tile_b
+            hi = min(lo + cap,
+                     int(np.searchsorted(tl[order], T, side="right")))
+            rows = order[lo:hi]
+            lo = hi
+            L = tl[rows]
+            nrows = len(rows)
+            cols = np.arange(T, dtype=np.int64)[None, :]
+            src = tstarts[rows][:, None] + np.minimum(cols, L[:, None] - 1)
+            t_idx = np.full((G * tile_b, T), 31, dtype=np.int8)
+            np.bitwise_and(letters[src], 31, out=t_idx[:nrows],
+                           where=cols < L[:, None])
+            t2 = np.ascontiguousarray(
+                t_idx.reshape(G, tile_b, T).swapaxes(1, 2)).reshape(
+                    G * T, tile_b)
+            bounds = np.zeros(G, dtype=np.int32)
+            ntiles = -(-nrows // tile_b)
+            pad = np.zeros(ntiles * tile_b - nrows, dtype=np.int64)
+            bounds[:ntiles] = np.concatenate([L, pad]).reshape(
+                ntiles, tile_b).max(axis=1).astype(np.int32)
+            chunks.append((T, G, int(bounds.sum()), bounds, t2, rows))
+        return chunks
+
+    def run_block(self, queries, tblock, t_order):
+        """queries: [(q_letters, bias_or_None)]; t_order: target block
+        ids to sweep (all lengths must be in (0, MAX_LEN]).  Returns
+        scores [len(queries), len(t_order)] int32."""
+        global dispatch_count, dispatch_cells, dispatch_wait_s
+        import time as _time
+
+        tile_b = self.tile_b
+        t_order = np.asarray(t_order, dtype=np.int64)
+        chunks = self._pack_chunks(tblock, t_order)
+
+        # ship the target chunks (device-resident for every query group);
+        # transfer time is tunnel/HBM wait, not host work — count it with
+        # the dispatch wait so the co-located projection removes it
+        _t0 = _time.perf_counter()
+        chunks = [(T, G, bsum, jnp.asarray(bounds), jnp.asarray(t2), rows)
+                  for (T, G, bsum, bounds, t2, rows) in chunks]
+        dispatch_wait_s += _time.perf_counter() - _t0
+
+        qlens = np.fromiter((len(q) for q, _ in queries), dtype=np.int64,
+                            count=len(queries))
+        qpads = np.asarray([_full_q_pad(int(x)) for x in qlens])
+        out = np.zeros((len(queries), len(t_order)), dtype=np.int32)
+        pending = []
+        fn = (full_swipe_pallas_sweep.__wrapped__
+              if self.interpret else full_swipe_pallas_sweep)
+        for Q in np.unique(qpads):
+            cls = np.nonzero(qpads == Q)[0]
+            Q = int(Q)
+            for c0 in range(0, len(cls), _FULL_NQ[0]):
+                qidx = cls[c0 : c0 + _FULL_NQ[0]]
+                # ragged last group pads up the NQ ladder with dead
+                # (valid=0) query rows
+                NQ = next(n for n in _FULL_NQ if n >= len(qidx))
+                q_let = np.zeros((NQ, Q), dtype=np.int8)
+                q_bias = np.zeros((NQ, Q), dtype=np.int8)
+                q_valid = np.zeros((NQ, Q), dtype=np.int8)
+                for r, qi in enumerate(qidx):
+                    q, bias = queries[qi]
+                    q_let[r, : len(q)] = np.asarray(q, dtype=np.int8) & 31
+                    q_valid[r, : len(q)] = 1
+                    if bias is not None:
+                        q_bias[r, : len(q)] = np.asarray(bias,
+                                                         dtype=np.int8)
+                ql = jnp.asarray(q_let.reshape(NQ * Q))
+                qb = jnp.asarray(q_bias.reshape(NQ * Q))
+                qv = jnp.asarray(q_valid.reshape(NQ * Q))
+                for (T, G, bsum, bounds, t2, rows) in chunks:
+                    dispatch_count += 1
+                    dispatch_cells += NQ * Q * tile_b * bsum
+                    dev = fn(bounds, t2, ql, qb, qv, self._m32, self.go,
+                             self.ge, Q, T, tile_b, self.interpret)
+                    pending.append((qidx, rows, dev))
+        _t0 = _time.perf_counter()
+        for qidx, rows, dev in pending:
+            # the readback is the only blocking step — every call above
+            # dispatched asynchronously
+            out[np.ix_(qidx, rows)] = \
+                np.asarray(dev)[: len(qidx), : len(rows)]
+        dispatch_wait_s += _time.perf_counter() - _t0
+        return out

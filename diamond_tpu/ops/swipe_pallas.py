@@ -171,12 +171,11 @@ def prepare_pallas_batch(query, bias, matrix32, jobs, tile_b: int = 256):
     i1 = min(qlen, lo + T + band)
     if i1 > i0:
         profile_pad[i0 - lo : i1 - lo] = prof[i0:i1]
-    # bf16-exactness bound for the kernel's MXU matmul: every non-sentinel
-    # entry must be an integer with |v| <= 256 (all are bf16-exact, and
-    # the one-hot contraction never truly accumulates)
+    # fp32-exactness bound for the kernel's MXU matmul: the one-hot
+    # contraction picks single integer entries, exact up to 2^24 in fp32
     fin = profile_pad[profile_pad != NEG]
-    if len(fin) and int(np.abs(fin).max()) > 256:
-        raise ValueError("profile entry exceeds bf16-exact range")
+    if len(fin) and int(np.abs(fin).max()) >= (1 << 24):
+        raise ValueError("profile entry exceeds fp32-exact range")
     meta = {"C": C, "shifts": shifts, "band": band}
     return (jnp.asarray(tgt.T.copy()), jnp.asarray(band_mask),
             jnp.asarray(profile_pad), band, meta)

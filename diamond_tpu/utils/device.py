@@ -113,6 +113,23 @@ def pin_cpu_platform() -> None:
         pass
 
 
+def cpu_subprocess_env(extra=None) -> dict:
+    """Environment for a child process that must never touch the device:
+    JAX pinned to CPU, the device DP/seeding routes disabled, and the
+    axon plugin's pool address removed so it cannot re-register.  Golden
+    CLI subprocesses use this unconditionally — a mid-run tunnel stall
+    must not be able to hang work that never needed the chip."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["DIAMOND_TPU_DEVICE_DP"] = "0"
+    env["DIAMOND_TPU_STAGE12"] = "0"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    if extra:
+        env.update(extra)
+    return env
+
+
 def ensure_reachable_default_platform() -> str:
     """Probe the default backend (bounded) and, when a TPU plugin is
     registered but its chip is unreachable, pin the process to CPU so

@@ -16,6 +16,8 @@ from diamond_tpu.constants.alphabet import encode
 from diamond_tpu.data.blastdb import BlastDB, is_blastdb
 from diamond_tpu.data.fasta import read_fasta
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -72,7 +74,8 @@ def test_blastdb_search_golden():
     r = subprocess.run(
         [sys.executable, "-m", "diamond_tpu.cli", "blastp", "-q", qpath,
          "-d", f"{TD}/blast/nr_10k_filtered", "-c", "1", "-k", "0"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     with open(os.path.join(GOLD, "blastdb-filtered4.out")) as f:
         assert r.stdout.splitlines() == f.read().splitlines()

@@ -6,9 +6,12 @@ import sys
 import numpy as np
 
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 def run_cli(args):
     r = subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
-                       capture_output=True, text=True, cwd="/root/repo")
+                       capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     return r.stdout.splitlines()
 

@@ -16,6 +16,8 @@ from diamond_tpu.search.config import SearchConfig
 from diamond_tpu.search.pipeline import Pipeline
 from diamond_tpu.stats.score_matrix import ScoreMatrix
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 TD = "/root/reference/src/test"
 GD = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -66,7 +68,8 @@ def test_json_flat_golden():
         [sys.executable, "-m", "diamond_tpu.cli", "blastp",
          "-q", f"{gd}/j2.faa", "-d", f"{TD}/data.faa", "-c", "1",
          "-f", "104"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     with open(f"{gd}/json-flat-j2.out") as f:
         assert r.stdout == f.read()

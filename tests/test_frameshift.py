@@ -12,13 +12,16 @@ import pytest
 
 from slowmark import slow_extended
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
 
 def run_cli(args):
     r = subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
-                       capture_output=True, text=True, cwd="/root/repo")
+                       capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     return r.stdout.splitlines()
 
@@ -71,6 +74,7 @@ def test_range_culling_requires_frameshift():
         [sys.executable, "-m", "diamond_tpu.cli", "blastx",
          "-q", f"{TD}/galaxy/nucleotide.fasta", "-d", f"{TD}/galaxy/db.dmnd",
          "--range-culling"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode != 0
     assert "frameshift" in (r.stderr + r.stdout)

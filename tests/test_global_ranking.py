@@ -3,6 +3,8 @@
 Reference configs: CMakeLists.txt galaxy_9 (blastx --global-ranking 10) and
 blastp-global-ranking (--sensitive -s1 -g10 -k0 blocked); goldens minted
 from the reference binary (tests/goldens/*global-ranking*, galaxy9-*).
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 """
 import os
 import subprocess
@@ -18,7 +20,8 @@ GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
 def run_cli(args):
     r = subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
-                       capture_output=True, text=True, cwd="/root/repo")
+                       capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     return r.stdout.splitlines()
 

@@ -13,13 +13,16 @@ import pytest
 
 from slowmark import slow_extended
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
 
 def run_cli(args):
     r = subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
-                       capture_output=True, text=True, cwd="/root/repo")
+                       capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     return r.stdout.splitlines()
 
@@ -151,7 +154,8 @@ def test_parallel_extension_identical(tmp_path):
         subprocess.run(
             [sys.executable, "-m", "diamond_tpu.cli", "blastp",
              "-q", str(sub), "-d", str(sub), "-p", p, "-o", str(out)],
-            check=True, cwd="/root/repo", capture_output=True)
+            check=True, cwd="/root/repo", capture_output=True,
+            env=cpu_subprocess_env())
         outs.append(out.read_bytes())
     assert outs[0] == outs[1]
 
@@ -169,7 +173,8 @@ def test_parallel_seeding_and_extension_golden(tmp_path):
             [sys.executable, "-m", "diamond_tpu.cli", "blastp",
              "-q", f"{TD}/data.faa", "-d", f"{TD}/data.faa", "-p", p,
              "-c", "1", "-o", str(out)],
-            check=True, cwd="/root/repo", capture_output=True)
+            check=True, cwd="/root/repo", capture_output=True,
+            env=cpu_subprocess_env())
         outs.append(out.read_text())
     assert outs[0] == outs[1]
     assert len(outs[0].splitlines()) > 700

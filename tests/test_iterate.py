@@ -13,13 +13,16 @@ import pytest
 
 from slowmark import slow_extended
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
 
 def run_cli(args):
     r = subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
-                       capture_output=True, text=True, cwd="/root/repo")
+                       capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     return r.stdout.splitlines()
 

@@ -16,6 +16,7 @@ import pytest
 from diamond_tpu.cluster.linclust import (exact_seed_keys,
                                           greedy_vertex_cover_edges, murmur64,
                                           sketch_select)
+from diamond_tpu.utils.device import cpu_subprocess_env
 
 TD = "/root/reference/src/test"
 GD = os.path.join(os.path.dirname(__file__), "goldens")
@@ -78,7 +79,8 @@ def test_linclust_reps_output(tmp_path):
          "-d", "/root/reference/src/test/1.faa", "--approx-id", "0",
          "--cluster-steps", "faster_lin", "-o", str(clusters),
          "--reps", str(reps)],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     headers = [l for l in reps.read_text().splitlines() if l.startswith(">")]
     assert headers == [">NP_001001178.1"]

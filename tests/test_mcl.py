@@ -5,6 +5,8 @@ import sys
 import numpy as np
 
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 def test_mcl_interpretation():
     from diamond_tpu.cluster.mcl import _clusters_from_matrix, _mcl_dense
 
@@ -48,7 +50,8 @@ def test_mcl_end_to_end(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "diamond_tpu.cli", "cluster", "-d", str(fa),
          "--cluster-algo", "mcl"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     rep = {}
     for line in r.stdout.splitlines():

@@ -11,10 +11,13 @@ import sys
 
 import pytest
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 TD = "/root/reference/src/test"
 
 
 def run_cli(args, **kw):
+    kw.setdefault("env", cpu_subprocess_env())
     return subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
                           capture_output=True, text=True, cwd="/root/repo",
                           **kw)
@@ -154,7 +157,8 @@ def test_query_indexed_algo_output_identical():
             [sys.executable, "-m", "diamond_tpu.cli", "blastp",
              "-q", qf.name, "-d", f"{TD}/data.faa",
              "--algo", algo, "-e", "10"],
-            capture_output=True, text=True, cwd="/root/repo")
+            capture_output=True, text=True, cwd="/root/repo",
+            env=cpu_subprocess_env())
         assert r.returncode == 0, r.stderr
         return r.stdout
 

@@ -53,10 +53,11 @@ def test_cli_swipe_mesh_byte_identical(tmp_path):
     outs = []
     for mesh in (0, 8):
         out = tmp_path / f"m{mesh}.out"
-        env = dict(os.environ)
+        from diamond_tpu.utils.device import cpu_subprocess_env
+
+        env = cpu_subprocess_env()
         if mesh:
-            env.update(XLA_FLAGS="--xla_force_host_platform_device_count=8",
-                       JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+            env.update(XLA_FLAGS="--xla_force_host_platform_device_count=8")
         args = [sys.executable, "-m", "diamond_tpu.cli", "blastp",
                 "-q", str(q), "-d", str(db), "--swipe", "-o", str(out)]
         if mesh:

@@ -14,13 +14,16 @@ import pytest
 
 from slowmark import slow_extended
 
+from diamond_tpu.utils.device import cpu_subprocess_env
+
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
 
 def run_cli(args):
     r = subprocess.run([sys.executable, "-m", "diamond_tpu.cli"] + args,
-                       capture_output=True, text=True, cwd="/root/repo")
+                       capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     return r.stdout.splitlines()
 
@@ -76,6 +79,7 @@ def test_taxonlist_exclusive(taxdb):
         [sys.executable, "-m", "diamond_tpu.cli", "blastp",
          "-q", f"{GOLD}/q2.faa", "-d", taxdb,
          "--taxonlist", "2", "--taxon-exclude", "3"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo",
+        env=cpu_subprocess_env())
     assert r.returncode != 0
     assert "mutually exclusive" in (r.stderr + r.stdout)
