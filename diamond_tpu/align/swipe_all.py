@@ -29,10 +29,8 @@ def _mesh_for(cfg):
     return _MESH
 
 
-# device full-matrix job cap: bounded by the row-indexed sweep kernel's
-# VMEM t-block (T x tile_b); in practice this covers entire protein DBs
-# (the reference's longest nr sequences are ~36k letters)
-DEVICE_SWIPE_MAX_LEN = 16384
+# (the device cap lives at ops/swipe_device.FullSweep.MAX_LEN; sequences
+# above it take the host striped engine)
 
 
 def _device_swipe_scores(qblock, tblock, cfg, mesh):

@@ -839,8 +839,8 @@ def full_swipe_pallas_sweep(bounds32, t_idx8, q_let8, q_bias8, q_valid8,
 # ragged last group padded up the NQ ladder) cost only their sweep's
 # all-zero compute — microseconds against a per-call tunnel overhead of
 # tens of ms.
-_FULL_T_TIERS = (512, 2048, 16384)      # target-length tiers
-_FULL_G = {512: 512, 2048: 128, 16384: 8}   # tiles per call by tier
+_FULL_T_TIERS = (512, 2048, 8192)       # target-length tiers
+_FULL_G = {512: 512, 2048: 128, 8192: 16}   # tiles per call by tier
 _FULL_NQ = (32, 8, 1)                   # query-group size ladder
 
 
@@ -848,7 +848,7 @@ def _full_q_pad(qlen: int) -> int:
     """Query rows padded to a ~1.25x ladder (lane width: multiples of
     128)."""
     for n in (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048,
-              2560, 3072, 4096, 6144, 8192, 12288, 16384):
+              2560, 3072, 4096, 6144, 8192):
         if n >= qlen:
             return n
     return pad_pow2(qlen, 128)
@@ -862,7 +862,11 @@ class FullSweep:
     [nq, nt] int32 score matrix (the role of the reference's full-DB
     SWIPE driver, src/align/full_db.cpp + dp/swipe/full_swipe.h)."""
 
-    MAX_LEN = 16384    # per-sequence cap (VMEM: T x tile_b t-block)
+    # per-sequence cap (queries AND targets): the largest (Q, T) shape
+    # pair must fit scoped VMEM — Q=6144 x T=16384 measured 36K over the
+    # 16M limit, so both axes cap at 8192; longer sequences take the
+    # host striped engine (none exist in the nr_10k fixture)
+    MAX_LEN = 8192
 
     def __init__(self, matrix32, gap_open: int, gap_extend: int,
                  tile_b: int = 16, interpret: bool = False):

@@ -148,9 +148,11 @@ def custom_matrix(path: str, gap_open: int, gap_extend: int,
                   stop_match_score: int = 1, seed: int = 1):
     """ScoreMatrix for a --custom-matrix file (reference
     score_matrix.cpp:156-192): scores from the file, BLOSUM62 background
-    frequencies, and gapped Gumbel/FSC parameters estimated by the
-    island-method simulation (stats/alp.py — the ALP initGapped
-    replacement).  Parameters are cached per (file, penalties)."""
+    frequencies, and gapped Gumbel/FSC parameters from the exact ALP
+    evaluer port (stats/alp_exact.py — reproduces the reference's
+    initGapped output; tests/test_alp_oracle.py pins it against the
+    committed oracle vectors).  Parameters are cached per
+    (file, penalties, seed)."""
     import hashlib
     import json
     import os
@@ -208,13 +210,20 @@ def custom_matrix(path: str, gap_open: int, gap_extend: int,
             d = json.load(f)
         m.gumbel = ev.GumbelParams(**d)
     else:
-        from diamond_tpu.stats.alp import gapped_params
+        from diamond_tpu.stats.alp_exact import gapped_params_exact
 
         m20 = np.ascontiguousarray(m.matrix32[:TRUE_AA, :TRUE_AA],
                                    dtype=np.int32)
-        m.gumbel = gapped_params(m20, bg, gap_open, gap_extend, seed=seed)
+        r = gapped_params_exact(m20, bg, None, gap_open, gap_extend,
+                                seed=seed)
+        m.gumbel = ev.GumbelParams(
+            lam=r["lambda"], K=r["K"], a_I=r["a_I"], b_I=r["b_I"],
+            a_J=r["a_J"], b_J=r["b_J"], alpha_I=r["alpha_I"],
+            beta_I=r["beta_I"], alpha_J=r["alpha_J"],
+            beta_J=r["beta_J"], sigma=r["sigma"], tau=r["tau"])
         with open(key, "w") as f:
-            json.dump(m.gumbel.__dict__, f)
+            json.dump({k: v for k, v in m.gumbel.__dict__.items()
+                       if not k.startswith("_")}, f)
     m.ln_k = m.gumbel.ln_k
     m._ungapped = None
     m._gapped = None
