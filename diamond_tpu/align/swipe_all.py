@@ -33,13 +33,14 @@ def _mesh_for(cfg):
 # above it take the host striped engine)
 
 
-def _device_swipe_scores(qblock, tblock, cfg, mesh):
-    """Round-1 full-matrix scores for EVERY (query, target) pair under
-    the device cap, batched across all queries with the row-indexed
-    FullSweep kernel (the chip's natural --swipe form: 100% DP, the DB
-    letter block device-resident across every query's calls).  Returns
-    (q_rows {qi: row}, t_order ndarray, scores [nqd, ntd]) or None when
-    no device."""
+def _device_swipe_dispatch(qblock, tblock, cfg):
+    """Dispatch the round-1 full-matrix device sweep for EVERY
+    (query, target) pair under the device caps, batched across all
+    queries with the row-indexed FullSweep kernel (the chip's natural
+    --swipe form: 100% DP, the DB letter block device-resident across
+    every query's calls).  Returns (q_rows {qi: row}, t_order ndarray,
+    pending) or None when no device; pending.wait() yields the
+    [nqd, ntd] score matrix — host work runs while the chip computes."""
     from diamond_tpu.utils.device import device_dp_enabled, dp_interpret
 
     if not device_dp_enabled():
@@ -58,7 +59,7 @@ def _device_swipe_scores(qblock, tblock, cfg, mesh):
     for qi in range(len(qblock)):
         q = qblock.seq(qi)
         qlen = len(q)
-        if qlen == 0 or qlen > FullSweep.MAX_LEN or (q == 23).all():
+        if qlen == 0 or qlen > FullSweep.MAX_ROW_LEN or (q == 23).all():
             continue
         bias = (hauser_bias_i8(q, m.matrix32, m.background_scores)
                 if use_h else None)
@@ -66,8 +67,7 @@ def _device_swipe_scores(qblock, tblock, cfg, mesh):
         queries.append((q, bias))
     if not queries or not len(t_order):
         return None
-    scores = sweep.run_block(queries, tblock, t_order)
-    return q_rows, t_order, scores
+    return q_rows, t_order, sweep.dispatch_block(queries, tblock, t_order)
 
 
 def swipe_all_protein(qblock, tblock, cfg) -> dict:
@@ -84,14 +84,49 @@ def swipe_all_protein(qblock, tblock, cfg) -> dict:
         if qblock is not tblock:
             mask_block(qblock, masker)
     m = cfg.matrix
-    dev = _device_swipe_scores(qblock, tblock, cfg, _mesh_for(cfg))
+    disp = _device_swipe_dispatch(qblock, tblock, cfg)
+    host_pre = None
+    if disp is not None:
+        # host long-sequence tail runs WHILE the chip computes the
+        # sweep: every pallas call above is already in flight
+        q_rows, t_order, pending = disp
+        tlens = tblock.lengths.astype(np.int64)
+        in_dev = np.zeros(len(tblock), dtype=bool)
+        in_dev[t_order] = True
+        tail = np.nonzero(~in_dev & (tlens > 0))[0]
+        all_t = np.nonzero(tlens > 0)[0]
+        use_h = cbs_mod.hauser(cfg.comp_based_stats)
+        host_pre = {}
+        for qi in range(len(qblock)):
+            q = qblock.seq(qi)
+            if len(q) == 0 or (q == 23).all():
+                continue
+            metas_h = tail if qi in q_rows else all_t
+            if len(metas_h) == 0:
+                host_pre[qi] = (metas_h, np.zeros(0, dtype=np.int64))
+                continue
+            bias = (hauser_bias_i8(q, m.matrix32, m.background_scores)
+                    if use_h else None)
+            jobs = [(tblock.seq(t), -(int(tlens[t]) - 1), len(q))
+                    for t in metas_h]
+            res_h = banded_swipe_batch_np(q, bias, jobs, m.matrix32,
+                                          m.gap_open, m.gap_extend)
+            host_pre[qi] = (metas_h, np.fromiter(
+                (int(np.asarray(r).flat[0]) for r in res_h),
+                dtype=np.int64, count=len(metas_h)))
+        S = pending.wait()
     results = {}
     for qi in range(len(qblock)):
         q = qblock.seq(qi)
         i8 = hauser_bias_i8(q, m.matrix32, m.background_scores)
         dev_q = None
-        if dev is not None and qi in dev[0]:
-            dev_q = (dev[1], dev[2][dev[0][qi]])
+        if host_pre is not None and qi in host_pre:
+            tail_q, tail_scores = host_pre[qi]
+            if qi in q_rows:
+                dev_q = (t_order, S[q_rows[qi]], tail_q, tail_scores)
+            else:
+                dev_q = (np.zeros(0, dtype=np.int64),
+                         np.zeros(0, dtype=np.int32), tail_q, tail_scores)
         matches = swipe_all_query(
             [(0, q)], len(q), {0: i8}, tblock, cfg, dev_scores=dev_q)
         if matches:
@@ -104,9 +139,10 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg,
     """contexts: list of (frame, letters) translated/protein query contexts.
     Returns culled Matches with traceback Hsps (frame-aware).
 
-    dev_scores: (t_order, score_row) precomputed on the device for
-    frame 0 (the cross-query batched FullSweep); targets not in t_order
-    run the host batch."""
+    dev_scores: (t_order, score_row, tail_idx, tail_scores): round-1
+    scores precomputed for frame 0 — device sweep scores for t_order
+    plus host-computed scores for the long-sequence tail (computed
+    while the device sweep was in flight)."""
     mat = cfg.matrix
     n_targets = len(tblock)
     mesh = _mesh_for(cfg)
@@ -121,21 +157,10 @@ def swipe_all_query(contexts, source_len, biases, tblock, cfg,
         bias = biases[frame] if cbs_mod.hauser(cfg.comp_based_stats) else None
         pre = dev_scores if (dev_scores is not None and frame == 0) else None
         if pre is not None:
-            # host runs only the long tail; device scores fill the rest
-            t_order, srow = pre
-            in_dev = np.zeros(n_targets, dtype=bool)
-            in_dev[t_order] = True
-            tail = np.nonzero(~in_dev & (tlens_all > 0))[0]
-            jobs = [(tblock.seq(t), -(int(tlens_all[t]) - 1), qlen)
-                    for t in tail]
-            res_tail = banded_swipe_batch_np(
-                q, bias, jobs, mat.matrix32, mat.gap_open, mat.gap_extend) \
-                if jobs else []
-            tail_scores = np.fromiter(
-                (int(np.asarray(r).flat[0]) for r in res_tail),
-                dtype=np.int64, count=len(tail))
+            t_order, srow, tail, tail_scores = pre
             metas = np.concatenate([t_order, tail])
-            scores_a = np.concatenate([srow.astype(np.int64), tail_scores])
+            scores_a = np.concatenate([np.asarray(srow, dtype=np.int64),
+                                       tail_scores])
         elif mesh is not None:
             # device-sharded scoring round: DB shards over the mesh's 'db'
             # axis, per-shard banded SW, all_gather merge — exact int32

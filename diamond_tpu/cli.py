@@ -686,12 +686,24 @@ def cmd_blastp_blocked(args):
         return [r[1].upper() for r in recs], [r[0] for r in recs]
 
     qseqs, qids = load_seqs_ids(args.query)
-    if args.taxon_k:
+    provider = None
+    tseqs = tids = None
+    taxonomy = None
+    if (is_dmnd(args.db) and not args.global_ranking
+            and not (args.multiprocessing or args.mp_init
+                     or args.mp_recover)):
+        # out-of-core path: target blocks stream from the .dmnd per
+        # block; only the pos array stays resident
+        from diamond_tpu.data.dmnd import DmndProvider
+
+        provider = DmndProvider(args.db)
+        if args.taxon_k:
+            taxonomy = provider.taxonomy()
+    elif args.taxon_k:
         tb_tax, taxonomy = load_block(args.db, with_taxonomy=True)
         tseqs = [tb_tax.seq(i).copy() for i in range(len(tb_tax))]
         tids = tb_tax.ids
     else:
-        taxonomy = None
         tseqs, tids = load_seqs_ids(args.db)
     cfg = SearchConfig(
         matrix=ScoreMatrix(args.matrix, args.gapopen, args.gapextend),
@@ -713,12 +725,19 @@ def cmd_blastp_blocked(args):
             return
     else:
         res = blocked_search(cfg, qseqs, qids, tseqs, tids, args.block_size,
-                             taxonomy=taxonomy, taxon_k=args.taxon_k)
+                             taxonomy=taxonomy, taxon_k=args.taxon_k,
+                             target_provider=provider)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     from diamond_tpu.data.taxonomy import seqid
 
     qnames = [seqid(i) for i in qids]
-    tnames = [seqid(i) for i in tids]
+    if provider is not None:
+        # names only for reported targets (ranged id reads)
+        reported = {gt for gq in res for gt, _m in res[gq]}
+        id_map = provider.ids_for(reported)
+        tnames = {k: seqid(v) for k, v in id_map.items()}
+    else:
+        tnames = [seqid(i) for i in tids]
     fields = _parse_fields(args.outfmt)
     for gq in sorted(res):
         for gt, m in res[gq]:

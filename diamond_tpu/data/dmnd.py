@@ -181,3 +181,119 @@ def is_dmnd(path: str) -> bool:
         return magic == MAGIC
     except Exception:
         return False
+
+
+class DmndProvider:
+    """Ranged .dmnd access for the out-of-core block swap: only the
+    header and pos array stay resident (16 B/sequence); letters and ids
+    are read from disk per block (the role of the reference's
+    load_seqs streaming, sequence_file.cpp:113-150 — the reference
+    never holds the whole DB in RAM and neither does this path)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            head = f.read(96)
+            magic, build, dbv, nseq, letters, pos_off = \
+                struct.unpack_from("<QIIQQQ", head, 0)
+            if magic != MAGIC:
+                raise ValueError("Database file is not a DIAMOND database.")
+            if dbv > 4:
+                raise ValueError("Database was built with a newer version.")
+            self.n = nseq
+            self.total_letters = letters
+            (self._tax_off, self._tax_size, self._nodes_off,
+             self._names_off) = struct.unpack_from("<QQQQ", head, 64)
+            self._build = build
+            f.seek(pos_off)
+            arr = np.fromfile(f, dtype=np.dtype(
+                [("pos", "<u8"), ("len", "<u4"), ("pad", "<u4")]),
+                count=nseq + 1)
+        self.pos = arr["pos"].astype(np.int64)
+        self.lengths = arr["len"][:nseq].astype(np.int64)
+
+    def load_block(self, lo: int, hi: int):
+        """Block of sequences [lo, hi) with ids, soft-mask bit stripped
+        (record layout: 0xff, letters, 0xff, id, 0x00)."""
+        from diamond_tpu.data.block import Block
+
+        start = int(self.pos[lo])
+        end = int(self.pos[hi])
+        with open(self.path, "rb") as f:
+            f.seek(start)
+            slab = np.fromfile(f, dtype=np.int8, count=end - start)
+        raw = slab.tobytes()
+        base = slab & np.int8(31)
+        seqs = []
+        ids = []
+        for k in range(lo, hi):
+            p = int(self.pos[k]) - start
+            ln = int(self.lengths[k])
+            seqs.append(base[p + 1 : p + 1 + ln])
+            id_start = p + 1 + ln + 1
+            id_end = raw.index(b"\x00", id_start)
+            ids.append(raw[id_start:id_end].decode())
+        return Block.from_sequences(seqs, ids)
+
+    def ids_for(self, ks):
+        """{k: id} for a set of sequence indices (chunked ranged
+        reads — the blocked join only needs names for reported
+        targets, reference join_blocks dictionary lookups)."""
+        out = {}
+        ks = sorted(set(int(k) for k in ks))
+        with open(self.path, "rb") as f:
+            for k in ks:
+                id_start = int(self.pos[k]) + 1 + int(self.lengths[k]) + 1
+                f.seek(id_start)
+                buf = b""
+                while True:
+                    chunk = f.read(256)
+                    if not chunk:
+                        break
+                    z = chunk.find(b"\x00")
+                    if z != -1:
+                        buf += chunk[:z]
+                        break
+                    buf += chunk
+                out[k] = buf.decode()
+        return out
+
+    def taxonomy(self):
+        """Taxonomy blocks only (no sequence data)."""
+        from diamond_tpu.data.taxonomy import (Taxonomy, TaxonomyNodes,
+                                               deserialize_names,
+                                               deserialize_taxon_list)
+
+        with open(self.path, "rb") as f:
+            data = f.read()
+        tax = Taxonomy()
+        if self._tax_off:
+            tax.taxon_lists, _ = deserialize_taxon_list(
+                data, self._tax_off, self.n)
+        if self._nodes_off:
+            tax.nodes, _ = TaxonomyNodes.deserialize(data, self._nodes_off,
+                                                     self._build)
+        if self._names_off:
+            tax.names, _ = deserialize_names(data, self._names_off)
+        return tax
+
+
+class ListProvider:
+    """In-memory provider (FASTA inputs / tests): same interface as
+    DmndProvider over materialized sequence lists."""
+
+    def __init__(self, seqs, ids):
+        self._seqs = seqs
+        self._ids = ids
+        self.n = len(seqs)
+        self.lengths = np.fromiter((len(s) for s in seqs),
+                                   dtype=np.int64, count=len(seqs))
+        self.total_letters = int(self.lengths.sum())
+
+    def load_block(self, lo: int, hi: int):
+        from diamond_tpu.data.block import Block
+
+        return Block.from_sequences(self._seqs[lo:hi], self._ids[lo:hi])
+
+    def ids_for(self, ks):
+        return {int(k): self._ids[int(k)] for k in ks}

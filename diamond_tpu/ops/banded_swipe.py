@@ -586,8 +586,12 @@ def results_from_tb(r, idx=None):
             st = stats[k]
             n_ops = int(st[10])
             lo = int(op_off[k])
-            res.transcript = Transcript(op_codes[lo : lo + n_ops],
-                                        op_payload[lo : lo + n_ops])
+            # copies, not views: a view would pin the whole wave's op
+            # buffers (tens of MB) for as long as any single surviving
+            # Hsp lives — across an out-of-core run that multiplies
+            # into GBs of retained garbage
+            res.transcript = Transcript(op_codes[lo : lo + n_ops].copy(),
+                                        op_payload[lo : lo + n_ops].copy())
             res.query_range = (int(st[0]), int(st[1]))
             res.subject_range = (int(st[2]), int(st[3]))
             res.identities = int(st[4])

@@ -841,14 +841,14 @@ def full_swipe_pallas_sweep(bounds32, t_idx8, q_let8, q_bias8, q_valid8,
 # tens of ms.
 _FULL_T_TIERS = (512, 2048, 8192)       # target-length tiers
 _FULL_G = {512: 512, 2048: 128, 8192: 16}   # tiles per call by tier
-_FULL_NQ = (32, 8, 1)                   # query-group size ladder
+_FULL_NQ = (32, 16, 8, 4, 2, 1)         # query-group size ladder (pow2)
 
 
 def _full_q_pad(qlen: int) -> int:
     """Query rows padded to a ~1.25x ladder (lane width: multiples of
     128)."""
     for n in (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048,
-              2560, 3072, 4096, 6144, 8192):
+              2560, 3072, 4096):
         if n >= qlen:
             return n
     return pad_pow2(qlen, 128)
@@ -862,11 +862,14 @@ class FullSweep:
     [nq, nt] int32 score matrix (the role of the reference's full-DB
     SWIPE driver, src/align/full_db.cpp + dp/swipe/full_swipe.h)."""
 
-    # per-sequence cap (queries AND targets): the largest (Q, T) shape
-    # pair must fit scoped VMEM — Q=6144 x T=16384 measured 36K over the
-    # 16M limit, so both axes cap at 8192; longer sequences take the
-    # host striped engine (none exist in the nr_10k fixture)
-    MAX_LEN = 8192
+    # per-axis caps: the (Q, T) shape pair must fit scoped VMEM —
+    # Q=6144 x T=16384 measured 36K over the 16M limit and Q=8192 x
+    # T=512 measured 100K over (the lazy-F prefix temps scale with Q),
+    # so the ROW axis (queries) caps at 4096 and the WALK axis
+    # (targets) at 8192.  Longer sequences take the host striped
+    # engine, overlapped with the device wait (swipe_all).
+    MAX_LEN = 8192       # walked targets
+    MAX_ROW_LEN = 4096   # query rows
 
     def __init__(self, matrix32, gap_open: int, gap_extend: int,
                  tile_b: int = 16, interpret: bool = False):
@@ -919,6 +922,13 @@ class FullSweep:
         """queries: [(q_letters, bias_or_None)]; t_order: target block
         ids to sweep (all lengths must be in (0, MAX_LEN]).  Returns
         scores [len(queries), len(t_order)] int32."""
+        return self.dispatch_block(queries, tblock, t_order).wait()
+
+    def dispatch_block(self, queries, tblock, t_order):
+        """Async variant of run_block: every pallas call is dispatched
+        before returning, so host work (the long-sequence tail, result
+        formatting) overlaps device compute; .wait() on the returned
+        handle blocks for the readback."""
         global dispatch_count, dispatch_cells, dispatch_wait_s
         import time as _time
 
@@ -948,7 +958,8 @@ class FullSweep:
                 qidx = cls[c0 : c0 + _FULL_NQ[0]]
                 # ragged last group pads up the NQ ladder with dead
                 # (valid=0) query rows
-                NQ = next(n for n in _FULL_NQ if n >= len(qidx))
+                NQ = next(n for n in reversed(_FULL_NQ)
+                          if n >= len(qidx))
                 q_let = np.zeros((NQ, Q), dtype=np.int8)
                 q_bias = np.zeros((NQ, Q), dtype=np.int8)
                 q_valid = np.zeros((NQ, Q), dtype=np.int8)
@@ -968,11 +979,16 @@ class FullSweep:
                     dev = fn(bounds, t2, ql, qb, qv, self._m32, self.go,
                              self.ge, Q, T, tile_b, self.interpret)
                     pending.append((qidx, rows, dev))
-        _t0 = _time.perf_counter()
-        for qidx, rows, dev in pending:
-            # the readback is the only blocking step — every call above
-            # dispatched asynchronously
-            out[np.ix_(qidx, rows)] = \
-                np.asarray(dev)[: len(qidx), : len(rows)]
-        dispatch_wait_s += _time.perf_counter() - _t0
-        return out
+        class _Pending:
+            def wait(_self):
+                global dispatch_wait_s
+                _t0 = _time.perf_counter()
+                for qidx, rows, dev in pending:
+                    # the readback is the only blocking step — every
+                    # call above dispatched asynchronously
+                    out[np.ix_(qidx, rows)] = \
+                        np.asarray(dev)[: len(qidx), : len(rows)]
+                dispatch_wait_s += _time.perf_counter() - _t0
+                return out
+
+        return _Pending()

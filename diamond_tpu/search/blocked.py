@@ -41,16 +41,81 @@ def split_blocks(seqs, ids, max_letters: int):
     return blocks, bases
 
 
+def split_bounds(lengths, max_letters: int):
+    """Greedy letter-capped split over a length array only (same
+    boundary rule as split_blocks; the blocks themselves materialize
+    lazily from a provider)."""
+    bounds = []
+    lo = 0
+    letters = 0
+    n = len(lengths)
+    for k in range(n):
+        if letters >= max_letters and k > lo:
+            bounds.append((lo, k))
+            lo = k
+            letters = 0
+        letters += int(lengths[k])
+    if lo < n:
+        bounds.append((lo, n))
+    return bounds
+
+
 def blocked_search(cfg: SearchConfig, query_seqs, query_ids, target_seqs,
                    target_ids, block_size_gb: float, taxonomy=None,
-                   taxon_k: int = 0):
-    """Returns ({global_query_id: [(global_target_id, Match)]}, n_queries)."""
+                   taxon_k: int = 0, target_provider=None):
+    """Returns ({global_query_id: [(global_target_id, Match)]}, n_queries).
+
+    target_provider (data/dmnd.DmndProvider or ListProvider): when
+    given, target blocks materialize lazily per block and are freed
+    after their combos — the out-of-core memory contract of the
+    reference block swap (double_indexed.cpp:417-422 loads one ref
+    block at a time).  The block loop is inverted (targets outer) so
+    every target block is loaded and tantan-masked ONCE regardless of
+    the query block count (the reference masks per ref-chunk visit,
+    double_indexed.cpp:122-127)."""
     cap = int(block_size_gb * 1e9)
-    total_letters = sum(len(s) for s in target_seqs)
+    if target_provider is not None:
+        total_letters = int(target_provider.total_letters)
+    else:
+        total_letters = sum(len(s) for s in target_seqs)
     cfg.matrix.set_db_letters(total_letters)
 
-    t_blocks, t_bases = split_blocks(target_seqs, target_ids, cap)
     q_blocks, q_bases = split_blocks(query_seqs, query_ids, cap)
+
+    if target_provider is not None:
+        if cfg.global_ranking:
+            raise ValueError("provider path does not drive -g (use the "
+                             "materialized path)")
+        import gc
+
+        t_bounds = split_bounds(target_provider.lengths, cap)
+        merged: dict[int, list] = {}
+        for lo, hi in t_bounds:
+            tb = target_provider.load_block(lo, hi)
+            for qb, q_base in zip(q_blocks, q_bases):
+                res = _run_combo(cfg, qb, tb, total_letters)
+                for qid, matches in res.items():
+                    bucket = merged.setdefault(q_base + qid, [])
+                    for m in matches:
+                        bucket.append((lo + m.target_block_id, m))
+                del res
+            del tb
+            if not taxon_k:
+                _trim_merged(cfg, merged)
+            # per-block working sets are hundreds of MB; collect cycles
+            # NOW so the next block's peak does not stack on garbage,
+            # and hand freed arenas back to the OS (large seed/DP
+            # transients fragment glibc arenas otherwise)
+            gc.collect()
+            try:
+                import ctypes
+
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
+            except Exception:
+                pass
+        return _join(cfg, merged, taxonomy, taxon_k)
+
+    t_blocks, t_bases = split_blocks(target_seqs, target_ids, cap)
 
     if cfg.global_ranking:
         return _blocked_global_ranking(cfg, q_blocks, q_bases, t_blocks,
@@ -71,6 +136,32 @@ def _run_combo(cfg, qb, tb, total_letters):
     pipe = Pipeline(cfg, qb, tb)
     pipe.cfg.matrix.set_db_letters(total_letters)  # keep global stats
     return pipe.search()
+
+
+def _trim_merged(cfg, merged):
+    """Incremental per-query culling between target blocks: the join's
+    final selection is a top-k by a total order (evalue, -score, goid)
+    or a best-relative --top cutoff, so trimming each query's candidate
+    list after every block keeps memory bounded by k*n_queries without
+    changing the final output (the cutoff only rises as later blocks
+    arrive; the role of the reference's streamed block join,
+    join_blocks.cpp:169-338, without its temp files)."""
+    for gqid, items in merged.items():
+        if cfg.toppercent is not None:
+            items.sort(key=lambda tm: (-tm[1].filter_score, tm[0]))
+            if items:
+                from diamond_tpu.align.extend import _top_cutoff_score
+
+                cutoff = max(_top_cutoff_score(
+                    float(cfg.matrix.bitscore(items[0][1].filter_score)),
+                    cfg.toppercent), 1.0)
+                merged[gqid] = [t for t in items
+                                if float(cfg.matrix.bitscore(
+                                    t[1].filter_score)) >= cutoff]
+        elif len(items) > cfg.max_target_seqs:
+            items.sort(key=lambda tm: (tm[1].filter_evalue,
+                                       -tm[1].filter_score, tm[0]))
+            del items[cfg.max_target_seqs :]
 
 
 def _join(cfg, merged, taxonomy=None, taxon_k=0):

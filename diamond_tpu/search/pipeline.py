@@ -259,10 +259,21 @@ class Pipeline:
                 qidx, _ = self.q.global_to_local(q_pos)
                 keep = ~self.query_skip[qidx]
                 q_keys, q_pos = q_keys[keep], q_pos[keep]
+            t_prefiltered = False
             if self.same_block:
                 t_keys, t_pos = q_keys, q_pos
             elif self.target_seed_index is not None:
                 t_keys, t_pos = self.target_seed_index[sid]
+            elif (self._query_indexed and not cfg.traits.sketch
+                  and not cfg.minimizer_window):
+                # query-indexed route, streamed: the DB side enumerates
+                # in sequence slices, each probing the query key set
+                # immediately — peak seed memory is one slice instead
+                # of the whole block (the reference's HashedSeedSet
+                # probing has the same out-of-core shape, stage0.cpp)
+                with ptimer("seed.enumerate_t"):
+                    t_keys, t_pos = self._enumerate_t_qindex(shape, q_keys)
+                t_prefiltered = True
             else:
                 with ptimer("seed.enumerate_t"):
                     t_keys, t_pos = self._enumerate(self.t, shape)
@@ -302,6 +313,9 @@ class Pipeline:
                                                       inplace=True)
                 if aliased:
                     t_keys, t_pos = q_keys_f, q_pos_f
+                elif t_prefiltered:
+                    t_keys, t_pos = stages._sorted_kv(t_keys, t_pos,
+                                                      inplace=True)
                 elif self._query_indexed:
                     # --algo query-indexed (reference
                     # double_indexed.cpp:267-294, setup.cpp:311-320): a
@@ -391,6 +405,48 @@ class Pipeline:
         return res
 
     # ------------------------------------------------------------------
+    def _enumerate_t_qindex(self, shape, q_keys, slice_letters=4 << 20):
+        """DB-side enumeration for the query-indexed route, in sequence
+        slices: each slice's seeds probe the sorted query key set and
+        only matches survive.  Survivor set and order are identical to
+        the one-shot enumerate + filter (slices concatenate in position
+        order), but peak seed memory is one slice, not the block."""
+        cfg = self.cfg
+        block = self.t
+        qs = np.sort(q_keys)
+        reduced_all = cfg.reduction(block.letters)
+        n = len(block)
+        out_k, out_p = [], []
+        cum = np.cumsum(block.lengths.astype(np.int64))
+        s_lo = 0
+        base = 0
+        while s_lo < n:
+            s_hi = int(np.searchsorted(cum, base + slice_letters, "left"))
+            s_hi = min(max(s_hi, s_lo + 1), n)
+            base = int(cum[s_hi - 1])
+            k, p = stages.enumerate_seeds_range(block, shape, cfg.reduction,
+                                                reduced_all, s_lo, s_hi)
+            s_lo = s_hi
+            if cfg.freq_masking and len(p):
+                keep_t = stages.unreduced_complexity_filter(
+                    block.letters, p, shape, cfg.seed_complexity_cut)
+                k, p = k[keep_t], p[keep_t]
+            if len(qs) == 0 or len(k) == 0:
+                continue
+            from diamond_tpu import native
+
+            keep = native.filter_keys_native(k, qs)
+            if keep is None:
+                ins = np.searchsorted(qs, k)
+                ins[ins == len(qs)] = len(qs) - 1
+                keep = qs[ins] == k
+            out_k.append(k[keep])
+            out_p.append(p[keep])
+        if not out_k:
+            return (np.zeros(0, dtype=np.uint64),
+                    np.zeros(0, dtype=np.int64))
+        return np.concatenate(out_k), np.concatenate(out_p)
+
     def _enumerate(self, block, shape):
         """Seed enumeration; with a sketch size set (FASTER), per-sequence
         min-hash sketch selection (reference seed_iterator.h:161-200

@@ -75,6 +75,35 @@ def enumerate_seeds(block: Block, shape: Shape, reduction: Reduction,
     return keys[idx], idx
 
 
+def enumerate_seeds_range(block: Block, shape: Shape, reduction: Reduction,
+                          reduced_all, seq_lo: int, seq_hi: int,
+                          min_len: int = 0):
+    """enumerate_seeds over the sequence range [seq_lo, seq_hi) only,
+    with the reduced letters precomputed — the streaming unit of the
+    query-indexed route's sliced DB enumeration (positions stay
+    global)."""
+    if reduced_all.dtype == np.int8 and reduced_all.flags.c_contiguous:
+        from diamond_tpu import native
+
+        pos64 = getattr(shape, "_pos64", None)
+        if pos64 is None:
+            pos64 = np.ascontiguousarray(shape.positions, dtype=np.int64)
+            shape._pos64 = pos64
+        r = native.enumerate_seeds_native(
+            reduced_all, np.ascontiguousarray(block.starts[seq_lo:seq_hi]),
+            np.ascontiguousarray(block.lengths[seq_lo:seq_hi]), pos64,
+            shape.weight, shape.length, reduction.size, min_len)
+        if r is not None:
+            return r
+    # fallback (no native lib): full extraction, then position-range cut
+    keys, pos = enumerate_seeds(block, shape, reduction, min_len)
+    lo = int(block.starts[seq_lo])
+    hi = (int(block.starts[seq_hi - 1]) + int(block.lengths[seq_hi - 1])
+          if seq_hi > seq_lo else lo)
+    m = (pos >= lo) & (pos < hi)
+    return keys[m], pos[m]
+
+
 @dataclass
 class SeedJoin:
     """Join of query and reference seed arrays on seed key."""

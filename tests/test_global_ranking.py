@@ -3,8 +3,6 @@
 Reference configs: CMakeLists.txt galaxy_9 (blastx --global-ranking 10) and
 blastp-global-ranking (--sensitive -s1 -g10 -k0 blocked); goldens minted
 from the reference binary (tests/goldens/*global-ranking*, galaxy9-*).
-from diamond_tpu.utils.device import cpu_subprocess_env
-
 """
 import os
 import subprocess
@@ -13,6 +11,8 @@ import sys
 import pytest
 
 from slowmark import slow_extended
+
+from diamond_tpu.utils.device import cpu_subprocess_env
 
 TD = "/root/reference/src/test"
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
