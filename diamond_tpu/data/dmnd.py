@@ -113,6 +113,8 @@ def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD,
 
     from diamond_tpu.utils.murmur3 import murmur3_x64_128
 
+    from diamond_tpu import native
+
     masker = Tantan(ScoreMatrix("BLOSUM62").matrix32) if mask_bit else None
     titles = []
     db_hash = b"\x00" * 16
@@ -122,27 +124,76 @@ def write_dmnd(path: str, records, mask_bit: bool = True, build: int = BUILD,
         pos_array = []
         letters = 0
         n = 0
+
+        # records stream through in ~32M-letter chunks: one batched
+        # tantan scan, one chained-hash call, and one buffered write per
+        # chunk instead of per record (the reference streams 1 GB blocks
+        # through threaded SEG the same way, legacy/dmnd/dmnd.cpp:236-290)
+        def flush(chunk):
+            nonlocal offset, letters, n, db_hash
+            if not chunk:
+                return
+            m = len(chunk)
+            lens = np.fromiter((len(e) for _, e in chunk), np.int64, m)
+            starts = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            cat = np.empty(int(starts[-1]), dtype=np.int8)
+            for (_, e), s, ln in zip(chunk, starts, lens):
+                cat[s : s + ln] = e
+            if masker is not None:
+                probs = native.tantan_repeat_prob_many(
+                    cat, starts[:-1], lens, masker.ratios,
+                    float(masker.p_repeat), float(masker.p_repeat_end),
+                    float(masker.repeat_growth))
+                if probs is None:
+                    probs = np.zeros(len(cat), dtype=np.float32)
+                    for (_, e), s, ln in zip(chunk, starts, lens):
+                        probs[s : s + ln] = masker.repeat_prob(e)
+                cat[probs >= masker.p_mask] |= np.int8(-128)
+            ids_b = [sid.encode() for sid, _ in chunk]
+            id_offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(np.fromiter((len(b) for b in ids_b), np.int64, m),
+                      out=id_offs[1:])
+            ids_cat = np.frombuffer(b"".join(ids_b), dtype=np.int8) \
+                if id_offs[-1] else np.zeros(0, dtype=np.int8)
+            h = native.dmnd_hash_records(cat, starts[:-1], lens, ids_cat,
+                                         id_offs, db_hash)
+            if h is None:
+                h = db_hash
+                for k in range(m):
+                    s, ln = int(starts[k]), int(lens[k])
+                    h = murmur3_x64_128(cat[s : s + ln].tobytes(), h)
+                    h = murmur3_x64_128(ids_b[k], h)
+            db_hash = h
+            pieces = []
+            for k, (sid, _e) in enumerate(chunk):
+                s, ln = int(starts[k]), int(lens[k])
+                pos_array.append((offset, ln))
+                titles.append(sid)
+                pieces.append(b"\xff")
+                pieces.append(cat[s : s + ln].tobytes())
+                pieces.append(b"\xff")
+                pieces.append(ids_b[k])
+                pieces.append(b"\x00")
+                offset += ln + len(ids_b[k]) + 3
+                letters += ln
+                n += 1
+            f.write(b"".join(pieces))
+
+        chunk = []
+        chunk_letters = 0
         for sid, seq in records:
             e = seq if isinstance(seq, np.ndarray) else encode(seq)
-            e = np.array(e, dtype=np.int8, copy=True)
+            e = np.asarray(e, dtype=np.int8)
             if len(e) == 0:
                 raise ValueError("File format error: sequence of length 0")
-            if masker is not None:
-                prob = masker.repeat_prob(e)
-                e[prob >= masker.p_mask] = np.bitwise_or(
-                    e[prob >= masker.p_mask], np.int8(-128))
-            pos_array.append((offset, len(e)))
-            titles.append(sid)
-            sid_b = sid.encode()
-            db_hash = murmur3_x64_128(e.tobytes(), db_hash)
-            db_hash = murmur3_x64_128(sid_b, db_hash)
-            f.write(b"\xff")
-            f.write(e.tobytes())
-            f.write(b"\xff")
-            f.write(sid_b + b"\x00")
-            letters += len(e)
-            n += 1
-            offset += len(e) + len(sid_b) + 3
+            chunk.append((sid, e))
+            chunk_letters += len(e)
+            if chunk_letters >= (32 << 20):
+                flush(chunk)
+                chunk = []
+                chunk_letters = 0
+        flush(chunk)
         pos_off = offset
         for pos, slen in pos_array:
             f.write(struct.pack("<QII", pos, slen, 0))

@@ -111,6 +111,11 @@ def lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_void_p]
         cdll.tantan_repeat_prob_many.restype = None
+        cdll.dmnd_hash_records.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p]
+        cdll.dmnd_hash_records.restype = None
         cdll.extract_seeds_many.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
@@ -1073,3 +1078,20 @@ def extract_seeds_native(reduced, n_windows: int, positions64, weight,
                          positions64.ctypes.data, int(weight), int(base),
                          keys.ctypes.data, valid.ctypes.data)
     return keys, valid.view(bool)
+
+
+def dmnd_hash_records(letters_cat, starts, lens, ids_cat, id_offs,
+                      hash16: bytes) -> "bytes | None":
+    """Chained dmnd header hash over a record chunk (masked letters then
+    id bytes per record); returns the updated 16-byte digest or None."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    buf = np.frombuffer(hash16, dtype=np.uint8).copy()
+    l.dmnd_hash_records(
+        letters_cat.ctypes.data, starts.ctypes.data, lens.ctypes.data,
+        ids_cat.ctypes.data, id_offs.ctypes.data, len(starts),
+        buf.ctypes.data)
+    return buf.tobytes()
