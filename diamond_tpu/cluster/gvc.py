@@ -21,12 +21,17 @@ class EdgeGraph:
 
     def __init__(self, n_nodes: int, edges):
         """edges: iterable of (node1, node2, weight) — directed as given
-        (the caller adds both directions when appropriate)."""
-        e = sorted(edges)
+        (the caller adds both directions when appropriate) — or an
+        utils.external_sort.ExternalSorter of EDGE_DTYPE records, whose
+        bounded-memory merge produces the identical sorted order
+        (reference util/algo/external_sort.h feeding
+        tools/greedy_vertex_cover.cpp)."""
+        from diamond_tpu.utils.external_sort import sort_edges
+
         self.n = n_nodes
         self.nbr = [[] for _ in range(n_nodes)]
         self.wt = [[] for _ in range(n_nodes)]
-        for n1, n2, w in e:
+        for n1, n2, w in sort_edges(edges):
             self.nbr[n1].append(n2)
             self.wt[n1].append(w)
 

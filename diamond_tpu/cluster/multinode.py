@@ -268,11 +268,20 @@ def multinode_cluster(records, out_path: str, steps, tmpdir: str,
             # the assignment composition
             to_global = np.asarray(
                 [root_oid[s.split()[0]] for s in cur.ids], dtype=np.int64)
-            edges = []
+            # edge table above the memory cap spills sorted runs to disk
+            # (reference external_sort.h; the merged order is identical
+            # to sorted(list))
+            from diamond_tpu.utils.external_sort import (EDGE_DTYPE,
+                                                         ExternalSorter)
+
+            cap_mb = int(os.environ.get("DIAMOND_TPU_SORT_MEM_MB", "512"))
+            edges = ExternalSorter(EDGE_DTYPE, cap_mb << 20, tmpdir=rdir)
             for r, i in combos:
                 with open(os.path.join(rdir, f"combo_{r}_{i}.pkl"),
                           "rb") as f:
-                    edges.extend(pickle.load(f))
+                    batch = pickle.load(f)
+                if batch:
+                    edges.push(np.array(batch, dtype=EDGE_DTYPE))
             g = EdgeGraph(cur.n_records, edges)
             local = greedy_vertex_cover(g)
             assign = _load_assignment(tmpdir, rnd, n)
