@@ -8,7 +8,10 @@ split into one letter-capped block per process, every process runs the
 COMPLETE pipeline (masking -> seeding -> stage 1/2 -> extension) on its
 shard with global database statistics, and the per-shard match sets are
 exchanged over the jax.distributed coordination fabric (DCN collectives
-— the reference's shared-filesystem join files become an allgather).
+— the reference's shared-filesystem join files become an allgather) as
+compact binary HSP rows + packed transcripts (parallel/match_codec, the
+reference's IntermediateRecord representation, output/output.h:67-95).
+The contract test runs 1,000 queries against the full split nr_10k.
 Process 0 re-culls globally exactly like the single-process blocked
 join, so the distributed output is byte-identical to one process
 running all blocks.
@@ -17,7 +20,6 @@ Usage (spawned by tests/test_distributed.py):
 
     python -m diamond_tpu.parallel.dist_search PID NPROC PORT
 """
-import pickle
 import sys
 
 
@@ -39,8 +41,8 @@ def _gather_bytes(payload: bytes):
             for p in range(len(lens))]
 
 
-def run_worker(pid: int, nproc: int, port: str, n_queries: int = 100,
-               n_targets: int = 1500) -> str:
+def run_worker(pid: int, nproc: int, port: str, n_queries: int = 1000,
+               n_targets: int = 10000) -> str:
     from diamond_tpu.utils.device import init_distributed
 
     assert init_distributed(f"127.0.0.1:{port}", nproc, pid)
@@ -74,12 +76,16 @@ def run_worker(pid: int, nproc: int, port: str, n_queries: int = 100,
     local = {qid: [(t_bases[pid] + m.target_block_id, m) for m in matches]
              for qid, matches in res.items()}
 
-    # the shard exchange: every process's matches ride the coordination
-    # fabric; every process then joins identically (deterministic)
-    shards = _gather_bytes(pickle.dumps(local))
+    # the shard exchange: compact binary HSP rows + packed transcripts
+    # (match_codec — the reference's IntermediateRecord streams,
+    # output/output.h:67-95), NOT pickled object graphs; every process
+    # then joins identically (deterministic)
+    from diamond_tpu.parallel.match_codec import decode, encode
+
+    shards = _gather_bytes(encode(local))
     merged: dict[int, list] = {}
     for blob in shards:
-        for gqid, items in pickle.loads(blob).items():
+        for gqid, items in decode(blob).items():
             merged.setdefault(gqid, []).extend(items)
     joined = _join(cfg, merged)
 
@@ -103,8 +109,8 @@ def main(pid: int, nproc: int, port: str) -> None:
     run_worker(pid, nproc, port)
 
 
-def single_process_reference(n_queries: int = 100, n_targets: int = 1500,
-                             nproc: int = 2):
+def single_process_reference(n_queries: int = 1000,
+                             n_targets: int = 10000, nproc: int = 2):
     """The N=1 side of the contract: same chunking, one process."""
     import hashlib
 
