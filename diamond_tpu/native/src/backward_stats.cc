@@ -104,6 +104,94 @@ void backward_one(const int8_t* q, int64_t qlen, const int32_t* bias,
     out3[2] = best_go;
 }
 
+// Full-matrix fast path: when the band covers the whole reversed
+// matrix (the --swipe FULL bin: d_begin <= -(send-1), d_end >= qlen),
+// iterate the true qlen x send cells with flat row arrays instead of
+// the (qlen+send-1)-wide diagonal band — ~2.7x fewer cells and no
+// per-column band clears/copies.  Cell values, tie rules
+// (vgap >= hgap >= diag), the last-row column max, the strict
+// cross-column best, and the pre-reset gap-open stats all mirror
+// backward_one exactly.
+void backward_one_full(const int8_t* q, int64_t qlen, const int32_t* bias,
+                       const int8_t* t, int64_t send,
+                       const int32_t* matrix32, int32_t go_pen, int32_t ge,
+                       int64_t* out3) {
+    std::vector<int32_t> Hv(qlen, 0), Hmm(qlen, 0), Hgo(qlen, 0);
+    std::vector<int32_t> Ev(qlen, 0), Emm(qlen, 0), Ego(qlen, 0);
+    int32_t best = 0, best_mm = 0, best_go = 0;
+
+    for (int64_t j = 0; j < send; ++j) {
+        const int8_t tL = t[send - 1 - j];
+        const int32_t* mcol = matrix32;  // indexed per row letter below
+        int32_t dv = 0, dmm = 0, dgo = 0;          // H[i-1][j-1]
+        int32_t Vv = 0, Vmm = 0, Vgo = 0;          // vertical gap carry
+        int32_t cb = 0, cb_mm = 0, cb_go = 0;
+        for (int64_t i = 0; i < qlen; ++i) {
+            const int8_t qL = q[qlen - 1 - i];
+            int32_t sc = mcol[(qL & 31) * 32 + (tL & 31)];
+            if (bias)
+                sc += bias[qlen - 1 - i];
+            const int32_t ident = qL == tL ? 1 : 0;
+            int32_t cv = dv + sc;
+            int32_t cmm = dmm + (1 - ident);
+            int32_t cgo = dgo;
+            if (Ev[i] >= cv) {      // tie -> horizontal gap wins
+                cv = Ev[i];
+                cmm = Emm[i];
+                cgo = Ego[i];
+            }
+            if (Vv >= cv) {         // tie -> vertical gap wins
+                cv = Vv;
+                cmm = Vmm;
+                cgo = Vgo;
+            }
+            if (cv < 0)
+                cv = 0;
+            if (cv >= cb) {         // last row attaining the column max
+                cb = cv;
+                cb_mm = cmm;        // pre-reset (winning cell has cv>0
+                cb_go = cgo;        // whenever cb>0, so reset never hits)
+            }
+            const int32_t ev = Ev[i] - ge;
+            const int32_t vv = Vv - ge;
+            const int32_t ov = cv - go_pen;
+            const int32_t omm = cmm, ogo = cgo + 1;
+            if (cv == 0) {          // zero cell resets its stats
+                cmm = 0;
+                cgo = 0;
+            }
+            if (ov >= ev) {
+                Ev[i] = ov;
+                Emm[i] = omm;
+                Ego[i] = ogo;
+            } else {
+                Ev[i] = ev;         // stats ride along unchanged
+            }
+            if (ov >= vv) {
+                Vv = ov;
+                Vmm = omm;
+                Vgo = ogo;
+            } else {
+                Vv = vv;
+            }
+            dv = Hv[i];             // previous column, next row's diag
+            dmm = Hmm[i];
+            dgo = Hgo[i];
+            Hv[i] = cv;
+            Hmm[i] = cmm;
+            Hgo[i] = cgo;
+        }
+        if (cb > best) {
+            best = cb;
+            best_mm = cb_mm;
+            best_go = cb_go;
+        }
+    }
+    out3[0] = best;
+    out3[1] = best_mm;
+    out3[2] = best_go;
+}
+
 }  // namespace
 
 // Batched over jobs, each with its own query (offsets into q_base) and
@@ -118,8 +206,15 @@ extern "C" void backward_stats_many(
     for (int64_t k = 0; k < njobs; ++k) {
         const int32_t* bias =
             (use_bias[k] && bias_base) ? bias_base + q_off[k] : nullptr;
-        backward_one(q_base + q_off[k], q_len[k], bias, t_cat + t_off[k],
-                     send[k], d_begin[k], d_end[k], matrix32,
-                     (int32_t)go_pen, (int32_t)ge, out + 3 * k);
+        if (d_begin[k] <= -(send[k] - 1) && d_end[k] >= q_len[k]) {
+            backward_one_full(q_base + q_off[k], q_len[k], bias,
+                              t_cat + t_off[k], send[k], matrix32,
+                              (int32_t)go_pen, (int32_t)ge, out + 3 * k);
+        } else {
+            backward_one(q_base + q_off[k], q_len[k], bias,
+                         t_cat + t_off[k], send[k], d_begin[k], d_end[k],
+                         matrix32, (int32_t)go_pen, (int32_t)ge,
+                         out + 3 * k);
+        }
     }
 }

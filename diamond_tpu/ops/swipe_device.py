@@ -848,7 +848,7 @@ def _full_q_pad(qlen: int) -> int:
     """Query rows padded to a ~1.25x ladder (lane width: multiples of
     128)."""
     for n in (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048,
-              2560, 3072, 4096):
+              2560, 3072, 4096, 6144, 8192):
         if n >= qlen:
             return n
     return pad_pow2(qlen, 128)
@@ -864,12 +864,13 @@ class FullSweep:
 
     # per-axis caps: the (Q, T) shape pair must fit scoped VMEM —
     # Q=6144 x T=16384 measured 36K over the 16M limit and Q=8192 x
-    # T=512 measured 100K over (the lazy-F prefix temps scale with Q),
-    # so the ROW axis (queries) caps at 4096 and the WALK axis
-    # (targets) at 8192.  Longer sequences take the host striped
-    # engine, overlapped with the device wait (swipe_all).
+    # T=512 measured 100K over at tile_b=16 (the lazy-F prefix temps
+    # scale with tile_b x Q).  Row classes above 4096 therefore run at
+    # tile_b=8, which halves every [tile_b, Q] term and fits Q=8192
+    # comfortably; both axes cap at 8192 and anything longer takes the
+    # host striped engine, overlapped with the device wait (swipe_all).
     MAX_LEN = 8192       # walked targets
-    MAX_ROW_LEN = 4096   # query rows
+    MAX_ROW_LEN = 8192   # query rows (tile_b=8 above Q=4096)
 
     def __init__(self, matrix32, gap_open: int, gap_extend: int,
                  tile_b: int = 16, interpret: bool = False):
@@ -881,10 +882,9 @@ class FullSweep:
         self.tile_b = tile_b
         self.interpret = interpret
 
-    def _pack_chunks(self, tblock, t_order):
-        """Length-sorted targets -> [(T, G, bounds_dev, t2_dev, rows)].
+    def _pack_chunks(self, tblock, t_order, tile_b):
+        """Length-sorted targets -> [(T, G, bsum, bounds, t2, rows)].
         rows index positions within t_order."""
-        tile_b = self.tile_b
         tl = tblock.lengths[t_order].astype(np.int64)
         tstarts = tblock.starts[t_order]
         order = np.argsort(tl, kind="stable")
@@ -932,17 +932,24 @@ class FullSweep:
         global dispatch_count, dispatch_cells, dispatch_wait_s
         import time as _time
 
-        tile_b = self.tile_b
         t_order = np.asarray(t_order, dtype=np.int64)
-        chunks = self._pack_chunks(tblock, t_order)
+        chunk_cache = {}
 
-        # ship the target chunks (device-resident for every query group);
-        # transfer time is tunnel/HBM wait, not host work — count it with
-        # the dispatch wait so the co-located projection removes it
-        _t0 = _time.perf_counter()
-        chunks = [(T, G, bsum, jnp.asarray(bounds), jnp.asarray(t2), rows)
-                  for (T, G, bsum, bounds, t2, rows) in chunks]
-        dispatch_wait_s += _time.perf_counter() - _t0
+        def chunks_for(tile_b):
+            # rows classes above 4096 use tile_b=8 (VMEM; see MAX_ROW_LEN)
+            if tile_b not in chunk_cache:
+                cs = self._pack_chunks(tblock, t_order, tile_b)
+                # ship the target chunks (device-resident for every query
+                # group); transfer time is tunnel/HBM wait, not host work
+                # — count it with the dispatch wait so the co-located
+                # projection removes it
+                _t0 = _time.perf_counter()
+                global dispatch_wait_s
+                chunk_cache[tile_b] = [
+                    (T, G, bsum, jnp.asarray(bounds), jnp.asarray(t2), rows)
+                    for (T, G, bsum, bounds, t2, rows) in cs]
+                dispatch_wait_s += _time.perf_counter() - _t0
+            return chunk_cache[tile_b]
 
         qlens = np.fromiter((len(q) for q, _ in queries), dtype=np.int64,
                             count=len(queries))
@@ -954,6 +961,8 @@ class FullSweep:
         for Q in np.unique(qpads):
             cls = np.nonzero(qpads == Q)[0]
             Q = int(Q)
+            tile_b = self.tile_b if Q <= 4096 else 8
+            chunks = chunks_for(tile_b)
             for c0 in range(0, len(cls), _FULL_NQ[0]):
                 qidx = cls[c0 : c0 + _FULL_NQ[0]]
                 # ragged last group pads up the NQ ladder with dead
@@ -970,6 +979,10 @@ class FullSweep:
                     if bias is not None:
                         q_bias[r, : len(q)] = np.asarray(bias,
                                                          dtype=np.int8)
+                # profile transfers + dispatches block on the link, not
+                # on host compute: count them as wait so the co-located
+                # projection prices them at HBM speed
+                _t0 = _time.perf_counter()
                 ql = jnp.asarray(q_let.reshape(NQ * Q))
                 qb = jnp.asarray(q_bias.reshape(NQ * Q))
                 qv = jnp.asarray(q_valid.reshape(NQ * Q))
@@ -979,6 +992,7 @@ class FullSweep:
                     dev = fn(bounds, t2, ql, qb, qv, self._m32, self.go,
                              self.ge, Q, T, tile_b, self.interpret)
                     pending.append((qidx, rows, dev))
+                dispatch_wait_s += _time.perf_counter() - _t0
         class _Pending:
             def wait(_self):
                 global dispatch_wait_s
