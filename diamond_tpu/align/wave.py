@@ -20,7 +20,7 @@ import numpy as np
 from diamond_tpu.align.extend import (DpRequest, _run_dp_jobs,
                                       extend_query_gen)
 from diamond_tpu.ops.banded_swipe import (banded_swipe_batch_np,
-                                          results_from_tb)
+                                          tb_multi_results)
 
 # ops.swipe_device pulls jax.experimental.pallas/shard_map (~1 s of
 # module compilation): import it only on the device path — host-only
@@ -144,15 +144,15 @@ def _tb_multi(items, mat, state):
         return set()
     jobs_flat = p.jobs_flat
     _count_cells(p, "ext.tb")
-    r = native.banded_swipe_tb_multi_native(
+    r = tb_multi_results(
         qblock.letters, p.bias_base, p.q_off, p.q_len, p.use_bias, p.t_cat,
         p.t_off, p.t_len, p.d_begins, p.bands, mat.matrix32,
         mat.gap_open + mat.gap_extend, mat.gap_extend)
     if r is None:
         return None  # native unavailable: caller uses the per-query path
-    ok = r[1][:, 11] != 0
+    _out_arr, stats_arr, results = r
+    ok = stats_arr[:, 11] != 0
     failed = {jobs_flat[k][0] for k in np.nonzero(~ok)[0]}
-    results = results_from_tb(r)
     by_req = {}
     for (qid, k, *_rest), res in zip(jobs_flat, results):
         by_req.setdefault(qid, []).append((k, res))
@@ -219,14 +219,13 @@ def _score_multi_fused(items, mat, state):
         return True
     jobs_flat = p.jobs_flat
     _count_cells(p, "ext.score")
-    r = native.banded_swipe_tb_multi_native(
+    r = tb_multi_results(
         qblock.letters, p.bias_base, p.q_off, p.q_len, p.use_bias, p.t_cat,
         p.t_off, p.t_len, p.d_begins, p.bands, mat.matrix32,
         mat.gap_open + mat.gap_extend, mat.gap_extend)
     if r is None:
         return False
-    out_arr, stats = r[0], r[1]
-    results = results_from_tb(r)
+    out_arr, stats, results = r
     cache = state.tb_cache
     by_req = {}
     for (qid, k, _t, d0, d1, _ub, tid), res, st in zip(jobs_flat, results,

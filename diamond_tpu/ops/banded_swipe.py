@@ -571,6 +571,47 @@ def _tb_native(q8, bias, bias32, jobs, t_cat, t_off, t_len, d_begins, bands,
     return results_from_tb(r)
 
 
+def tb_multi_results(q_base, bias_base, q_off, q_len, use_bias, t_cat,
+                     t_off, t_len, d_begins, bands, matrix32, go, ge,
+                     max_ops: int = 8 << 20):
+    """banded_swipe_tb_multi in job slices bounded by op-buffer size:
+    each slice's op streams are consumed into BandedResults (copied
+    transcripts) and freed before the next slice allocates, so the peak
+    op-buffer footprint is ~max_ops * 5 bytes instead of the whole
+    wave's (hundreds of MB on 1000-query out-of-core rounds).  Returns
+    (out [njobs,3], stats [njobs,12], results list) or None when the
+    native library is unavailable."""
+    import numpy as np
+
+    from diamond_tpu import native
+
+    if native.lib() is None:
+        return None
+    njobs = len(t_off)
+    caps = (np.asarray(t_len, dtype=np.int64)
+            + np.asarray(q_len, dtype=np.int64) + 2)
+    cum = np.zeros(njobs + 1, dtype=np.int64)
+    np.cumsum(caps, out=cum[1:])
+    outs = []
+    stats = []
+    results = []
+    k0 = 0
+    while k0 < njobs:
+        k1 = int(np.searchsorted(cum, cum[k0] + max_ops, side="right")) - 1
+        k1 = min(max(k1, k0 + 1), njobs)
+        r = native.banded_swipe_tb_multi_native(
+            q_base, bias_base, q_off[k0:k1], q_len[k0:k1],
+            use_bias[k0:k1], t_cat, t_off[k0:k1], t_len[k0:k1],
+            d_begins[k0:k1], bands[k0:k1], matrix32, go, ge)
+        if r is None:
+            return None
+        outs.append(r[0])
+        stats.append(r[1])
+        results.extend(results_from_tb(r))
+        k0 = k1
+    return np.concatenate(outs), np.concatenate(stats), results
+
+
 def results_from_tb(r, idx=None):
     """BandedResult list from a native tb-batch output tuple
     (out, stats, op_off, op_codes, op_payload); idx selects a subset of

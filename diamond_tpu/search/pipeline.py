@@ -49,16 +49,17 @@ class PipelineContext:
         return self._bias_cache[query_id]
 
 
-def mask_block(block: Block, masker: Tantan):
+def mask_block(block: Block, masker: Tantan, save_original: bool = True):
     """Hard tantan masking in place (reference double_indexed.cpp:122-127,737-741).
 
     Idempotent across iterated-search rounds: the reference masks fresh
     letters once per block load; re-masking already-masked letters would
-    diverge."""
+    diverge.  save_original=False skips the unmasked copy (only query
+    blocks are ever read back unmasked — DAA output, data/daa.py)."""
     if getattr(block, "_tantan_masked", False):
         return
     block._tantan_masked = True
-    if block.unmasked is None:
+    if save_original and block.unmasked is None:
         block.save_unmasked()
     from diamond_tpu import native
 
@@ -207,7 +208,7 @@ class Pipeline:
         if cfg.masking == "tantan":
             timer.go("Masking sequences")
             masker = Tantan(cfg.matrix.matrix32)
-            mask_block(self.t, masker)
+            mask_block(self.t, masker, save_original=self.same_block)
             if not self.same_block:
                 mask_block(self.q, masker)
             timer.finish()
@@ -377,6 +378,11 @@ class Pipeline:
                     else:
                         shape_hits.append(self._stage12(
                             join, shape, sid, chunk, lo, hi, group_keep))
+            # the subject-side partition table (int16 per target letter)
+            # only serves THIS shape's chunks — drop it before the next
+            # shape allocates its own (~100 MB per shape on a 50M block)
+            if getattr(self, "_part_tbls", None):
+                self._part_tbls.clear()
             shape_arr = (np.concatenate(shape_hits) if shape_hits
                          else np.empty((0, 4), dtype=np.int64))
             if self.ranking_table is not None:
