@@ -18,9 +18,11 @@ Three measurements, each honestly labeled:
   normally-deployed (co-located) chip where dispatch is ~100us.
 - kernel: banded-SWIPE device kernel GCUPS (batch 2048 x 512 x band 128).
 - swipe_config: blastp --swipe (full-matrix, no seeding — 100% DP) on a
-  query slice, host striped engine vs the device-resident SwipeSweep,
-  byte-compared; the config where the chip wins end-to-end (its
-  colocated projection AND its tunneled wall both beat the host).
+  256-query slice: the LIVE reference binary, our host striped engine,
+  and the device-resident row-indexed FullSweep, all byte-compared.
+  `chip_wins_e2e` = the tunneled device wall beats the reference binary
+  (window-dependent); `colocated_projection_wins` = the projection does
+  (stable; ~2x at round 5, see PERF.md).
 
 `vs_baseline` is ALWAYS the e2e ratio ours_qps / reference_qps for the
 reference DIAMOND binary on the same inputs with 1 thread (this host has
