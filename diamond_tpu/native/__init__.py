@@ -116,6 +116,13 @@ def lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p]
         cdll.dmnd_hash_records.restype = None
+        cdll.enumerate_seeds_filtered.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        cdll.enumerate_seeds_filtered.restype = ctypes.c_int64
         cdll.extract_seeds_many.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
@@ -1095,3 +1102,29 @@ def dmnd_hash_records(letters_cat, starts, lens, ids_cat, id_offs,
         ids_cat.ctypes.data, id_offs.ctypes.data, len(starts),
         buf.ctypes.data)
     return buf.tobytes()
+
+
+def enumerate_seeds_filtered_native(reduced, starts, lengths, positions64,
+                                    weight, shape_length: int, base: int,
+                                    min_len: int, q_keys_sorted):
+    """Fused DB-side enumeration + query-key probe (query-indexed
+    route): returns only the (keys, positions) whose key is present in
+    q_keys_sorted, or None when the native lib is unavailable.
+    Identical survivors/order to enumerate + filter_keys."""
+    import numpy as np
+
+    l = lib()
+    if l is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    qk = np.ascontiguousarray(q_keys_sorted, dtype=np.uint64)
+    cap = int((lengths - shape_length + 1).clip(min=0).sum())
+    keys = np.empty(cap, dtype=np.uint64)
+    pos = np.empty(cap, dtype=np.int64)
+    m = l.enumerate_seeds_filtered(
+        reduced.ctypes.data, starts.ctypes.data, lengths.ctypes.data,
+        len(starts), positions64.ctypes.data, int(weight),
+        int(shape_length), int(base), int(min_len), qk.ctypes.data,
+        len(qk), keys.ctypes.data, pos.ctypes.data)
+    return keys[:m].copy(), pos[:m].copy()

@@ -547,3 +547,125 @@ extern "C" void hauser_bias_block(
         hauser_bias_i8(letters + starts[s], lens[s], matrix32,
                        background_scores, window, out + starts[s]);
 }
+
+// Fused query-indexed DB enumeration (role: the streaming probe of the
+// reference's HashedSeedSet route, double_indexed.cpp:267-294 +
+// search/stage0): compute each DB position's spaced seed key and probe
+// the query key hash set immediately — only matches are written, so no
+// full-block key/pos arrays ever exist and the count pass disappears.
+// Survivor set and order are identical to enumerate_seeds_block
+// followed by filter_keys (same key math, same probe, position order).
+extern "C" int64_t enumerate_seeds_filtered(
+    const int8_t* reduced, const int64_t* starts, const int64_t* lengths,
+    int64_t nseqs, const int64_t* positions, int32_t weight,
+    int64_t shape_length, int64_t base, int64_t min_len,
+    const uint64_t* q_keys_sorted, int64_t nq,
+    uint64_t* out_keys, int64_t* out_pos) {
+    if (nq <= 0)
+        return 0;
+    uint64_t cap = 16;
+    while (cap < (uint64_t)nq * 2) cap <<= 1;
+    const uint64_t hmask = cap - 1;
+    std::vector<uint64_t> table(cap, ~0ull);
+    auto hash = [](uint64_t k) {
+        k *= 0x9e3779b97f4a7c15ull;
+        k ^= k >> 29;
+        k *= 0xbf58476d1ce4e5b9ull;
+        k ^= k >> 32;
+        return k;
+    };
+    for (int64_t i = 0; i < nq; ++i) {
+        const uint64_t k = q_keys_sorted[i];
+        if (i && k == q_keys_sorted[i - 1])
+            continue;
+        uint64_t h = hash(k) & hmask;
+        while (table[h] != ~0ull)
+            h = (h + 1) & hmask;
+        table[h] = k;
+    }
+    auto probe = [&](uint64_t k) -> bool {
+        uint64_t h = hash(k) & hmask;
+        for (; table[h] != ~0ull; h = (h + 1) & hmask)
+            if (table[h] == k)
+                return true;
+        return false;
+    };
+
+    int64_t m = 0;
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+    const __m512i basev = _mm512_set1_epi64(base);
+    const __m512i zerov = _mm512_setzero_si512();
+    for (int64_t s = 0; s < nseqs; ++s) {
+        const int64_t L = lengths[s];
+        if (L < shape_length || (min_len && L < min_len))
+            continue;
+        const int64_t st = starts[s];
+        const int64_t end = st + L - shape_length;
+        int64_t p = st;
+        alignas(64) uint64_t lane_keys[8];
+        for (; p + 7 <= end; p += 8) {
+            __m512i key = zerov;
+            __mmask8 valid = 0xff;
+            for (int32_t c = 0; c < weight; ++c) {
+                const __m128i raw = _mm_loadl_epi64(
+                    (const __m128i*)(reduced + p + positions[c]));
+                const __m512i w = _mm512_cvtepi8_epi64(raw);
+                valid &= _mm512_cmpge_epi64_mask(w, zerov)
+                         & _mm512_cmplt_epi64_mask(w, basev);
+                key = _mm512_add_epi64(_mm512_mullo_epi64(key, basev), w);
+            }
+            if (!valid)
+                continue;
+            _mm512_store_si512((__m512i*)lane_keys, key);
+            for (int32_t j = 0; j < 8; ++j) {
+                if ((valid >> j) & 1) {
+                    const uint64_t k = lane_keys[j];
+                    if (probe(k)) {
+                        out_keys[m] = k;
+                        out_pos[m] = p + j;
+                        ++m;
+                    }
+                }
+            }
+        }
+        for (; p <= end; ++p) {
+            uint64_t key = 0;
+            bool v = true;
+            for (int32_t c = 0; c < weight; ++c) {
+                const int64_t w = reduced[p + positions[c]];
+                v &= (w >= 0 && w < base);
+                key = key * (uint64_t)base + (uint64_t)(w >= 0 && w < base
+                                                            ? w : 0);
+            }
+            if (v && probe(key)) {
+                out_keys[m] = key;
+                out_pos[m] = p;
+                ++m;
+            }
+        }
+    }
+#else
+    for (int64_t s = 0; s < nseqs; ++s) {
+        const int64_t L = lengths[s];
+        if (L < shape_length || (min_len && L < min_len))
+            continue;
+        const int64_t st = starts[s];
+        const int64_t end = st + L - shape_length;
+        for (int64_t p = st; p <= end; ++p) {
+            uint64_t key = 0;
+            bool v = true;
+            for (int32_t c = 0; c < weight; ++c) {
+                const int64_t w = reduced[p + positions[c]];
+                v &= (w >= 0 && w < base);
+                key = key * (uint64_t)base + (uint64_t)(w < base ? w : 0);
+            }
+            if (v && probe(key)) {
+                out_keys[m] = key;
+                out_pos[m] = p;
+                ++m;
+            }
+        }
+    }
+#endif
+    return m;
+}

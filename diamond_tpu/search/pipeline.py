@@ -426,6 +426,39 @@ class Pipeline:
         cum = np.cumsum(block.lengths.astype(np.int64))
         s_lo = 0
         base = 0
+        from diamond_tpu import native
+
+        # fully fused native path (enumerate + probe in one pass, no
+        # full-slice key arrays); the sliced fallback below is the
+        # oracle and the freq-masking route (its unreduced filter sits
+        # between enumerate and probe)
+        if (not cfg.freq_masking and len(qs)
+                and reduced_all.dtype == np.int8
+                and reduced_all.flags.c_contiguous
+                and native.lib() is not None):
+            pos64 = getattr(shape, "_pos64", None)
+            if pos64 is None:
+                pos64 = np.ascontiguousarray(shape.positions,
+                                             dtype=np.int64)
+                shape._pos64 = pos64
+            while s_lo < n:
+                s_hi = int(np.searchsorted(cum, base + slice_letters,
+                                           "left"))
+                s_hi = min(max(s_hi, s_lo + 1), n)
+                base = int(cum[s_hi - 1])
+                r = native.enumerate_seeds_filtered_native(
+                    reduced_all, block.starts[s_lo:s_hi],
+                    block.lengths[s_lo:s_hi], pos64, shape.weight,
+                    shape.length, cfg.reduction.size, 0, qs)
+                s_lo = s_hi
+                if r is not None and len(r[0]):
+                    out_k.append(r[0])
+                    out_p.append(r[1])
+            if not out_k:
+                return (np.zeros(0, dtype=np.uint64),
+                        np.zeros(0, dtype=np.int64))
+            return np.concatenate(out_k), np.concatenate(out_p)
+
         while s_lo < n:
             s_hi = int(np.searchsorted(cum, base + slice_letters, "left"))
             s_hi = min(max(s_hi, s_lo + 1), n)
@@ -439,8 +472,6 @@ class Pipeline:
                 k, p = k[keep_t], p[keep_t]
             if len(qs) == 0 or len(k) == 0:
                 continue
-            from diamond_tpu import native
-
             keep = native.filter_keys_native(k, qs)
             if keep is None:
                 ins = np.searchsorted(qs, k)
